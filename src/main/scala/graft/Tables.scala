@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared table loaders + determinism helpers.
+  *
+  * Upstream analog: SNOWAV reads daily NetCDF rasters + a topo file and
+  * stores long-form results in SQL (see SURVEY.md §1–2; upstream
+  * `snowav/database/models.py::Results` [U] — /root/reference was empty at
+  * survey time, so citations use the SURVEY.md §0 [U] scheme). Here the
+  * driver-provided parquet star schema stands in for those inputs
+  * (/root/repo/FIXTURES.md).
+  */
+object Tables {
+  type Fn = (SparkSession, String) => DataFrame
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
+    // (PARQUET_TYPE_ILLEGAL) unless read as a nanos-since-epoch LONG via
+    // spark.sql.legacy.parquet.nanosAsLong (set by mkSession/Verify/Bench).
+    // Convert to TimestampType at µs precision — exactly DuckDB's native
+    // truncation of ns parquet timestamps, so oracles agree.
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Session factory shared by Verify/Bench/tests — one place for the
+    * configs the engine's correctness depends on. */
+  def mkSession(master: String, shufflePartitions: String): SparkSession = {
+    val b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    b.getOrCreate()
+  }
+
+  val DEC: DecimalType = DecimalType(38, 6)
+
+  /** Exact, order-independent sum of a double expression: round each value
+    * to DECIMAL(38,6), sum exactly, return DOUBLE.
+    *
+    * Double addition is non-associative, so a plain `sum(double)` differs
+    * between Spark's parallel partial aggregation and DuckDB's scan order in
+    * last-ulp ways that break the driver's hash compare (SURVEY.md §7
+    * "float determinism" — the top-ranked silent-failure risk). Decimal
+    * addition is exact and associative, so any partitioning gives the same
+    * result; per-row double→decimal rounding is identical on both engines.
+    * At 100 TB this costs one decimal column per measure in the partial
+    * aggregate — no extra shuffle, still map-side combinable.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DEC)).cast(DoubleType)
+
+  /** Windowed variant of [[dsum]] for running/moving sums. */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(DEC)).over(w).cast(DoubleType)
+
+  /** Round to 4dp — part of every oracle-checked query's contract
+    * (SURVEY.md §3B determinism rule).
+    *
+    * Routed through DECIMAL(38,6): Spark's `round(double, n)` converts via
+    * `Double.toString` (shortest decimal repr) while DuckDB rounds the
+    * binary value, so doubles whose shortest repr sits exactly on a
+    * half-boundary (e.g. "…24395") round differently (observed ~5e-4/row
+    * at sf0.001). Double→DECIMAL(38,6) then exact decimal rounding agrees
+    * on both engines; oracle mirror:
+    * `CAST(round(CAST(x AS DECIMAL(38,6)), 4) AS DOUBLE)`. */
+  def r4(c: Column): Column = round(c.cast(DEC), 4).cast(DoubleType)
+
+  /** Oracle-side mirror of [[r4]]. */
+  def r4sql(expr: String): String =
+    s"CAST(round(CAST($expr AS DECIMAL(38,6)), 4) AS DOUBLE)"
+
+  /** Epoch seconds as BIGINT (floor), mirrored in oracle SQL as
+    * `CAST(floor(epoch(ts)) AS BIGINT)`. Events carry microsecond
+    * components, so second-truncation must be explicit on both engines. */
+  def tsec(c: Column): Column = c.cast(LongType)
+}
+
+/** One logical group of SparkEntry queries with their DuckDB oracles. */
+trait QueryPack {
+  def queries: Seq[(String, Tables.Fn)]
+  /** DuckDB SQL producing the same rows/schema; keys ⊆ queries' keys.
+    * Keys intentionally absent here get the driver's rows-only check. */
+  def oracle: Seq[(String, String)]
+}

@@ -1,0 +1,288 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scans, projections, filters, joins, sorts, set ops — SURVEY.md §3B #1–14,
+  * #32–36. Upstream analogs per row of the §3B table (SNOWAV mask filters,
+  * metadata joins, ASO-flight as-of join, overlap-delete EXCEPT, plotorder
+  * sorts — [U] citations in SURVEY.md §3A; /root/reference was empty, §0).
+  *
+  * Scale notes (100 TB): dimension joins use explicit `broadcast()`; the
+  * fact-fact join shuffles on the join key only (AQE handles skew); the
+  * as-of join is the union+window formulation — one shuffle by key, no
+  * range-join explosion (SURVEY.md §5).
+  */
+object Relational extends QueryPack {
+
+  def queries: Seq[(String, Fn)] = Seq(
+    // #1 full scan + count. Analog: daily NetCDF scan.
+    "q_scan_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // #2 projection + predicate pushdown: only 4 columns reach the scan,
+    // filter lands in PushedFilters (verified via .explain in the spec).
+    "q_scan_pruned" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // total order needs every output column.
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // #3 multi-dir scan union. Analog: run_dirs discovery.
+    "q_scan_union_dirs" -> ((s, d) =>
+      t(s, d, "lineitem").unionByName(t(s, d, "lineitem"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // #4 arithmetic projection. Analog: depth→volume unit conversion.
+    "q_project_expr" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        r4(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("revenue_tax"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "revenue_tax")),
+
+    // #5 compound predicates. Analog: mask + date-range + elevation filters.
+    "q_filter_compound" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(10, 20) &&
+          (col("l_linestatus") === "F" || col("l_discount") > 0.05) &&
+          col("l_shipdate").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
+
+    // #6 broadcast dim join. Analog: basin↔watershed lookup.
+    "q_join_broadcast" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey")),
+
+    // #7 large equi join (shuffle). Analog: Results ⋈ RunMetadata.
+    "q_join_shuffle" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // #8 multi-way join; dims broadcast, facts shuffle once on orderkey.
+    "q_join_multi" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")),
+
+    // #9 left outer + null handling. Analog: stn_validate.
+    "q_join_left" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_p"))
+        .orderBy("c_custkey")),
+
+    // #10 left semi (EXISTS). Analog: "run already in DB" check.
+    "q_join_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // #11 left anti (NOT EXISTS). Analog: missing-day detection.
+    "q_join_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // #12 range (theta) join against a tiny banded dim — broadcast nested
+    // loop, never a cartesian shuffle. Analog: np.digitize elevation bands.
+    "q_join_range" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq((0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0),
+        (3, 30.0, 40.0), (4, 40.0, 50.0), (5, 50.0, 60.0))
+        .toDF("band_id", "lo", "hi")
+      t(s, d, "lineitem")
+        .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("band_id")
+    }),
+
+    // #13 as-of join: for each purchase, latest view (same user) at-or-before
+    // its ts. union+window formulation (SURVEY.md §7 hard-part 2): one
+    // shuffle on user_id, no per-row range scan — the 100 TB-safe plan.
+    // Analog: ASO flight ↔ nearest model day; inflow ↔ SWI.
+    "q_join_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(null).cast("timestamp").as("view_ts"), lit(1).as("is_p"))
+      val v = ev.where(col("event_type") === "view")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+          col("ts").as("view_ts"), lit(0).as("is_p"))
+      // views sort before purchases at equal ts => inclusive (ts >= view_ts)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.unionByName(v)
+        .withColumn("prior_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+        .where(col("is_p") === 1)
+        .select("event_id", "user_id", "ts", "prior_view_ts")
+        .orderBy("event_id")
+    }),
+
+    // #14 bounded self/cross join. Analog: compare_runs pairing.
+    "q_join_cross_pairs" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val a = n.select(col("n_regionkey").as("rk1"), col("n_nationkey").as("k1"),
+        col("n_name").as("n1"))
+      val b = n.select(col("n_regionkey").as("rk2"), col("n_nationkey").as("k2"),
+        col("n_name").as("n2"))
+      a.join(b, col("rk1") === col("rk2") && col("k1") < col("k2"))
+        .select("n1", "n2").orderBy("n1", "n2")
+    }),
+
+    // #32 multi-key sort with explicit null placement. Analog: plotorder.
+    "q_sort_multi" -> ((s, d) =>
+      t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy(col("c_mktsegment").asc_nulls_last,
+          col("c_acctbal").desc_nulls_last, col("c_custkey").asc)),
+
+    // #33 top-k => TakeOrderedAndProject (no global sort materialization).
+    "q_topk" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // #34 UNION ALL + DISTINCT. Analog: multi-run-dir concat.
+    "q_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").cast("int").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").cast("int").as("k")))
+        .distinct()
+        .orderBy("k")),
+
+    // #35 INTERSECT. Analog: overlapping-date detection.
+    "q_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").cast("int").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").cast("int").as("k")))
+        .orderBy("k")),
+
+    // #36 EXCEPT. Analog: overlap-delete (keep rows not in incoming window).
+    "q_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, d, "orders").select(col("o_custkey").as("k")))
+        .orderBy("k")),
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_scan_union_dirs" ->
+      """SELECT l_returnflag, count(*) AS n
+        |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(round(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)), 4) AS DOUBLE) AS revenue,
+        | CAST(round(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6)), 4) AS DOUBLE) AS revenue_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, revenue_tax""".stripMargin,
+    "q_filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20
+        | AND (l_linestatus = 'F' OR l_discount > 0.05) AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT c_custkey, n_name, r_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_join_multi" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS total_p
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        | ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT band_id, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN (VALUES (0,0.0,10.0),(1,10.0,20.0),(2,20.0,30.0),
+        |  (3,30.0,40.0),(4,40.0,50.0),(5,50.0,60.0)) b(band_id, lo, hi)
+        | ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q_join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts, v.view_ts AS prior_view_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_cross_pairs" ->
+      """SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a JOIN nation b
+        | ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        |ORDER BY n1, n2""".stripMargin,
+    "q_sort_multi" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC NULLS LAST, c_custkey""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_union" ->
+      """SELECT DISTINCT k FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL SELECT s_nationkey AS k FROM supplier)
+        |ORDER BY k""".stripMargin,
+    "q_intersect" ->
+      """SELECT k FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  INTERSECT SELECT s_nationkey AS k FROM supplier)
+        |ORDER BY k""".stripMargin,
+    "q_except" ->
+      """SELECT k FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey AS k FROM orders)
+        |ORDER BY k""".stripMargin,
+  )
+}
