@@ -15,13 +15,16 @@ object SparkEntry {
     * oracles atomically. */
   private val packs: Seq[QueryPack] = Seq(
     operators.Relational,
+    operators.Aggregations,
+    operators.Windows,
+    operators.Scalars,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * = §3B #15 pricing-summary hash aggregate (SNOWAV band/total reduce
-    * analog) once Aggregations lands; until then the broadcast join. */
+    * analog). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_join_multi")(spark, "/root/testdata/sf0.001")
+    queries("q_agg_hash")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §3B. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

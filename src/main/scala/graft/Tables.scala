@@ -79,8 +79,10 @@ object Tables {
 
   /** Epoch seconds as BIGINT (floor), mirrored in oracle SQL as
     * `CAST(floor(epoch(ts)) AS BIGINT)`. Events carry microsecond
-    * components, so second-truncation must be explicit on both engines. */
-  def tsec(c: Column): Column = c.cast(LongType)
+    * components, so second-truncation must be explicit on both engines.
+    * Parquet ms-timestamps surface as TIMESTAMP_NTZ, which has no direct
+    * long cast — route through TimestampType (session TZ is pinned UTC). */
+  def tsec(c: Column): Column = c.cast(TimestampType).cast(LongType)
 }
 
 /** One logical group of SparkEntry queries with their DuckDB oracles. */

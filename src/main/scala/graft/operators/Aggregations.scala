@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Tables._
+import graft.functions.WeightedMean
+import org.apache.spark.sql.functions._
+
+/** Aggregations — SURVEY.md §3B #15–26. Upstream analog: SNOWAV's per-day ×
+  * subbasin × elevation-band reduce (`np.nansum`/`np.nanmean` + "total" rows
+  * == ROLLUP) and the `collect()` pivot ([U] citations in SURVEY.md §3A;
+  * /root/reference was empty at survey time, §0).
+  *
+  * Scale notes (100 TB): every groupBy here is a hash aggregate with
+  * map-side partial aggregation — one shuffle on the grouping key, partials
+  * combine before the exchange so reduce-side input is #groups × #partitions,
+  * not #rows. rollup/cube/grouping-sets expand rows map-side but still
+  * partial-aggregate. The pivot keys are an explicit small list (no
+  * driver-side distinct scan). Averages are recomposed as exact-decimal
+  * sum/count so partial aggregation cannot change results.
+  *
+  * Grouping-set outputs coalesce subtotal keys to 'ALL' and carry explicit
+  * `grouping()` flag columns: hash-stable across engines and immune to
+  * Spark-vs-DuckDB NULL-ordering defaults (SURVEY.md §7 hard-part 7).
+  */
+object Aggregations extends QueryPack {
+
+  /** Exact-decimal mean recomposition: round-trips through DECIMAL(38,6)
+    * partial sums; mirrored in oracle as sum(decimal)/count. */
+  private def davg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DEC)).cast("double") / count(c)
+
+  def queries: Seq[(String, Fn)] = Seq(
+    // #15 FLAGSHIP (= SparkEntry.entry): pricing-summary hash aggregate.
+    // Analog: SNOWAV band/total reduce + avail/unavail conditional split
+    // (sum(when(cc<limit))) — here the conditional is on return flag status.
+    "q_agg_hash" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          r4(davg(col("l_quantity"))).as("avg_qty"),
+          r4(davg(col("l_extendedprice"))).as("avg_price"),
+          r4(davg(col("l_discount"))).as("avg_disc"),
+          dsum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0.0))).as("hi_disc_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // #16 exact distinct. Analog: distinct run/date inventory.
+    "q_agg_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // #17 HLL sketch distinct — no oracle (sketch values are engine-
+    // specific); scalatest bounds-checks vs exact. Driver: rows-only.
+    "q_agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    // #18 grouping sets: (flag, status), (flag), (), with explicit
+    // grouping flags. Analog: per-band ⊕ per-basin ⊕ total rows.
+    "q_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+        .orderBy("g_rf", "g_ls", "rf", "ls")),
+
+    // #19 rollup. Analog: Results "total" elevation rows.
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+        .orderBy("g_rf", "g_ls", "rf", "ls")),
+
+    // #20 cube — all margins.
+    "q_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+        .orderBy("g_rf", "g_ls", "rf", "ls")),
+
+    // #21 histogram/bucketed agg ≡ width_bucket. Analog: np.digitize
+    // elevation bands — computed, not joined (contrast q_join_range).
+    "q_agg_binned" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("band", floor(col("l_quantity") / lit(5.0)).cast("long"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("band")),
+
+    // #22 custom UDAF: mass-weighted mean (SNOWAV weighted snow density).
+    // Aggregator => partial-aggregable ScalaAggregator; exact decimal buffer.
+    "q_agg_weighted" -> ((s, d) => {
+      val wmean = udaf(WeightedMean)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(r4(wmean(col("l_extendedprice"), col("l_quantity"))).as("w_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // #23 exact percentiles (interpolated, = DuckDB quantile_cont).
+    // Analog: tablizer forcing-input percentile diagnostics.
+    "q_agg_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
+        .select(col("l_returnflag"),
+          r4(col("p").getItem(0)).as("p25"),
+          r4(col("p").getItem(1)).as("p50"),
+          r4(col("p").getItem(2)).as("p75"))
+        .orderBy("l_returnflag")),
+
+    // #24 array agg: sorted distinct list per group. Analog: per-band
+    // value vectors handed to plots.
+    "q_agg_collect" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // #25 long→wide pivot with an explicit key list (no driver-side
+    // distinct pass — the 100 TB-safe form). Analog: collect() band×basin.
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("band", floor(col("l_quantity") / lit(10.0)).cast("long"))
+        .groupBy("band")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .na.fill(0.0, Seq("A", "N", "R"))
+        .orderBy("band")),
+
+    // #26 wide→long unpivot (stack). Analog: wide frame → EAV Results rows.
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_discount")).as("disc"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")),
+  )
+
+  private val gsSelect =
+    """ coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      | CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, count(*) AS n
+      |FROM lineitem""".stripMargin
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        | CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)/count(l_quantity) AS DECIMAL(38,6)), 4) AS DOUBLE) AS avg_qty,
+        | CAST(round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)/count(l_extendedprice) AS DECIMAL(38,6)), 4) AS DOUBLE) AS avg_price,
+        | CAST(round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)/count(l_discount) AS DECIMAL(38,6)), 4) AS DOUBLE) AS avg_disc,
+        | CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS hi_disc_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT$gsSelect
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT$gsSelect
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+    "q_cube" ->
+      s"""SELECT$gsSelect
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+    "q_agg_binned" ->
+      """SELECT CAST(floor(l_quantity/5.0) AS BIGINT) AS band, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY band ORDER BY band""".stripMargin,
+    "q_agg_weighted" ->
+      """SELECT l_returnflag,
+        | CAST(round(CAST(
+        |   CAST(sum(CAST(l_extendedprice*l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |   / CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |  AS DECIMAL(38,6)), 4) AS DOUBLE) AS w_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        | CAST(round(CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(38,6)), 4) AS DOUBLE) AS p25,
+        | CAST(round(CAST(quantile_cont(l_extendedprice, 0.50) AS DECIMAL(38,6)), 4) AS DOUBLE) AS p50,
+        | CAST(round(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(38,6)), 4) AS DOUBLE) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT o_orderpriority,
+        | list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(floor(l_quantity/10.0) AS BIGINT) AS band,
+        | coalesce(CAST(sum(CAST(CASE WHEN l_returnflag='A' THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS "A",
+        | coalesce(CAST(sum(CAST(CASE WHEN l_returnflag='N' THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS "N",
+        | coalesce(CAST(sum(CAST(CASE WHEN l_returnflag='R' THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS "R"
+        |FROM lineitem GROUP BY band ORDER BY band""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+        |   CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'disc' AS measure, disc AS value FROM wide
+        |ORDER BY l_returnflag, measure""".stripMargin,
+  )
+}

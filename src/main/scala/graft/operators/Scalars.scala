@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function families — SURVEY.md §3B #37–41, #51. Upstream analogs:
+  * run-dir date parsing and label building (strings), water-year logic
+  * (dates: WY starts Oct 1 — [U] grep `water_year|wyhr`), unit conversions
+  * (math); arrays/JSON are north-star additions (SURVEY.md §2). Citations
+  * use the §0 [U] scheme — /root/reference was empty at survey time.
+  *
+  * Scale notes (100 TB): every function here is a codegen'd Column
+  * expression evaluated inside WholeStageCodegen — no shuffle added beyond
+  * the final presentation sort. #51 keeps exactly ONE Scala UDF to prove the
+  * UDF surface and places the preferred zero-UDF expression next to it;
+  * UDFs are codegen-opaque, so the expression form is the hot-path choice.
+  */
+object Scalars extends QueryPack {
+
+  /** Water year (Oct 1 start) as a pure Column expression — codegen-friendly
+    * form used everywhere except the single UDF-surface demo in #51. */
+  def waterYearExpr(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (year(ts) + when(month(ts) >= 10, 1).otherwise(0)).cast(IntegerType)
+
+  def queries: Seq[(String, Fn)] = Seq(
+    // #37 string functions. Analog: run-dir parsing, label building.
+    // POSIX-simple regex for dialect parity (SURVEY.md §7 hard-part 3).
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).cast(LongType).as("name_num"),
+          lower(col("c_mktsegment")).as("seg_lower"),
+          substring(col("c_mktsegment"), 1, 3).as("seg3"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("|", col("c_mktsegment"), col("c_custkey").cast(StringType)).as("label"),
+          trim(lit("  pad  ")).as("trimmed"),
+          replace(col("c_name"), lit("Customer"), lit("C")).as("short_name"))
+        .orderBy("c_custkey")),
+
+    // #38 date functions incl. water-year. Analog: WY logic, daily cadence.
+    "q_date_funcs" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType)).as("days_since"),
+          // emitted as timestamp: pandas/parquet render DATE differently
+          // across the two engines, breaking the hash compare
+          date_add(col("o_orderdate").cast(DateType), 30)
+            .cast(TimestampType).as("due_date"),
+          waterYearExpr(col("o_orderdate")).as("water_year"))
+        .orderBy("o_orderkey")),
+
+    // #39 math functions. Analog: unit conversions (TAF/SI).
+    "q_math_funcs" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          r4(abs(col("l_quantity") - 25)).as("abs_dev"),
+          r4(ln(col("l_extendedprice"))).as("ln_price"),
+          r4(pow(col("l_discount"), 2)).as("disc_sq"),
+          r4(sqrt(col("l_quantity"))).as("sqrt_qty"),
+          ceil(col("l_quantity") / 10).cast(LongType).as("ceil_b"),
+          floor(col("l_quantity") / 10).cast(LongType).as("floor_b"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // #40 array higher-order functions over 64-d embeddings (north star).
+    "q_array_funcs" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          r4(element_at(col("embedding"), 1)).as("first"),
+          r4(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x)).as("vec_sum"),
+          r4(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x * x))).as("l2_norm"),
+          r4(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (acc, x) => acc + x)).as("head8_sum"))
+        .orderBy("vec_id")),
+
+    // #41 JSON extraction (north star; events.props e.g. {"k": 87}).
+    "q_json_map_funcs" -> ((s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_path"),
+          from_json(col("props"), MapType(StringType, IntegerType))
+            .getItem("k").as("k_map"),
+          size(map_keys(from_json(col("props"),
+            MapType(StringType, IntegerType)))).as("n_keys"))
+        .orderBy("event_id")),
+
+    // #51 the one scalar UDF (water-year), alongside the preferred
+    // expression form — results must agree row-for-row.
+    "q_udf_scalar" -> ((s, d) => {
+      // UTC-pinned (Timestamp.toLocalDateTime would use the JVM default TZ)
+      val wyUdf = udf((ts: java.sql.Timestamp) => {
+        val ld = ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+        ld.getYear + (if (ld.getMonthValue >= 10) 1 else 0)
+      })
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          wyUdf(col("o_orderdate")).as("wy_udf"),
+          waterYearExpr(col("o_orderdate")).as("wy_expr"))
+        .orderBy("o_orderkey")
+    }),
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        | CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+        | lower(c_mktsegment) AS seg_lower,
+        | substring(c_mktsegment, 1, 3) AS seg3,
+        | length(c_name) AS name_len,
+        | concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS label,
+        | trim('  pad  ') AS trimmed,
+        | replace(c_name, 'Customer', 'C') AS short_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(month(o_orderdate) AS INT) AS mo,
+        | CAST(day(o_orderdate) AS INT) AS dom,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        | CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+        | CAST(year(o_orderdate) + CASE WHEN month(o_orderdate) >= 10 THEN 1 ELSE 0 END AS INT) AS water_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | CAST(round(CAST(abs(l_quantity - 25) AS DECIMAL(38,6)), 4) AS DOUBLE) AS abs_dev,
+        | CAST(round(CAST(ln(l_extendedprice) AS DECIMAL(38,6)), 4) AS DOUBLE) AS ln_price,
+        | CAST(round(CAST(pow(l_discount, 2) AS DECIMAL(38,6)), 4) AS DOUBLE) AS disc_sq,
+        | CAST(round(CAST(sqrt(l_quantity) AS DECIMAL(38,6)), 4) AS DOUBLE) AS sqrt_qty,
+        | CAST(ceil(l_quantity / 10) AS BIGINT) AS ceil_b,
+        | CAST(floor(l_quantity / 10) AS BIGINT) AS floor_b,
+        | l_orderkey % 7 AS key_mod
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS INT) AS dim,
+        | CAST(round(CAST(embedding[1] AS DECIMAL(38,6)), 4) AS DOUBLE) AS first,
+        | CAST(round(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS vec_sum,
+        | CAST(round(CAST(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS l2_norm,
+        | CAST(round(CAST(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS head8_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_json_map_funcs" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_map,
+        | CAST(len(json_keys(props)) AS INT) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_udf_scalar" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) + CASE WHEN month(o_orderdate) >= 10 THEN 1 ELSE 0 END AS INT) AS wy_udf,
+        | CAST(year(o_orderdate) + CASE WHEN month(o_orderdate) >= 10 THEN 1 ELSE 0 END AS INT) AS wy_expr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}

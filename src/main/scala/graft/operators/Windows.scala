@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window functions — SURVEY.md §3B #27–31. Upstream analogs: plotorder
+  * ranking, image_change / collect-`difference` day deltas, cumulative SWI,
+  * smoothed series, peak-SWE date ([U] SURVEY.md §3A; /root/reference empty
+  * at survey time, §0).
+  *
+  * Scale notes (100 TB): each window shuffles once on its partition key and
+  * sorts within partitions — no global sort. Partition keys (customer, user)
+  * are high-cardinality, so partitions stay small; a single-partition window
+  * (no partitionBy) is deliberately absent — that is the anti-pattern at
+  * scale. Window ORDER BY always carries a unique tiebreak column so frame
+  * contents are deterministic under parallel re-ordering.
+  */
+object Windows extends QueryPack {
+
+  def queries: Seq[(String, Fn)] = Seq(
+    // #27 ranking trio, top-3 orders per customer. Analog: plotorder.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // #28 lag delta per user time series. Analog: day-over-day image change.
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", r4(col("value") - col("prev_value")))
+        .select(col("event_id"), col("user_id"), r4(col("value")).as("value"),
+          r4(col("prev_value")).as("prev_value"), col("delta"))
+        .orderBy("event_id")
+    }),
+
+    // #29 running total (row frame). Analog: cumulative SWI.
+    "q_window_cumsum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("cum_spend", r4(dsumOver(col("o_totalprice"), w)))
+        .select("o_custkey", "o_orderkey", "cum_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // #30 time-range moving agg: trailing 7 days per customer. Analog:
+    // smoothed basin series. Range frame on epoch-seconds; ties (same day)
+    // share a frame, so the result is order-independent.
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(tsec(col("o_orderdate")))
+        .rangeBetween(-7L * 24 * 3600, 0)
+      t(s, d, "orders")
+        .withColumn("movsum_7d", r4(dsumOver(col("o_totalprice"), w)))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .select("o_custkey", "o_orderkey", "movsum_7d", "n_7d")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // #31 arg-max per group with a unique struct tiebreak (max_by over a
+    // non-unique key alone is nondeterministic). Analog: peak-SWE date.
+    "q_argmax" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+          r4(max(col("o_totalprice"))).as("top_price"))
+        .orderBy("o_custkey")),
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        | CAST(round(CAST(value AS DECIMAL(38,6)), 4) AS DOUBLE) AS value,
+        | CAST(round(CAST(prev_value AS DECIMAL(38,6)), 4) AS DOUBLE) AS prev_value,
+        | CAST(round(CAST(value - prev_value AS DECIMAL(38,6)), 4) AS DOUBLE) AS delta
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_window_cumsum" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS cum_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w, 4) AS DOUBLE) AS movsum_7d,
+        | count(*) OVER w AS n_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_argmax" ->
+      """SELECT o_custkey, o_orderkey AS top_order,
+        | CAST(round(CAST(top_price AS DECIMAL(38,6)), 4) AS DOUBLE) AS top_price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn,
+        |   max(o_totalprice) OVER (PARTITION BY o_custkey) AS top_price
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+  )
+}
