@@ -18,6 +18,8 @@ object SparkEntry {
     operators.Aggregations,
     operators.Windows,
     operators.Scalars,
+    operators.LlmPipeline,
+    operators.Streaming,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

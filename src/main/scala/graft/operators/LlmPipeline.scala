@@ -1,0 +1,482 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** LLM-data-pipeline operators — SURVEY.md §3B #42–46 plus the north-star
+  * extensions (BASELINE.json): the operations a large-scale training-data
+  * pipeline needs, expressed Spark-first over the `documents` and
+  * `embeddings` tables. No SNOWAV analog (upstream has no text/vector ops);
+  * these generalize its mask→reduce pipeline to content dedup/search.
+  *
+  * Portability backbone: every hash is md5-hex (identical on Spark and
+  * DuckDB); numeric hashes take the first 15 hex digits as a 60-bit BIGINT
+  * (`conv(...,16,10)` ↔ `('0x'||...)::BIGINT` — parity verified). MinHash
+  * signatures are md5-hex string minima, so string ordering — identical on
+  * both engines — replaces modular arithmetic.
+  *
+  * Scale notes (100 TB):
+  * - Exact shingle Jaccard (q_dedup_near) self-joins on shingle — correct
+  *   but quadratic in hot shingles; it is the small-scale oracle of truth.
+  * - The scale path is q_dedup_minhash: fixed-size signatures (one narrow
+  *   row per doc), LSH band buckets as the join key — shuffle cost is
+  *   O(#docs × #bands), candidates only then verified exactly. Skewed
+  *   buckets (boilerplate docs) are handled by AQE skew-join or salting.
+  * - q_sim_knn blocks on `label` (the IVF coarse-quantizer analog: probe
+  *   one cell); q_sim_ann_lsh derives sign-bit buckets from broadcast
+  *   hyperplanes — both avoid the all-pairs cross join.
+  * - simhash is one groupBy over exploded tokens (map-side combinable) +
+  *   a blocked pair join; at 100 TB the pair join would block on band
+  *   prefixes of the simhash, same LSH idea.
+  */
+object LlmPipeline extends QueryPack {
+
+  private val SIM_BITS = 32
+  private val MINHASH_K = 8
+  private val LSH_PLANES = 8
+
+  /** 60-bit portable numeric hash of a string column. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Space-tokenization (documents.text is clean lowercase space-separated). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct k-token shingles; empty when the doc has < k tokens. */
+  private def shingles(text: Column, k: Int): Column = {
+    val tk = toks(text)
+    val idx = sequence(lit(1), size(tk) - (k - 1))
+    val mk = transform(idx, i =>
+      concat_ws(" ", (0 until k).map(o => element_at(tk, i + o)): _*))
+    when(size(tk) >= k, array_distinct(mk)).otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** (doc_id, shingle) exploded distinct 3-shingles. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
+
+  /** Per-doc distinct-shingle counts. */
+  private def shingleCounts(ds: DataFrame): DataFrame =
+    ds.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+  /** Exact Jaccard for a given candidate pair set (doc_a < doc_b). */
+  private def jaccardFor(pairs: DataFrame, ds: DataFrame): DataFrame = {
+    val cnt = shingleCounts(ds)
+    val inter = ds.as("sa")
+      .join(ds.as("sb"), col("sa.shingle") === col("sb.shingle") &&
+        col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jac", r4(col("inter") / (col("na") + col("nb") - col("inter"))))
+  }
+
+  /** Cosine similarity of two float-array columns as a codegen'd expression
+    * (fold left, float→double promotion — mirrors DuckDB's sequential
+    * list_cosine_similarity within the r4 tolerance). */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (s, x) => s + x * x))
+    dot / (na * nb)
+  }
+
+  /** Deterministic hyperplane component for plane p, dim d:
+    * v = (H(p:d) % 1000) / 500 - 1 ∈ [-1, 1). */
+  private def planeVal(p: Column, dIdx: Column): Column =
+    (h60(concat(p, lit(":"), dIdx)) % 1000).cast(DoubleType) / 500.0 - 1.0
+
+  /** Sign-bit LSH bucket id per vector from LSH_PLANES broadcast planes. */
+  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planes = s.range(LSH_PLANES).select(col("id").cast(IntegerType).as("p"))
+      .crossJoin(s.range(1, 65).select(col("id").cast(IntegerType).as("dim_idx")))
+      .withColumn("v", planeVal(col("p"), col("dim_idx")))
+    val comps = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("dim_idx", col("pos") + 1)
+      .join(broadcast(planes), "dim_idx")
+      .groupBy(col("vec_id"), col("label"), col("p"))
+      .agg(sum(col("x") * col("v")).as("dot"))
+    comps
+      .groupBy("vec_id", "label")
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
+  }
+
+  def queries: Seq[(String, Fn)] = Seq(
+    // #42 exact dedup by normalized content hash; keeper = min doc_id.
+    "q_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("h", sha2(lower(trim(col("text"))), 256))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .where(col("n_copies") > 1)
+        .orderBy("h")),
+
+    // #43 exact near-dup: 3-token shingle Jaccard >= 0.8 (the truth oracle
+    // for the MinHash scale path below).
+    "q_dedup_near" -> ((s, d) => {
+      val ds = docShingles(s, d)
+      val allPairs = ds.as("sa")
+        .join(ds.as("sb"), col("sa.shingle") === col("sb.shingle") &&
+          col("sa.doc_id") < col("sb.doc_id"))
+        .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+        .distinct()
+      jaccardFor(allPairs, ds)
+        .where(col("jac") >= 0.8)
+        .select("doc_a", "doc_b", "jac")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash(k=8) + LSH(4 bands × 2 rows): candidates share a band bucket;
+    // exact Jaccard verification only on candidates. The 100 TB dedup path.
+    "q_dedup_minhash" -> ((s, d) => {
+      val ds = docShingles(s, d)
+      val sigAggs = (0 until MINHASH_K).map(i =>
+        min(md5(concat(lit(i.toString), lit(":"), col("shingle")))).as(s"sig$i"))
+      val sigs = ds.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      val bands = (0 until MINHASH_K / 2).map(j =>
+        sigs.select(col("doc_id"), lit(j).as("band"),
+          md5(concat(col(s"sig${2 * j}"), col(s"sig${2 * j + 1}"))).as("bucket")))
+        .reduce(_ unionByName _)
+      val cands = bands.as("ba")
+        .join(bands.as("bb"), col("ba.band") === col("bb.band") &&
+          col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
+        .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
+        .distinct()
+      jaccardFor(cands, ds)
+        .where(col("jac") >= 0.8)
+        .select("doc_a", "doc_b", "jac")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash(32-bit) near-dup: token-frequency-weighted sign bits, pairs
+    // (blocked by lang) with hamming distance <= 6.
+    "q_dedup_simhash" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+        .withColumn("th", h60(col("tok")))
+      val bitAggs = (0 until SIM_BITS).map(j =>
+        sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+      val bitSums = tok.groupBy("doc_id", "lang").agg(bitAggs.head, bitAggs.tail: _*)
+      val sim = bitSums.withColumn("simhash",
+        (0 until SIM_BITS).map(j =>
+          when(col(s"s$j") >= 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce(_ + _))
+        .select("doc_id", "lang", "simhash")
+      sim.as("a")
+        .join(sim.as("b"), col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType))
+        .where(col("hamming") <= 6)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding-cosine near-dup: pairs within label with cos >= 0.99.
+    "q_dedup_embcos" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      e.as("a").join(e.as("b"), col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", r4(cosine(col("a.embedding"), col("b.embedding"))))
+        .where(col("cos") >= 0.99)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // #44 brute-force top-5 cosine neighbors, blocked by label (IVF-style:
+    // label = coarse cell, probe within cell).
+    "q_sim_knn" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      e.as("a").join(e.as("b"), col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+          r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .orderBy("vec_id", "rnk")
+    }),
+
+    // ANN scale path: sign-bit LSH buckets from deterministic broadcast
+    // hyperplanes; top-3 within bucket. Recall vs q_sim_knn is asserted in
+    // scalatest; oracle checks the full bucket+rank pipeline.
+    "q_sim_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val b = lshBuckets(s, d)
+      val withVec = b.join(e, b("vec_id") === e("id")).drop("id")
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      withVec.as("a")
+        .join(withVec.as("b"), col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+          col("b.vec_id").as("neighbor_id"),
+          r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .orderBy("vec_id", "rnk")
+    }),
+
+    // #45 corpus term frequencies, top 50.
+    "q_text_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(50)),
+
+    // Token counting: whitespace tokens + BPE-ish regex segments.
+    "q_text_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks(col("text"))).as("n_ws"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic: English-stopword ratio (documents carry a
+    // ground-truth lang column for scoring downstream).
+    "q_text_langid" -> ((s, d) => {
+      val markers = Seq("the", "a", "of", "and", "to", "in")
+      val tk = toks(col("text"))
+      val ratio = size(filter(tk, w => w.isin(markers: _*))).cast(DoubleType) / size(tk)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), r4(ratio).as("stop_ratio"),
+          when(ratio > 0.05, "en").otherwise("other").as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length, mean token length, lexical diversity.
+    "q_text_quality" -> ((s, d) => {
+      val tk = toks(col("text"))
+      val nTok = size(tk)
+      val meanLen = (col("n_chars") - (nTok - 1)).cast(DoubleType) / nTok
+      val diversity = size(array_distinct(tk)).cast(DoubleType) / nTok
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+          r4(meanLen).as("mean_tok_len"), r4(diversity).as("diversity"),
+          r4(least(lit(1.0), col("n_chars") / 200.0) * diversity).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: winnowing-style minimum md5 over 5-token
+    // shingles (hex-string min is engine-portable).
+    "q_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_min(transform(shingles(col("text"), 5), sh => md5(sh))).as("fp"))
+        .orderBy("doc_id")),
+
+    // #46 multimodal join: text ⋈ vectors, mixed string+array projection.
+    "q_multimodal_join" -> ((s, d) =>
+      t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("label"), size(col("embedding")).as("dim"),
+          r4(sqrt(aggregate(col("embedding"), lit(0.0), (s0, x) => s0 + x * x))).as("l2_norm"))
+        .orderBy("doc_id")),
+
+    // Opaque-binary plumbing: text→bytes with typed metadata; hashes and
+    // byte lengths flow through BinaryType columns. (The mapPartitions
+    // decode stub lives in graft.multimodal, scalatest-covered.)
+    "q_multimodal_binary" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("bytes", col("text").cast(BinaryType))
+        .withColumn("meta", struct(col("lang"), col("source")))
+        .select(col("doc_id"),
+          length(col("bytes")).as("n_bytes"),
+          md5(col("text")).as("content_hash"),
+          lower(hex(substring(col("bytes"), 1, 8))).as("head_hex"),
+          col("meta.lang").as("m_lang"), col("meta.source").as("m_source"))
+        .orderBy("doc_id")),
+  )
+
+  // ---- oracle SQL ----
+
+  private val shinglesSql3 =
+    """CASE WHEN len(string_split(text,' ')) >= 3 THEN
+      | list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+      |   i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2]))
+      | ELSE [] END""".stripMargin
+
+  private val docShinglesSql =
+    s"""SELECT doc_id, unnest($shinglesSql3) AS shingle FROM documents"""
+
+  private val jaccardTailSql =
+    """inter AS (
+      |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM ds sa JOIN ds sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      |  WHERE (sa.doc_id, sb.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+      |  GROUP BY 1, 2),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1)
+      |SELECT i.doc_a, i.doc_b,
+      | CAST(round(CAST(CAST(i.n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - i.n_inter) AS DECIMAL(38,6)), 4) AS DOUBLE) AS jac
+      |FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id JOIN cnt cb ON i.doc_b = cb.doc_id
+      |WHERE CAST(round(CAST(CAST(i.n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - i.n_inter) AS DECIMAL(38,6)), 4) AS DOUBLE) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simhashTermsSql: String = {
+    val sums = (0 until SIM_BITS).map(j =>
+      s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n   ")
+    val bits = (0 until SIM_BITS).map(j =>
+      s"CASE WHEN s$j >= 0 THEN (1::BIGINT << $j) ELSE 0 END").mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, lang,
+       |   ('0x'||substr(md5(unnest(string_split(text,' '))),1,15))::BIGINT AS th
+       |  FROM documents),
+       |sums AS (
+       |  SELECT doc_id, lang,
+       |   $sums
+       |  FROM tok GROUP BY doc_id, lang),
+       |sim AS (SELECT doc_id, lang, $bits AS simhash FROM sums)""".stripMargin
+  }
+
+  private val minhashSigsSql: String = {
+    val sigs = (0 until MINHASH_K).map(i =>
+      s"min(md5('$i:'||shingle)) AS sig$i").mkString(", ")
+    val bandRows = (0 until MINHASH_K / 2).map(j =>
+      s"SELECT doc_id, $j AS band, md5(sig${2 * j}||sig${2 * j + 1}) AS bucket FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""sigs AS (SELECT doc_id, $sigs FROM ds GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+       |  FROM bands ba JOIN bands bb
+       |   ON ba.band = bb.band AND ba.bucket = bb.bucket AND ba.doc_id < bb.doc_id)""".stripMargin
+  }
+
+  private val lshBucketSql: String =
+    s"""planes AS (
+       |  SELECT p, d,
+       |   (('0x'||substr(md5(p||':'||d),1,15))::BIGINT % 1000)/500.0 - 1.0 AS v
+       |  FROM generate_series(0, ${LSH_PLANES - 1}) tp(p), generate_series(1, 64) td(d)),
+       |comps AS (
+       |  SELECT e.vec_id, e.label, pl.p,
+       |   sum(CAST(e.embedding[pl.d] AS DOUBLE) * pl.v) AS dot
+       |  FROM embeddings e JOIN planes pl ON true
+       |  GROUP BY 1, 2, 3),
+       |buckets AS (
+       |  SELECT vec_id, label,
+       |   CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM comps GROUP BY 1, 2)""".stripMargin
+
+  private val cosSql =
+    "CAST(round(CAST(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS DECIMAL(38,6)), 4) AS DOUBLE)"
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_dedup_exact" ->
+      """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keeper,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "q_dedup_near" ->
+      s"""WITH ds AS ($docShinglesSql),
+         |cands AS (
+         |  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+         |  FROM ds sa JOIN ds sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+         |$jaccardTailSql""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH ds AS ($docShinglesSql),
+         |$minhashSigsSql,
+         |$jaccardTailSql""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH $simhashTermsSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embcos" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosSql AS cos
+         |FROM embeddings a JOIN embeddings b
+         | ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cosSql >= 0.99
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_sim_knn" ->
+      s"""SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cosSql AS cos,
+         | CAST(row_number() OVER (PARTITION BY a.vec_id
+         |   ORDER BY $cosSql DESC, b.vec_id ASC) AS INT) AS rnk
+         |FROM embeddings a JOIN embeddings b
+         | ON a.label = b.label AND a.vec_id <> b.vec_id
+         |QUALIFY rnk <= 5
+         |ORDER BY vec_id, rnk""".stripMargin,
+    "q_sim_ann_lsh" ->
+      s"""WITH $lshBucketSql,
+         |wv AS (
+         |  SELECT b.vec_id, b.bucket, e.embedding
+         |  FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id)
+         |SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+         | $cosSql AS cos,
+         | CAST(row_number() OVER (PARTITION BY a.vec_id
+         |   ORDER BY $cosSql DESC, b.vec_id ASC) AS INT) AS rnk
+         |FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |QUALIFY rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin,
+    "q_text_stats" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS INT) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """SELECT doc_id, lang,
+        | CAST(round(CAST(CAST(len(list_filter(string_split(text,' '),
+        |   w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |   / len(string_split(text,' ')) AS DECIMAL(38,6)), 4) AS DOUBLE) AS stop_ratio,
+        | CASE WHEN CAST(len(list_filter(string_split(text,' '),
+        |   w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |   / len(string_split(text,' ')) > 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, n_chars,
+        | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        | CAST(round(CAST(CAST(n_chars - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |   / len(string_split(text,' ')) AS DECIMAL(38,6)), 4) AS DOUBLE) AS mean_tok_len,
+        | CAST(round(CAST(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |   / len(string_split(text,' ')) AS DECIMAL(38,6)), 4) AS DOUBLE) AS diversity,
+        | CAST(round(CAST(least(1.0, n_chars/200.0)
+        |   * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |      / len(string_split(text,' '))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        | list_min(list_transform(
+        |   CASE WHEN len(string_split(text,' ')) >= 5 THEN
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-4),
+        |     i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||
+        |          string_split(text,' ')[i+2]||' '||string_split(text,' ')[i+3]||' '||
+        |          string_split(text,' ')[i+4]))
+        |    ELSE [] END, sh -> md5(sh))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, source, n_chars, label,
+        | CAST(len(embedding) AS INT) AS dim,
+        | CAST(round(CAST(sqrt(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS l2_norm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_binary" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | md5(text) AS content_hash,
+        | lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+        | lang AS m_lang, source AS m_source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

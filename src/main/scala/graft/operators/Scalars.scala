@@ -121,7 +121,7 @@ object Scalars extends QueryPack {
         | CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
         | lower(c_mktsegment) AS seg_lower,
         | substring(c_mktsegment, 1, 3) AS seg3,
-        | length(c_name) AS name_len,
+        | CAST(length(c_name) AS INT) AS name_len,
         | concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS label,
         | trim('  pad  ') AS trimmed,
         | replace(c_name, 'Customer', 'C') AS short_name

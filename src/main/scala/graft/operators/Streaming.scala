@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Streaming batch twins — SURVEY.md §3B #47–50 over `events`. The same
+  * logical queries run as genuine Structured Streaming (readStream +
+  * Trigger.AvailableNow) in graft.streaming.Streams, scalatest-covered;
+  * the batch twins here are what the driver oracle-checks. Upstream analog:
+  * SNOWAV's daily-cadence incremental processing loop ([U] SURVEY.md §3A).
+  *
+  * Scale notes (100 TB): tumbling/sliding aggregates are hash aggs keyed by
+  * (window, type) — map-side combinable, one shuffle. The sliding window
+  * expands each event into window_size/slide = 4 rows map-side (Spark's own
+  * physical strategy for window()); session-ization shuffles once on
+  * user_id; the watermark emulation is a running max over arrival order —
+  * in the true streaming run this is the state-store watermark, no sort.
+  */
+object Streaming extends QueryPack {
+
+  def queries: Seq[(String, Fn)] = Seq(
+    // #47 1-hour tumbling window aggregate.
+    "q_window_tumbling" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+          r4(col("sum_value")).as("sum_value"))
+        .orderBy("win_start", "event_type")),
+
+    // #48 1-hour window sliding every 15 min (each event lands in 4 windows).
+    "q_window_sliding" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("n"),
+          r4(col("sum_value")).as("sum_value"))
+        .orderBy("win_start")),
+
+    // #49 session windows (30-min gap) per user — gaps-and-islands twin of
+    // session_window(ts, "30 minutes"): session end = last event (streaming
+    // adds +gap to the end; we emit last-event time for oracle parity).
+    "q_window_session" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            tsec(col("ts")) - tsec(col("prev_ts")) > 30 * 60, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy("user_id", "sess_id")
+        .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    // #50 watermark late-drop, batch-emulated deterministically: arrival
+    // order = event_id; watermark = running max(ts) − 10 min; an event is
+    // dropped iff ts < watermark at its arrival. On-time counts per hour.
+    "q_stream_watermark" -> ((s, d) => {
+      val arrival = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("wm", max(tsec(col("ts"))).over(arrival) - 600)
+        .withColumn("late", tsec(col("ts")) < col("wm"))
+        .where(!col("late"))
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_on_time"))
+        .select(col("w.start").as("win_start"), col("n_on_time"))
+        .orderBy("win_start")
+    }),
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_window_sliding" ->
+      """SELECT win_start, count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+        |          - k.k * INTERVAL 15 MINUTE AS win_start, value
+        |  FROM events, generate_series(0, 3) k(k))
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "q_window_session" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |   CASE WHEN prev_ts IS NULL
+        |     OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM seq),
+        |sessed AS (
+        |  SELECT user_id, ts,
+        |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
+        | count(*) AS n_events
+        |FROM sessed GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin,
+    "q_stream_watermark" ->
+      """WITH wm AS (
+        |  SELECT ts,
+        |   max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 600 AS wm_sec
+        |  FROM events)
+        |SELECT date_trunc('hour', ts) AS win_start, count(*) AS n_on_time
+        |FROM wm WHERE CAST(floor(epoch(ts)) AS BIGINT) >= wm_sec
+        |GROUP BY 1 ORDER BY win_start""".stripMargin,
+  )
+}

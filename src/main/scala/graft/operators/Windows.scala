@@ -84,7 +84,8 @@ object Windows extends QueryPack {
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |   row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |   CAST(row_number() OVER w AS INT) AS rn, CAST(rank() OVER w AS INT) AS rnk,
+        |   CAST(dense_rank() OVER w AS INT) AS drnk
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Genuine Structured Streaming versions of the §3B #47–50 batch twins
+  * (graft.operators.Streaming). Run with Trigger.AvailableNow over the same
+  * parquet events table in scalatest — the driver oracle checks the batch
+  * twins; these prove the streaming execution path (state store, watermark,
+  * session windows).
+  *
+  * Scale notes: in production these read a file/Kafka source; state is
+  * partitioned by the grouping key across executors (HDFSBackedStateStore /
+  * RocksDB), and the watermark bounds state size — exactly why #50's
+  * batch emulation uses a running-max arrival watermark.
+  */
+object Streams {
+
+  /** events schema as stored (ts = TIMESTAMP(NANOS) read as nanos LONG via
+    * spark.sql.legacy.parquet.nanosAsLong, then converted — same choke
+    * point as graft.Tables.t). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of the events parquet (directory-or-file path). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** #47 streaming twin: 1-h tumbling counts with a 10-min watermark. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  /** #48 streaming twin: sliding window counts. */
+  def sliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+
+  /** #49 streaming twin: true session_window with 30-min gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
+
+  /** #50: watermarked tumbling agg in append mode — late rows beyond the
+    * watermark are dropped by the state store. */
+  def watermarked(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+}

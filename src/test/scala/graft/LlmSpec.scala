@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the LLM-pipeline operators that the DuckDB oracle cannot
+  * fully pin down: sketch accuracy, LSH recall, idempotence. */
+class LlmSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.SF
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("HLL approx distinct within 5% of exact") {
+    val exact = q("q_agg_distinct").select("event_type", "n_users")
+    val approx = q("q_agg_approx_distinct")
+    val joined = exact.join(approx, "event_type")
+      .select(col("n_users").cast("double"), col("approx_users").cast("double"))
+      .collect()
+    joined.foreach { r =>
+      val (e, a) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(a - e) / e <= 0.05, s"HLL error too high: exact=$e approx=$a")
+    }
+  }
+
+  test("minhash-LSH dedup: subset of exact near-dup pairs, recall >= 0.8") {
+    val exact = q("q_dedup_near").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = q("q_dedup_minhash").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact), s"LSH found non-dup pairs: ${mh.diff(exact)}")
+    if (exact.nonEmpty)
+      assert(mh.size.toDouble / exact.size >= 0.8,
+        s"LSH recall ${mh.size}/${exact.size} < 0.8")
+  }
+
+  test("exact dedup is idempotent: re-deduping keepers finds no dups") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf, "documents")
+    val keepers = docs.withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, "doc_id")
+    val again = keepers.groupBy(sha2(lower(trim(col("text"))), 256).as("h2"))
+      .count().where(col("count") > 1).count()
+    assert(again == 0)
+  }
+
+  test("ANN-LSH neighbors are a subset of same-bucket pairs with true cosine") {
+    val ann = q("q_sim_ann_lsh").collect()
+    assert(ann.nonEmpty)
+    // ranks are 1..3 per vec, cosine within [-1, 1]
+    ann.foreach { r =>
+      val rnk = r.getAs[Int]("rnk")
+      val cos = r.getAs[Double]("cos")
+      assert(rnk >= 1 && rnk <= 3)
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+  }
+
+  test("ANN-LSH achieves nonzero recall vs exact knn") {
+    val knn = q("q_sim_knn").where(col("rnk") <= 3)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = q("q_sim_ann_lsh")
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 sign-bit planes over near-uniform synthetic vectors give low recall
+    // by construction (cos of true neighbors is modest at this sf); the
+    // oracle already proves the bucket+rank pipeline exact — this is a
+    // plumbing sanity floor, not an LSH-quality claim (see DESIGN.md).
+    val recall = if (knn.isEmpty) 1.0 else ann.intersect(knn).size.toDouble / knn.size
+    assert(recall > 0.0, s"ANN recall $recall — pipeline found no true neighbors at all")
+  }
+
+  test("fingerprint is deterministic and total") {
+    val a = q("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = q("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b))
+    assert(a.forall(_._2 != null))
+  }
+
+  test("simhash hamming bounds: near pairs share most bits") {
+    q("q_dedup_simhash").collect().foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 6)
+    }
+  }
+}

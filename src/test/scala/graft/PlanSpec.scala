@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB design contract (SURVEY.md §5):
+  * filters/projections reach the parquet scan, dimension joins broadcast,
+  * aggregates partial-aggregate, top-k avoids a global sort. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.SF)
+    df.collect() // an action on THIS plan finalizes its AQE (count() builds a different plan)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_pruned pushes filter and prunes columns at the scan") {
+    val p = plan("q_scan_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"), p)
+  }
+
+  test("q_join_broadcast uses BroadcastHashJoin for both dims") {
+    val p = plan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_join_multi broadcasts dims and shuffles facts once") {
+    val p = plan("q_join_multi")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_agg_hash is a hash aggregate with map-side partials") {
+    val p = plan("q_agg_hash")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), "no partial aggregation: " + p)
+    assert(p.contains("*("), "no whole-stage-codegen stage markers: " + p)
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_join_range broadcasts the bands dim (nested loop, no cartesian shuffle)") {
+    val p = plan("q_join_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_sim_ann_lsh broadcasts the plane table") {
+    val p = plan("q_sim_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Scalars
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic properties (SURVEY.md §6.3). Raw scalacheck generators with a
+  * fixed seed (no scalatestplus bridge in the offline cache) feed
+  * whole-query invariants and expression-vs-reference checks. */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.SF
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Deterministic sample stream from a Gen. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("rollup: grand total equals sum of leaf rows") {
+    val rows = q("q_rollup").collect()
+    val leaves = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
+    val total = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(total.length == 1)
+    val leafSum = leaves.map(_.getAs[Double]("sum_qty")).sum
+    assert(math.abs(leafSum - total.head.getAs[Double]("sum_qty")) < 1e-6)
+    val leafN = leaves.map(_.getAs[Long]("n")).sum
+    assert(leafN == total.head.getAs[Long]("n"))
+  }
+
+  test("cube row count: leaves + rf margins + ls margins + 1") {
+    val rows = q("q_cube").collect()
+    val leaves = rows.count(r => r.getInt(2) == 0 && r.getInt(3) == 0)
+    val rfm = rows.count(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+    val lsm = rows.count(r => r.getInt(2) == 1 && r.getInt(3) == 0)
+    val tot = rows.count(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(tot == 1 && rows.length == leaves + rfm + lsm + 1)
+  }
+
+  test("union/except algebra: (A ∪ B) \\ B ⊆ A on nation keys") {
+    val a = Tables.t(spark, sf, "customer").select(col("c_nationkey").cast("int").as("k"))
+    val b = Tables.t(spark, sf, "supplier").select(col("s_nationkey").cast("int").as("k"))
+    val lhs = a.union(b).except(b).collect().map(_.getInt(0)).toSet
+    val aSet = a.collect().map(_.getInt(0)).toSet
+    assert(lhs.subsetOf(aSet))
+  }
+
+  test("knn symmetry: cosine(a,b) == cosine(b,a) (query-level spot check)") {
+    val knn = q("q_sim_knn").select("vec_id", "neighbor_id", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sym = knn.flatMap { case ((a, b), c) => knn.get((b, a)).map(c2 => (c, c2)) }
+    assert(sym.nonEmpty)
+    sym.foreach { case (c1, c2) => assert(math.abs(c1 - c2) < 1e-9) }
+  }
+
+  test("water-year expression matches reference logic on generated dates") {
+    import spark.implicits._
+    val gen = for {
+      y <- Gen.choose(1990, 2030); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    } yield (y, m, d)
+    val cases = samples(gen, 40)
+    assert(cases.size >= 30)
+    val df = cases.map { case (y, m, d) =>
+      (f"$y-$m%02d-$d%02d 12:00:00", y + (if (m >= 10) 1 else 0))
+    }.toDF("s", "want")
+      .withColumn("got", Scalars.waterYearExpr(col("s").cast("timestamp")))
+    assert(df.where(col("got") =!= col("want")).count() == 0)
+  }
+
+  test("dedup idempotence on generated string multisets") {
+    import spark.implicits._
+    samples(Gen.listOfN(30, Gen.oneOf("a", "b", "c", "aa", "bb")), 10)
+      .filter(_.nonEmpty).foreach { xs =>
+        val once = xs.toDF("text").dropDuplicates("text")
+        assert(once.dropDuplicates("text").count() == once.count())
+      }
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query executes at sf0.001; non-vacuous row counts; the
+  * oracle map stays in sync with the query map. */
+class QueryPackSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** Queries allowed to return 0 rows at sf0.001 (duplicates/overlaps only
+    * materialize at larger scale factors — verified non-empty at sf0.01 by
+    * the driver gate). */
+  private val mayBeEmpty = Set("q_dedup_exact", "q_dedup_embcos", "q_except",
+    "q_dedup_near", "q_dedup_minhash", "q_dedup_simhash")
+
+  /** Queries intentionally absent from oracleSql (engine-specific values). */
+  private val noOracle = Set("q_agg_approx_distinct")
+
+  test("oracle keys ⊆ query keys, and only justified omissions") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"orphan oracles: ${o.diff(q)}")
+    assert(q.diff(o) == noOracle, s"unexpected oracle omissions: ${q.diff(o).diff(noOracle)}")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val n = fn(spark, TestSpark.SF).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Genuine Structured Streaming runs (memory sink) vs the batch twins, and
+  * the watermark late-drop semantics no batch oracle can express. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.SF
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  /** FileStreamSource needs a DIRECTORY; the testdata table is a single
+    * parquet file — expose it through a temp dir symlink. */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-events")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling counts (AvailableNow, complete mode) == batch twin") {
+    val stream = Streams.tumbling(Streams.readEvents(spark, eventsDir))
+    val qy = stream.writeStream.format("memory").queryName("tumb")
+      .outputMode("complete").option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination(120000)
+    val got = spark.table("tumb").select("win_start", "event_type", "n")
+      .orderBy("win_start", "event_type").collect()
+    val want = SparkEntry.queries("q_window_tumbling")(spark, sf)
+      .select("win_start", "event_type", "n").collect()
+    assert(got.length == want.length)
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
+  test("streaming session_window matches gaps-and-islands twin on counts") {
+    val stream = Streams.sessions(Streams.readEvents(spark, eventsDir))
+    val qy = stream.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination(120000)
+    val got = spark.table("sess")
+      .select("user_id", "sess_start", "n_events")
+      .orderBy("user_id", "sess_start").collect()
+    val want = SparkEntry.queries("q_window_session")(spark, sf)
+      .select("user_id", "sess_start", "n_events")
+      .orderBy("user_id", "sess_start").collect()
+    assert(got.length == want.length, s"${got.length} sessions vs ${want.length}")
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
+  test("watermark drops late rows in append mode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString
+    def nanos(h: Int, m: Int): Long =
+      (java.time.LocalDateTime.of(2024, 1, 1, h, m)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // batch 1: two 10:xx events + one 12:30 event (advances watermark to 12:20)
+    write(Seq((1L, nanos(10, 0), 1L, "view", 1.0, "{}"),
+      (2L, nanos(10, 10), 1L, "view", 1.0, "{}"),
+      (3L, nanos(12, 30), 1L, "view", 1.0, "{}")))
+
+    val stream = Streams.watermarked(Streams.readEvents(spark, dir))
+    val qy = stream.writeStream.format("memory").queryName("wm")
+      .outputMode("append").option("checkpointLocation", ckpt())
+      .start()
+    qy.processAllAvailable()
+
+    // batch 2: a late 10:05 event (before wm 12:20 → dropped) and an
+    // on-time 12:40; then one more batch to advance wm past 11:00.
+    write(Seq((4L, nanos(10, 5), 1L, "view", 1.0, "{}"),
+      (5L, nanos(12, 40), 1L, "view", 1.0, "{}")))
+    qy.processAllAvailable()
+    write(Seq((6L, nanos(13, 30), 1L, "view", 1.0, "{}")))
+    qy.processAllAvailable()
+    qy.stop()
+
+    val out = spark.table("wm").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // the 10:00 window was finalized with 2 events — the late 10:05 row
+    // must NOT have been counted
+    assert(out.get("2024-01-01 10:00:00.0").contains(2L), s"got $out")
+  }
+}

@@ -62,6 +62,11 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         s_sig, d_sig = frame_sig(spark_df), frame_sig(duck_df)
+        sd = {c: str(spark_df[c].dtype) for c in spark_df.columns}
+        dd = {c: str(duck_df[c].dtype) for c in duck_df.columns}
+        dt = [f"{c}: spark={sd[c]} duck={dd[c]}" for c in sd if c in dd and sd[c] != dd[c]]
+        if dt:
+            print(f"WARN {name}: dtype mismatch {dt}")
         if sorted(spark_df.columns) != sorted(duck_df.columns):
             print(f"FAIL {name}: columns spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
             n_fail += 1
