@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~60 queries × several whole-stage-codegen classes each overflow the
+  // default 240m JIT code cache mid-run — compilation then stops and
+  // random queries degrade 5-10× (interpreted execution)
+  "-XX:ReservedCodeCacheSize=1g",
 )

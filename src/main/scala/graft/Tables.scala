@@ -38,6 +38,11 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // size the broadcast policy to this box (128 GiB): a ~10 MB fact
+      // side (orders at sf0.1) should broadcast rather than shuffle both
+      // sides; on a production cluster this is a deployment knob and
+      // genuinely-large sides still sort-merge
+      .config("spark.sql.autoBroadcastJoinThreshold", "32m")
     b.getOrCreate()
   }
 

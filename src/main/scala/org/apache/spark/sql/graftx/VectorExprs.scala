@@ -1,0 +1,77 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for cosine similarity over float vectors.
+  *
+  * Lives under `org.apache.spark.sql` because the required extension
+  * surface (`AbstractDataType`, `ExpressionUtils.column`) is
+  * `private[sql]` — the usual pattern for Spark extension libraries.
+  *
+  * Why a custom expression (SURVEY.md §5 preference order): the composable
+  * HOF form (`zip_with` + `aggregate`) allocates an intermediate array per
+  * row pair and dispatches a lambda per element — measured ~10× slower than
+  * DuckDB's tight loop on the knn self-join at sf0.1. This expression
+  * participates in whole-stage codegen: one fused loop over both
+  * `ArrayData` buffers computing dot and both norms, no allocation.
+  *
+  * Semantics: elements promoted float→double before multiply (matches
+  * DuckDB `list_cosine_similarity(list_transform(e, x -> CAST(x AS
+  * DOUBLE)), ...)`), sequential accumulation, dot/(‖a‖·‖b‖).
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column-API entry point for [[CosineSimilarityExpr]]. */
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarityExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
