@@ -43,6 +43,8 @@ object Tables {
       // sides; on a production cluster this is a deployment knob and
       // genuinely-large sides still sort-merge
       .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+      // registers native expressions (cosine_sim) with the SQL registry
+      .config("spark.sql.extensions", "org.apache.spark.sql.graftx.GraftExtensions")
     b.getOrCreate()
   }
 

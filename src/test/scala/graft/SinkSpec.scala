@@ -1,0 +1,53 @@
+package graft
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Sinks: partitioned layout, partition pruning, dynamic overwrite, CSV. */
+class SinkSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.SF
+
+  test("partitioned write prunes partitions on read (PartitionFilters)") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val li = Tables.t(spark, sf, "lineitem")
+      .withColumn("rf", col("l_returnflag"))
+    Sinks.writePartitioned(li, dir, Seq("rf"))
+    val back = Sinks.readPartitioned(spark, dir).where(col("rf") === "A")
+    back.collect()
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(rf"), plan)
+    assert(back.count() ==
+      Tables.t(spark, sf, "lineitem").where(col("l_returnflag") === "A").count())
+  }
+
+  test("dynamic partition overwrite replaces only incoming partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dyn").toString
+    Sinks.writePartitioned(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("v", "k"), dir, Seq("k"))
+    // new batch touches only partition k=b — a and c must survive
+    Sinks.overwritePartitions(Seq((20, "b")).toDF("v", "k"), dir, Seq("k"))
+    val rows = Sinks.readPartitioned(spark, dir).orderBy("k")
+      .collect().map(r => (r.getAs[Int]("v"), r.getAs[String]("k"))).toList
+    assert(rows == List((1, "a"), (20, "b"), (3, "c")), rows.toString)
+  }
+
+  test("csv export round-trips") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val agg = SparkEntry.queries("q_agg_hash")(spark, sf)
+    Sinks.writeCsv(agg, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == agg.count())
+    assert(back.columns.sameElements(agg.columns))
+  }
+
+  test("cosine_sim is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
