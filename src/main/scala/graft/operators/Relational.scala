@@ -158,6 +158,25 @@ object Relational extends QueryPack {
         .select("n1", "n2").orderBy("n1", "n2")
     }),
 
+    // SQL API surface: the same engine through spark.sql over temp views
+    // (SNOWAV's library-query entry path, SURVEY.md §4 Entry 2). TPC-H Q3
+    // shape: 3-way join + agg + top-k. The plan is identical to the
+    // DataFrame form — Catalyst sees one logical plan either way.
+    "q_sql_topk_revenue" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderkey,
+          | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+          | count(*) AS n_items
+          |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+          |JOIN v_lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+          |GROUP BY o_orderkey
+          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+    }),
+
     // #32 multi-key sort with explicit null placement. Analog: plotorder.
     "q_sort_multi" -> ((s, d) =>
       t(s, d, "customer")
@@ -263,6 +282,15 @@ object Relational extends QueryPack {
       """SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a JOIN nation b
         | ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
         |ORDER BY n1, n2""".stripMargin,
+    "q_sql_topk_revenue" ->
+      """SELECT o_orderkey,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_sort_multi" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC NULLS LAST, c_custkey""".stripMargin,
