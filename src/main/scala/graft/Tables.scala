@@ -45,6 +45,8 @@ object Tables {
       .config("spark.sql.autoBroadcastJoinThreshold", "32m")
       // registers native expressions (cosine_sim) with the SQL registry
       .config("spark.sql.extensions", "org.apache.spark.sql.graftx.GraftExtensions")
+      // bucketed-table catalog (Sinks.writeBucketed) — keep out of the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     b.getOrCreate()
   }
 

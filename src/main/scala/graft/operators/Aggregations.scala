@@ -65,6 +65,21 @@ object Aggregations extends QueryPack {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
+    // Scale twin of #23: approx_percentile (t-digest-style sketch) — the
+    // 100 TB path where exact percentile's full sort-per-group is too
+    // expensive. No oracle (sketch internals are engine-specific);
+    // scalatest bounds it against the exact percentiles.
+    "q_agg_approx_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("p"))
+        .select(col("l_returnflag"),
+          r4(col("p").getItem(0)).as("p25"),
+          r4(col("p").getItem(1)).as("p50"),
+          r4(col("p").getItem(2)).as("p75"))
+        .orderBy("l_returnflag")),
+
     // #18 grouping sets: (flag, status), (flag), (), with explicit
     // grouping flags. Analog: per-band ⊕ per-basin ⊕ total rows.
     "q_grouping_sets" -> ((s, d) =>

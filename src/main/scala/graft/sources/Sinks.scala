@@ -43,4 +43,16 @@ object Sinks {
   /** Read back a partitioned store. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Persist a table bucketed on a join key. Two tables bucketed the same
+    * way join with ZERO shuffle (co-located sort-merge — asserted in
+    * SinkSpec): at 100 TB this turns the nightly fact⋈fact join from a
+    * full two-sided shuffle into a local merge per bucket. Requires the
+    * catalog (saveAsTable) — bucket metadata lives there, not in parquet. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

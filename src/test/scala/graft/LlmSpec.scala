@@ -22,6 +22,18 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles track exact percentiles within 5%") {
+    val exact = q("q_agg_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    q("q_agg_approx_percentile").collect().foreach { r =>
+      val (e25, e50, e75) = exact(r.getString(0))
+      Seq((r.getDouble(1), e25), (r.getDouble(2), e50), (r.getDouble(3), e75))
+        .foreach { case (a, e) =>
+          assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+        }
+    }
+  }
+
   test("minhash-LSH dedup: subset of exact near-dup pairs, recall >= 0.8") {
     val exact = q("q_dedup_near").select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

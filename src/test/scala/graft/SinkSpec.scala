@@ -44,6 +44,42 @@ class SinkSpec extends AnyFunSuite {
     assert(back.columns.sameElements(agg.columns))
   }
 
+  test("bucketed tables join with zero shuffle (co-located SMJ)") {
+    import org.apache.spark.sql.functions.sum
+    // the in-memory catalog is per-JVM: orphaned table dirs from a prior
+    // run block CREATE TABLE AS at the same location
+    Seq("b_lineitem", "b_orders").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$tbl")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    Sinks.writeBucketed(Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8)
+    Sinks.writeBucketed(Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus"), "b_orders", "o_orderkey", 8)
+    // hint("merge") pins SMJ (the session's broadcast threshold would
+    // otherwise grab this small test table); with matching bucket layouts
+    // the SMJ needs no exchange on either side
+    val j = spark.table("b_lineitem").hint("merge")
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(sum("l_quantity"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    // the join itself must not exchange either side (bucket layout serves
+    // as the partitioning); only the final groupBy may shuffle
+    val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinPart.contains("Exchange hashpartitioning(o_orderkey"), joinPart)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+  }
+
   test("cosine_sim is callable from SQL via GraftExtensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
