@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -61,4 +61,27 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("n"))
+
+  /** Running per-user totals via custom state (mapGroupsWithState): state =
+    * (event count, value sum) per user, carried across micro-batches in the
+    * state store. The arbitrary-stateful-processing surface the built-in
+    * windows can't express (e.g. lifetime counters, custom sessionization).
+    * At scale, state partitions by user_id across executors and should use
+    * a TTL/timeout to bound it (NoTimeout here — tests feed finite data). */
+  case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  def runningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotals] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserTotals](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val (pn, ps) = state.getOption.getOrElse((0L, 0.0))
+          var n = pn; var sum = ps
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          state.update((n, sum))
+          UserTotals(uid, n, sum)
+      }
+  }
 }

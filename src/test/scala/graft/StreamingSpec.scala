@@ -54,6 +54,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toString).sameElements(want.map(_.toString)))
   }
 
+  test("mapGroupsWithState carries per-user totals across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-state").toString
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((1L, 1000000000L, 7L, "view", 2.0, "{}"),
+      (2L, 2000000000L, 7L, "view", 3.0, "{}"),
+      (3L, 3000000000L, 8L, "view", 10.0, "{}")))
+    val stream = Streams.runningTotals(spark, Streams.readEvents(spark, dir))
+    val qy = stream.writeStream.format("memory").queryName("totals")
+      .outputMode("update").option("checkpointLocation", ckpt())
+      .start()
+    qy.processAllAvailable()
+    // second batch: user 7 gains one more event — state must accumulate
+    write(Seq((4L, 4000000000L, 7L, "view", 5.0, "{}")))
+    qy.processAllAvailable()
+    qy.stop()
+    // update-mode memory sink appends each update; latest row per user wins
+    val last = spark.table("totals").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+    assert(last(7L) == ((3L, 10.0)), last.toString)
+    assert(last(8L) == ((1L, 10.0)), last.toString)
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late").toString
