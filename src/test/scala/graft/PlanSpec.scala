@@ -47,8 +47,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_sim_ann_lsh broadcasts the plane table") {
+  test("q_sim_ann_lsh pair join is broadcast (no sort-merge)") {
     val p = plan("q_sim_ann_lsh")
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sim_knn pair join is broadcast with the codegen cosine expression") {
+    val p = plan("q_sim_knn")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("cosine_sim"), p)
+  }
+
+  test("q_window_cumsum shuffles exactly once (window + presentation sort share the key)") {
+    // AdaptiveSparkPlan.toString prints the final AND the initial plan —
+    // count exchanges in the final section only
+    val p = plan("q_window_cumsum")
+    val fin = p.split("== Initial Plan ==").head
+    // one exchange for the window partitioning; the final orderBy is a range
+    // exchange — but no additional hash exchange may appear
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1, fin)
+  }
+
+  test("q_agg_hash filter is pushed to the parquet scan") {
+    val p = plan("q_agg_hash")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
   }
 }
