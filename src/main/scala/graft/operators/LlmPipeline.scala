@@ -321,6 +321,19 @@ object LlmPipeline extends QueryPack {
           array_min(transform(shingles(col("toks"), 5), sh => md5(sh))).as("fp"))
         .orderBy("doc_id")),
 
+    // Edit-distance similarity: levenshtein over bounded-length strings
+    // (source labels) — the char-level near-dup family complementing the
+    // token-level Jaccard ops. Pairs within distance 2.
+    "q_text_editdist" -> ((s, d) => {
+      val src = t(s, d, "documents").select(col("source")).distinct()
+      src.as("a").join(broadcast(src.as("b")),
+          col("a.source") < col("b.source"))
+        .withColumn("dist", levenshtein(col("a.source"), col("b.source")))
+        .where(col("dist") <= 2)
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"), col("dist"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // #46 multimodal join: text ⋈ vectors, mixed string+array projection.
     "q_multimodal_join" -> ((s, d) =>
       t(s, d, "documents")
@@ -506,6 +519,13 @@ object LlmPipeline extends QueryPack {
         |          string_split(text,' ')[i+4]))
         |    ELSE [] END, sh -> md5(sh))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_editdist" ->
+      """WITH src AS (SELECT DISTINCT source FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | CAST(levenshtein(a.source, b.source) AS INT) AS dist
+        |FROM src a JOIN src b ON a.source < b.source
+        |WHERE levenshtein(a.source, b.source) <= 2
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_multimodal_join" ->
       """SELECT doc_id, lang, source, n_chars, label,
         | CAST(len(embedding) AS INT) AS dim,

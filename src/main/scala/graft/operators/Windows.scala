@@ -68,6 +68,19 @@ object Windows extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Distribution ranks: ntile quartiles + percent_rank + cume_dist per
+    // customer segment. Analog: percentile placement of basins in reports.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          r4(percent_rank().over(w)).as("pct_rank"),
+          r4(cume_dist().over(w)).as("cume"))
+        .orderBy("c_custkey")
+    }),
+
     // #31 arg-max per group with a unique struct tiebreak (max_by over a
     // non-unique key alone is nondeterministic). Analog: peak-SWE date.
     "q_argmax" -> ((s, d) =>
@@ -113,6 +126,14 @@ object Windows extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
         |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | CAST(round(CAST(percent_rank() OVER w AS DECIMAL(38,6)), 4) AS DOUBLE) AS pct_rank,
+        | CAST(round(CAST(cume_dist() OVER w AS DECIMAL(38,6)), 4) AS DOUBLE) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
     "q_argmax" ->
       """SELECT o_custkey, o_orderkey AS top_order,
         | CAST(round(CAST(top_price AS DECIMAL(38,6)), 4) AS DOUBLE) AS top_price
