@@ -177,6 +177,22 @@ object Relational extends QueryPack {
           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
     }),
 
+    // Correlated scalar subquery — Catalyst decorrelates it into a left
+    // outer aggregate join (RewriteCorrelatedScalarSubquery), so the
+    // executed plan has no per-row subquery. Analog: per-basin max lookup
+    // in report tables.
+    "q_sql_scalar_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("v2_customer")
+      t(s, d, "orders").createOrReplaceTempView("v2_orders")
+      s.sql(
+        """SELECT c_custkey,
+          | CAST(round(CAST(coalesce(
+          |   (SELECT max(o_totalprice) FROM v2_orders WHERE o_custkey = c_custkey),
+          |   0.0) AS DECIMAL(38,6)), 4) AS DOUBLE) AS max_order
+          |FROM v2_customer
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // #32 multi-key sort with explicit null placement. Analog: plotorder.
     "q_sort_multi" -> ((s, d) =>
       t(s, d, "customer")
@@ -291,6 +307,13 @@ object Relational extends QueryPack {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_sql_scalar_subquery" ->
+      """SELECT c_custkey,
+        | CAST(round(CAST(coalesce(
+        |   (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey),
+        |   0.0) AS DECIMAL(38,6)), 4) AS DOUBLE) AS max_order
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "q_sort_multi" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC NULLS LAST, c_custkey""".stripMargin,

@@ -69,6 +69,14 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1, fin)
   }
 
+  test("q_sql_scalar_subquery is decorrelated (no per-row subquery in plan)") {
+    val p = plan("q_sql_scalar_subquery")
+    // decorrelation rewrites to an aggregate + outer join; a surviving
+    // correlated subquery would show as ScalarSubquery in the physical plan
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_agg_hash filter is pushed to the parquet scan") {
     val p = plan("q_agg_hash")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
