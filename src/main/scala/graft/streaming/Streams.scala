@@ -62,6 +62,13 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("n"))
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * static (broadcast) dimension — the streaming analog of SNOWAV's
+    * basin-metadata lookup. Stream-static inner joins need no state store;
+    * the dim is re-broadcast per batch only if its plan changes. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(userDim), "user_id")
+
   /** Running per-user totals via custom state (mapGroupsWithState): state =
     * (event count, value sum) per user, carried across micro-batches in the
     * state store. The arbitrary-stateful-processing surface the built-in

@@ -54,6 +54,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toString).sameElements(want.map(_.toString)))
   }
 
+  test("stream-static join enriches every event with the dim row") {
+    val events = Streams.readEvents(spark, eventsDir)
+    val userDim = Tables.t(spark, sf, "events")
+      .groupBy("user_id").count().withColumnRenamed("count", "lifetime_n")
+    val qy = Streams.enriched(events, userDim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination(120000)
+    val n = spark.table("enriched").count()
+    val expected = Tables.t(spark, sf, "events").count()
+    assert(n == expected, s"$n enriched vs $expected events")
+    assert(spark.table("enriched").where(col("lifetime_n").isNull).count() == 0)
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-state").toString
