@@ -156,11 +156,14 @@ object Aggregations extends QueryPack {
         .orderBy("l_returnflag")),
 
     // #24 array agg: sorted distinct list per group. Analog: per-band
-    // value vectors handed to plots.
+    // value vectors handed to plots. The list is serialized to a CSV string
+    // for the gate: the driver's pandas row-sort cannot order raw array
+    // cells (round-1 `unhashable type: numpy.ndarray` failure), and the
+    // string form hashes identically on both engines.
     "q_agg_collect" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy("o_orderpriority")
-        .agg(array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
 
@@ -241,7 +244,7 @@ object Aggregations extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_collect" ->
       """SELECT o_orderpriority,
-        | list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+        | array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',') AS statuses,
         | count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_pivot" ->

@@ -22,7 +22,10 @@ import org.apache.spark.sql.types._
   *
   * Semantics: elements promoted float→double before multiply (matches
   * DuckDB `list_cosine_similarity(list_transform(e, x -> CAST(x AS
-  * DOUBLE)), ...)`), sequential accumulation, dot/(‖a‖·‖b‖).
+  * DOUBLE)), ...)`), sequential accumulation, dot/(‖a‖·‖b‖). Mismatched
+  * vector lengths and zero-norm inputs yield NULL — a malformed embedding
+  * must not produce a silently-wrong similarity (DuckDB errors on length
+  * mismatch; NULL is the non-aborting analog a 100 TB scan needs).
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -30,12 +33,14 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xv = x.getFloat(i).toDouble
@@ -43,7 +48,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -53,14 +59,22 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -15,8 +15,12 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm_cell(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    # distinct tokens: a Spark NaN (e.g. 0/0) must NOT compare equal to an
+    # oracle NULL — that would hide a real semantic divergence (ADVICE r01)
+    if v is None:
         return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     if isinstance(v, float):
         # queries round to 4dp already; normalize -0.0 and int-valued floats
         if v == 0:
@@ -44,7 +48,10 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
-    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
+    dirs = set(d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
+    # union(oracle keys, output dirs): a query that crashed before Spark
+    # created its output dir must FAIL, not silently vanish (ADVICE r01)
+    names = sorted(dirs | set(oracle))
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
