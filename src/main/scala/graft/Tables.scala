@@ -86,6 +86,13 @@ object Tables {
   def r4sql(expr: String): String =
     s"CAST(round(CAST($expr AS DECIMAL(38,6)), 4) AS DOUBLE)"
 
+  /** 60-bit portable numeric hash of a string column: first 15 hex digits
+    * of md5 as a BIGINT. Identical on both engines
+    * (`conv(substring(md5(x),1,15),16,10)` ↔ `('0x'||substr(md5(x),1,15))::BIGINT`);
+    * backbone of deterministic sampling and the text-dedup family. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** Epoch seconds as BIGINT (floor), mirrored in oracle SQL as
     * `CAST(floor(epoch(ts)) AS BIGINT)`. Events carry microsecond
     * components, so second-truncation must be explicit on both engines.

@@ -187,6 +187,61 @@ object Aggregations extends QueryPack {
         .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("disc")),
           "measure", "value")
         .orderBy("l_returnflag", "measure")),
+
+    // Moment statistics (variance/stddev/correlation/covariance) recomposed
+    // from exact decimal power sums, so partial aggregation and scan order
+    // cannot change the result (built-in stddev_samp/corr accumulate raw
+    // doubles — cross-checked equal within 1e-6 in scalatest). Analog:
+    // forcing-input diagnostics spread statistics. Still one map-side-
+    // combinable hash aggregate: the moments are plain decimal sums.
+    "q_agg_stats" -> ((s, d) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(DEC)).cast("double").as("sx"),
+          sum((x * x).cast(DEC)).cast("double").as("sxx"),
+          sum(y.cast(DEC)).cast("double").as("sy"),
+          sum((y * y).cast(DEC)).cast("double").as("syy"),
+          sum((x * y).cast(DEC)).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          r4((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))).as("var_qty"),
+          r4(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1)))).as("std_qty"),
+          r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * (col("n") - 1))).as("covar_qp"),
+          r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic mode: value counts + row_number with an explicit
+    // (count DESC, value ASC) tie-break — built-in mode() breaks ties
+    // arbitrarily on both engines, so it can never hash-match.
+    "q_agg_mode" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Boolean aggregates: every/any + filtered count per group.
+    "q_agg_bool" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(bool_and(col("value") >= 0).as("all_nonneg"),
+          bool_or(col("value") > 900).as("any_gt900"),
+          count_if(col("value") > 500).as("n_gt500"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
   )
 
   private val gsSelect =
@@ -253,6 +308,35 @@ object Aggregations extends QueryPack {
         | coalesce(CAST(sum(CAST(CASE WHEN l_returnflag='N' THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS "N",
         | coalesce(CAST(sum(CAST(CASE WHEN l_returnflag='R' THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS "R"
         |FROM lineitem GROUP BY band ORDER BY band""".stripMargin,
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |   CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |   CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | CAST(round(CAST((n*sxx - sx*sx) / (n*(n-1)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS var_qty,
+        | CAST(round(CAST(sqrt((n*sxx - sx*sx) / (n*(n-1))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS std_qty,
+        | CAST(round(CAST((n*sxy - sx*sy) / (n*(n-1)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS covar_qp,
+        | CAST(round(CAST((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS corr_qp
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_agg_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY count(*) DESC, l_quantity ASC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT event_type,
+        | bool_and(value >= 0) AS all_nonneg,
+        | bool_or(value > 900) AS any_gt900,
+        | count(*) FILTER (WHERE value > 500) AS n_gt500,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,

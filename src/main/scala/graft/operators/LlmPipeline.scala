@@ -39,10 +39,6 @@ object LlmPipeline extends QueryPack {
   private val MINHASH_K = 8
   private val LSH_PLANES = 8
 
-  /** 60-bit portable numeric hash of a string column. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-
   /** Space-tokenization (documents.text is clean lowercase space-separated). */
   private def toks(c: Column): Column = split(c, " ")
 
@@ -290,6 +286,39 @@ object LlmPipeline extends QueryPack {
         .orderBy(col("n").desc, col("word").asc)
         .limit(50)),
 
+    // Inverse document frequency: document frequency per term over distinct
+    // per-doc tokens, idf = ln(N/df); top 50 commonest terms. The corpus
+    // count rides along as a broadcast scalar (crossJoin with a 1-row agg),
+    // never a driver-side collect. Analog of the TF-IDF weighting pass a
+    // training-data pipeline runs before quality filtering.
+    "q_text_idf" -> ((s, d) => {
+      val docTok = t(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("tok"), col("df"),
+          r4(log(col("n_docs").cast(DoubleType) / col("df"))).as("idf"))
+        .orderBy(col("df").desc, col("tok").asc)
+        .limit(50)
+    }),
+
+    // Bigram frequencies (all occurrences, not per-doc distinct): the
+    // n-gram language-model statistics pass. Top 30.
+    "q_text_bigrams" -> ((s, d) => {
+      val tk = col("toks")
+      val mk = transform(sequence(lit(1), size(tk) - 1), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+      val bigrams = when(size(tk) >= 2, mk).otherwise(array().cast(ArrayType(StringType)))
+      t(s, d, "documents")
+        .withColumn("toks", toks(col("text")))
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(30)
+    }),
+
     // Token counting: whitespace tokens + BPE-ish regex segments.
     "q_text_tokens" -> ((s, d) =>
       t(s, d, "documents")
@@ -499,6 +528,22 @@ object LlmPipeline extends QueryPack {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
+    "q_text_idf" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tok, count(*) AS df,
+        | CAST(round(CAST(ln(CAST(n_docs AS DOUBLE) / count(*)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS idf
+        |FROM dt CROSS JOIN n
+        |GROUP BY tok, n_docs ORDER BY df DESC, tok ASC LIMIT 50""".stripMargin,
+    "q_text_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bigram
+        |  FROM documents)
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 30""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS INT) AS n_ws,

@@ -193,6 +193,19 @@ object Relational extends QueryPack {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Deterministic hash sampling: keep ~10% of orders by a stable md5
+    // bucket of the key — reproducible across engines, runs, and cluster
+    // sizes, unlike rand()-based sample(). The training-data-pipeline
+    // subsampling op; at 100 TB it is a pushed-down filter (no shuffle,
+    // no coordination) and any downstream agg sees an unbiased slice.
+    "q_sample_hash" -> ((s, d) =>
+      t(s, d, "orders")
+        .where(pmod(h60(col("o_orderkey").cast("string")), lit(100)) < 10)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_sampled"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")),
+
     // #32 multi-key sort with explicit null placement. Analog: plotorder.
     "q_sort_multi" -> ((s, d) =>
       t(s, d, "customer")
@@ -314,6 +327,12 @@ object Relational extends QueryPack {
         |   0.0) AS DECIMAL(38,6)), 4) AS DOUBLE) AS max_order
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT o_orderpriority, count(*) AS n_sampled,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE ('0x'||substr(md5(o_orderkey::VARCHAR),1,15))::BIGINT % 100 < 10
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sort_multi" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC NULLS LAST, c_custkey""".stripMargin,

@@ -81,6 +81,22 @@ object Windows extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // Positional analytics: first_value / last_value / nth_value over the
+    // full partition frame (last_value under the default frame would see
+    // only the current row's prefix — the classic trap). Analog: collect()
+    // `end` method (value at end date) per basin.
+    "q_window_firstlast" -> ((s, d) => {
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(full).as("first_order"),
+          last(col("o_orderkey")).over(full).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // #31 arg-max per group with a unique struct tiebreak (max_by over a
     // non-unique key alone is nondeterministic). Analog: peak-SWE date.
     "q_argmax" -> ((s, d) =>
@@ -134,6 +150,15 @@ object Windows extends QueryPack {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_custkey""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | last_value(o_orderkey) OVER w AS last_order,
+        | nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_argmax" ->
       """SELECT o_custkey, o_orderkey AS top_order,
         | CAST(round(CAST(top_price AS DECIMAL(38,6)), 4) AS DOUBLE) AS top_price

@@ -29,6 +29,36 @@ class PropertySpec extends AnyFunSuite {
     assert(leafN == total.head.getAs[Long]("n"))
   }
 
+  test("q_agg_stats decimal recomposition matches built-in stddev/var/corr/covar") {
+    val recomposed = q("q_agg_stats").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val builtin = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(var_samp(col("l_quantity")).as("v"),
+        stddev_samp(col("l_quantity")).as("s"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"))
+      .collect()
+    assert(builtin.nonEmpty)
+    builtin.foreach { r =>
+      val m = recomposed(r.getString(0))
+      assert(math.abs(r.getDouble(1) - m.getAs[Double]("var_qty")) < 1e-4)
+      assert(math.abs(r.getDouble(2) - m.getAs[Double]("std_qty")) < 1e-4)
+      assert(math.abs(r.getDouble(3) - m.getAs[Double]("covar_qp")) < 1e-2)
+      assert(math.abs(r.getDouble(4) - m.getAs[Double]("corr_qp")) < 1e-4)
+    }
+  }
+
+  test("q_sample_hash is a ~10% unbiased slice and deterministic") {
+    val once = q("q_sample_hash").collect()
+    val again = q("q_sample_hash").collect()
+    assert(once.toSeq == again.toSeq)
+    val sampled = once.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    val total = Tables.t(spark, sf, "orders").count().toDouble
+    val rate = sampled / total
+    assert(rate > 0.05 && rate < 0.15, s"sample rate $rate outside [0.05, 0.15]")
+  }
+
   test("cube row count: leaves + rf margins + ls margins + 1") {
     val rows = q("q_cube").collect()
     val leaves = rows.count(r => r.getInt(2) == 0 && r.getInt(3) == 0)
