@@ -193,6 +193,19 @@ object Relational extends QueryPack {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Top-k per key through the custom whole-operator plan (graftx.TopKPerKey:
+    // LogicalPlan + Strategy + partial/final SparkPlan pair). Map-side
+    // bounded heaps ship ≤ k rows per key per partition into the shuffle —
+    // the row_number formulation (q_window_rank) ships every row. Oracle is
+    // the row_number SQL: results must be identical.
+    "q_topk_per_key" -> ((s, d) =>
+      org.apache.spark.sql.graftx.TopK.topKPerKey(
+          t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+          keyNames = Seq("o_custkey"),
+          orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("o_custkey", "rnk")),
+
     // Deterministic hash sampling: keep ~10% of orders by a stable md5
     // bucket of the key — reproducible across engines, runs, and cluster
     // sizes, unlike rand()-based sample(). The training-data-pipeline
@@ -327,6 +340,13 @@ object Relational extends QueryPack {
         |   0.0) AS DECIMAL(38,6)), 4) AS DOUBLE) AS max_order
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   CAST(row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     "q_sample_hash" ->
       """SELECT o_orderpriority, count(*) AS n_sampled,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price

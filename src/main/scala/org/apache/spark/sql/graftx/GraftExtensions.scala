@@ -10,14 +10,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=org.apache.spark.sql.graftx.GraftExtensions` —
   * see graft.Tables.mkSession).
   *
-  * This is the full custom-operator surface of SURVEY.md §5: no custom
-  * Rule/Strategy is needed at this scope — one codegen expression plus
-  * registry injection covers the hot path. */
+  * Custom-operator surface (SURVEY.md §5 preference order): (b) one codegen
+  * expression for the scalar hot path, and (c) one whole-operator plan —
+  * [[TopKPerKey]] via [[TopKStrategy]] — where composition genuinely loses
+  * at scale (row_number+filter shuffles every row; the custom plan ships
+  * ≤ k rows per key per partition). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs.head, exprs(1))))
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

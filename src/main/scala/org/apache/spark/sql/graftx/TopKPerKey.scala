@@ -1,0 +1,179 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator custom plan: top-k rows per key — the SURVEY.md §5
+  * preference-order (c) surface (custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`, registered through `SparkSessionExtensions`).
+  *
+  * Why not `row_number().over(...)  WHERE rn <= k`? That plan shuffles EVERY
+  * row of the child to its key's reducer and sorts whole partitions before
+  * discarding all but k rows per key. At 100 TB the shuffle is the
+  * bottleneck; the discard happens too late.
+  *
+  * This operator plans as two stages, shaped exactly like partial/final
+  * aggregation:
+  *
+  *   TopKPerKeyFinalExec   (rank + emit; requires clustering + ordering)
+  *     +- SortExec          [inserted by EnsureRequirements]
+  *       +- ShuffleExchange [inserted by EnsureRequirements]
+  *         +- TopKPerKeyPartialExec  (map-side bounded heaps, ≤ k rows/key)
+  *           +- child
+  *
+  * The partial stage caps shuffle volume at k·(distinct keys per input
+  * partition) rows regardless of input size — the same contract that makes
+  * hash aggregation scale. The reduce-side sort then runs over the
+  * already-thinned stream. Memory: one k-bounded heap per distinct key per
+  * input partition (spill-free by construction for bounded k).
+  */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  require(keys.nonEmpty, "TopKPerKey needs at least one key column")
+  require(k > 0, s"TopKPerKey needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Map-side stage: one pass over each input partition keeping a k-bounded
+  * binary heap per key; emits only retained rows, in no particular order. */
+case class TopKPerKeyPartialExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val orderExprs = order
+    val childOutput = child.output
+    val kk = k
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      // rank order = ascending under the SortOrder comparator; the heap
+      // evicts the currently-worst (largest) retained row, so head is the
+      // eviction candidate → reverse comparator
+      val ord = RowOrdering.create(orderExprs, childOutput)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, ord.reversed())
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) {
+          heap.add(rowProj(row).copy())
+        } else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(rowProj(row).copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+}
+
+/** Reduce-side stage: child is clustered by key and sorted by (key, order);
+  * one streaming pass emits the first k rows of each group with a 1-based
+  * rank column. */
+case class TopKPerKeyFinalExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    (keys.map(SortOrder(_, Ascending)) ++ order) :: Nil
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val childOutput = child.output
+    val outAttrs = output
+    val kk = k
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+      val rankRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      var curKey: UnsafeRow = null
+      var rank = 0
+      iter.flatMap { row =>
+        val key = keyProj(row)
+        if (curKey == null || key != curKey) {
+          curKey = key.copy()
+          rank = 0
+        }
+        rank += 1
+        if (rank <= kk) {
+          rankRow.setInt(0, rank)
+          Some(toUnsafe(joined(row, rankRow)))
+        } else None
+      }
+    }
+  }
+}
+
+/** Plans [[TopKPerKey]] as partial-below-exchange + final, mirroring
+  * partial/final aggregation. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, rankAttr, child) =>
+      TopKPerKeyFinalExec(keys, order, k, rankAttr,
+        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level API: columns are resolved by name against the child's
+  * analyzed output so the logical node is born fully resolved. */
+object TopK {
+  /** Top-`k` rows per `keys` group, ranked 1..k by `orderBy` (column name,
+    * ascending?) with the rank emitted as `rankName`. */
+  def topKPerKey(
+      df: DataFrame,
+      keyNames: Seq[String],
+      orderBy: Seq[(String, Boolean)],
+      k: Int,
+      rankName: String = "rnk"): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val child = ds.queryExecution.analyzed
+    def attr(name: String): Attribute = child.output
+      .find(a => ds.sparkSession.sessionState.conf.resolver(a.name, name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${child.output.map(_.name).mkString(", ")}"))
+    val keys = keyNames.map(attr)
+    val order = orderBy.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession,
+      TopKPerKey(keys, order, k, rankAttr, child))
+  }
+}

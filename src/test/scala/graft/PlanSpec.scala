@@ -37,6 +37,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), "no whole-stage-codegen stage markers: " + p)
   }
 
+  test("q_topk_per_key plans the custom partial/final pair with the heap stage map-side") {
+    val p = plan("q_topk_per_key")
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(p.contains("TopKPerKeyFinal"), p)
+    // partial must sit BELOW the exchange (map-side): in the plan string the
+    // final/exchange lines print before the deeper partial line
+    val exch = p.indexOf("Exchange hashpartitioning")
+    val part = p.indexOf("TopKPerKeyPartial")
+    val fin = p.indexOf("TopKPerKeyFinal")
+    assert(fin < exch && exch < part,
+      s"expected Final < Exchange < Partial ordering, got $fin/$exch/$part in\n$p")
+  }
+
+  test("q_topk_per_key rows are identical to the row_number formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val custom = SparkEntry.queries("q_topk_per_key")(spark, TestSpark.SF).collect()
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = Tables.t(spark, TestSpark.SF, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk")
+      .collect()
+    assert(custom.length == viaWindow.length)
+    assert(custom.toSeq == viaWindow.toSeq)
+  }
+
+  test("topKPerKey edge cases: k larger than any group, and k = 1") {
+    import org.apache.spark.sql.graftx.TopK
+    val orders = Tables.t(spark, TestSpark.SF, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val big = TopK.topKPerKey(orders, Seq("o_custkey"),
+      Seq("o_orderkey" -> true), k = 1000000)
+    assert(big.count() == orders.count()) // nothing dropped when k >= group size
+    val one = TopK.topKPerKey(orders, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 1)
+    assert(one.count() == orders.select("o_custkey").distinct().count())
+    // rank column is always 1
+    assert(one.select("rnk").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("q_topk plans TakeOrderedAndProject (no global sort)") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
