@@ -4,7 +4,6 @@ import graft.{QueryPack, Tables}
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** LLM-data-pipeline operators — SURVEY.md §3B #42–46 plus the north-star
@@ -245,16 +244,21 @@ object LlmPipeline extends QueryPack {
     }),
 
     // #44 brute-force top-5 cosine neighbors, blocked by label (IVF-style:
-    // label = coarse cell, probe within cell).
+    // label = coarse cell, probe within cell). Top-k via the custom
+    // TopKPerKey plan: the candidate pairs are generated map-side by the
+    // broadcast join, so the k-bounded heaps also run map-side and only
+    // ≤5 rows per vec_id per partition reach the shuffle — the window
+    // formulation would shuffle every pair.
     "q_sim_knn" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-      e.as("a").join(broadcast(e.as("b")), col("a.label") === col("b.label") &&
+      val pairs = e.as("a").join(broadcast(e.as("b")), col("a.label") === col("b.label") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
           r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 5)
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 5, rankName = "rnk")
         .orderBy("vec_id", "rnk")
     }),
 
@@ -265,15 +269,17 @@ object LlmPipeline extends QueryPack {
       val e = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       val b = lshBuckets(s, d)
       val withVec = b.join(e, b("vec_id") === e("id")).drop("id")
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-      withVec.as("a")
+      val pairs = withVec.as("a")
         .join(broadcast(withVec.as("b")), col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
           col("b.vec_id").as("neighbor_id"),
           r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
+      // map-side k-bounded heaps (see q_sim_knn)
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
         .orderBy("vec_id", "rnk")
     }),
 
