@@ -69,6 +69,35 @@ object Streams {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(userDim), "user_id")
 
+  /** Stream-stream interval join: purchases join views of the same user
+    * whose event time falls in the hour before the purchase. BOTH sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so each side's buffered state is evictable once the watermark passes
+    * — the only formulation that runs with bounded state at 100 TB/day.
+    * Unbounded stream-stream joins (no time bound) are rejected by Spark
+    * for exactly that reason. */
+  def attributed(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val v = views.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 minutes")
+    p.join(v, col("p_user") === col("v_user") &&
+      col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("v_ts") <= col("p_ts"))
+  }
+
+  /** Streaming exact dedup: first occurrence per event_id wins; the
+    * watermark lets the state store evict ids older than the lateness
+    * bound, so dedup state is bounded — the streaming face of the batch
+    * q_dedup_exact family. */
+  def dedupedByKey(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+
   /** Running per-user totals via custom state (mapGroupsWithState): state =
     * (event count, value sum) per user, carried across micro-batches in the
     * state store. The arbitrary-stateful-processing surface the built-in

@@ -95,6 +95,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(8L) == ((1L, 10.0)), last.toString)
   }
 
+  test("stream-stream interval join matches the batch join on finite input") {
+    val qy = Streams.attributed(
+        Streams.readEvents(spark, eventsDir), Streams.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination(180000)
+    val streamed = spark.table("attr").count()
+    val ev = Tables.t(spark, sf, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val batch = p.join(v, col("p_user") === col("v_user") &&
+      col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("v_ts") <= col("p_ts")).count()
+    assert(batch > 0, "fixture produced no attributable pairs")
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
+  test("streaming dropDuplicates dedups replayed input across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val rows = Seq((1L, 1000000000L, 7L, "view", 2.0, "{}"),
+      (2L, 2000000000L, 7L, "view", 3.0, "{}"),
+      (3L, 3000000000L, 8L, "view", 10.0, "{}"))
+    def write(): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write()
+    val qy = Streams.dedupedByKey(Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").option("checkpointLocation", ckpt())
+      .start()
+    qy.processAllAvailable()
+    write() // replay the exact same rows: state store must swallow them
+    qy.processAllAvailable()
+    qy.stop()
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late").toString
