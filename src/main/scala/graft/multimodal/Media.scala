@@ -57,7 +57,47 @@ object Media {
     media.mapPartitions(_.flatMap(m => decodeFramesStub(m.media_id, m.bytes)))
   }
 
-  /** End-to-end: decode + per-media frame stats joined back to metadata. */
+  /** Frame sampling: keep every `everyN`-th frame (frame_idx % n == 0) —
+    * the video frame-sample op. A narrow filter: no shuffle, pipelines
+    * with decode. */
+  def sampleFrames(frames: Dataset[Frame], everyN: Int): Dataset[Frame] =
+    frames.filter(f => f.frame_idx % everyN == 0)
+
+  /** "Resize" stub: average-pool a feature vector to `targetDim` buckets —
+    * deterministic stand-in for image resampling with the real contract
+    * (fixed output dimensionality regardless of input frame size). */
+  def resizeFeature(feature: Array[Float], targetDim: Int): Array[Float] = {
+    val out = new Array[Float](targetDim)
+    if (feature.isEmpty) return out
+    val counts = new Array[Int](targetDim)
+    var i = 0
+    while (i < feature.length) {
+      val b = math.min(targetDim - 1, i * targetDim / feature.length)
+      out(b) += feature(i); counts(b) += 1
+      i += 1
+    }
+    var b = 0
+    while (b < targetDim) { if (counts(b) > 0) out(b) /= counts(b); b += 1 }
+    out
+  }
+
+  case class ResizedFrame(media_id: Long, frame_idx: Int, feature: Array[Float])
+
+  /** Sample every `everyN`-th frame then resize features to `targetDim` —
+    * the decode → frame-sample → resize pipeline, all narrow ops. */
+  def sampledResized(spark: SparkSession, media: Dataset[MediaRow],
+      everyN: Int, targetDim: Int): Dataset[ResizedFrame] = {
+    import spark.implicits._
+    sampleFrames(decodeAll(spark, media), everyN)
+      .map(f => ResizedFrame(f.media_id, f.frame_idx,
+        resizeFeature(f.feature, targetDim)))
+  }
+
+  /** End-to-end: decode + per-media frame stats joined back to metadata.
+    * Oracle-checkable (q_multimodal_frames): the stub decoder chunks ASCII
+    * text bytes, so DuckDB reproduces it with substr + generate_series —
+    * the mapPartitions decode path gets a full hash-match, not just a
+    * rows-only check. */
   def frameStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     val media = mediaFromDocuments(spark, docs)
     val frames = decodeAll(spark, media)

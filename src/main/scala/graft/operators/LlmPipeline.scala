@@ -393,6 +393,14 @@ object LlmPipeline extends QueryPack {
           r4(sqrt(aggregate(col("embedding"), lit(0.0), (s0, x) => s0 + x * x))).as("l2_norm"))
         .orderBy("doc_id")),
 
+    // Multimodal decode pipeline through the typed mapPartitions path
+    // (graft.multimodal.Media): binary payload → lazy frame iterator →
+    // per-media stats. The stub codec chunks ASCII bytes, so the oracle
+    // reproduces it exactly with substr+generate_series — the decode
+    // plumbing itself is hash-checked.
+    "q_multimodal_frames" -> ((s, d) =>
+      graft.multimodal.Media.frameStats(s, t(s, d, "documents"))),
+
     // Opaque-binary plumbing: text→bytes with typed metadata; hashes and
     // byte lengths flow through BinaryType columns. (The mapPartitions
     // decode stub lives in graft.multimodal, scalatest-covered.)
@@ -600,6 +608,15 @@ object LlmPipeline extends QueryPack {
         |   x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS l2_norm
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH idx AS (
+        |  SELECT doc_id, lang, text,
+        |   unnest(generate_series(1, CAST(ceil(len(text)/32.0) AS INT))) AS i
+        |  FROM documents)
+        |SELECT doc_id AS media_id, count(*) AS n_frames,
+        | CAST(sum(len(substr(text, (i-1)*32+1, 32))) AS BIGINT) AS total_bytes,
+        | min(md5(substr(text, (i-1)*32+1, 32))) AS min_frame_hash, lang
+        |FROM idx GROUP BY doc_id, lang ORDER BY media_id""".stripMargin,
     "q_multimodal_binary" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -8,6 +8,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class MediaSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("sampleFrames keeps exactly every Nth frame; resize pools to fixed dim") {
+    val docs = Tables.t(spark, TestSpark.SF, "documents")
+    val media = Media.mediaFromDocuments(spark, docs)
+    val all = Media.decodeAll(spark, media)
+    val sampled = Media.sampleFrames(all, 2)
+    val expected = all.filter(col("frame_idx") % 2 === 0).count()
+    assert(sampled.count() == expected && expected > 0)
+    // resize: fixed output dim regardless of input frame size (the last
+    // chunk of each doc is shorter than FRAME_BYTES)
+    val resized = Media.sampledResized(spark, media, 2, 8).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(_.feature.length == 8))
+    // deterministic: same input → same features
+    val again = Media.sampledResized(spark, media, 2, 8).collect()
+    assert(resized.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+    // pooling preserves the mean (each input element lands in exactly one bucket)
+    val f = Array(0.0f, 0.25f, 0.5f, 1.0f)
+    val r = Media.resizeFeature(f, 2)
+    assert(math.abs(r(0) - 0.125f) < 1e-6 && math.abs(r(1) - 0.75f) < 1e-6)
+  }
+
   test("frameStats: n_frames == ceil(n_chars/32) per doc, metadata joined") {
     val docs = Tables.t(spark, TestSpark.SF, "documents")
     val stats = Media.frameStats(spark, docs)
