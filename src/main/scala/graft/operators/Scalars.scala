@@ -98,6 +98,23 @@ object Scalars extends QueryPack {
             MapType(StringType, IntegerType)))).as("n_keys"))
         .orderBy("event_id")),
 
+    // Conditional scalar family: CASE banding, coalesce/nullif null
+    // plumbing, greatest/least clamping. Analog: cclimit-style conditional
+    // classification (avail/unavail split as a scalar, not an agg).
+    "q_cond_funcs" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT")).as("seg_filled"),
+          r4(greatest(col("c_acctbal"), lit(0.0))).as("bal_clamped_lo"),
+          r4(least(col("c_acctbal"), lit(1000.0))).as("bal_clamped_hi"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 1000, "low")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bal_band"))
+        .orderBy("c_custkey")),
+
     // #51 the one scalar UDF (water-year), alongside the preferred
     // expression form — results must agree row-for-row.
     "q_udf_scalar" -> ((s, d) => {
@@ -160,6 +177,17 @@ object Scalars extends QueryPack {
         | CAST(json_extract_string(props, '$.k') AS INT) AS k_map,
         | CAST(len(json_keys(props)) AS INT) AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_cond_funcs" ->
+      """SELECT c_custkey,
+        | nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_filled,
+        | CAST(round(CAST(greatest(c_acctbal, 0.0) AS DECIMAL(38,6)), 4) AS DOUBLE) AS bal_clamped_lo,
+        | CAST(round(CAST(least(c_acctbal, 1000.0) AS DECIMAL(38,6)), 4) AS DOUBLE) AS bal_clamped_hi,
+        | CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |      WHEN c_acctbal < 1000 THEN 'low'
+        |      WHEN c_acctbal < 5000 THEN 'mid'
+        |      ELSE 'high' END AS bal_band
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_udf_scalar" ->
       """SELECT o_orderkey,
         | CAST(year(o_orderdate) + CASE WHEN month(o_orderdate) >= 10 THEN 1 ELSE 0 END AS INT) AS wy_udf,
