@@ -61,11 +61,30 @@ object Streaming extends QueryPack {
     // #50 watermark late-drop, batch-emulated deterministically: arrival
     // order = event_id; watermark = running max(ts) − 10 min; an event is
     // dropped iff ts < watermark at its arrival. On-time counts per hour.
+    //
+    // The global running max is a two-phase distributed prefix scan — the
+    // naive `Window.orderBy(event_id)` (no partitionBy) funnels ALL rows
+    // through one task. Phase 1 computes the running max WITHIN arrival
+    // buckets (partitioned window, parallel); phase 2 takes the per-bucket
+    // maxima (#buckets rows, broadcastable) and prefix-maxes those; the
+    // event's watermark is greatest(within-bucket prefix, prior buckets'
+    // max). Same shape as partial/final aggregation: the only global step
+    // runs over tiny data.
     "q_stream_watermark" -> ((s, d) => {
-      val arrival = Window.orderBy("event_id")
+      val B = 1000L // arrival-sequence bucket width
+      val ev = t(s, d, "events")
+        .withColumn("bkt", (col("event_id") / B).cast("long"))
+      val wIn = Window.partitionBy("bkt").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "events")
-        .withColumn("wm", max(tsec(col("ts"))).over(arrival) - 600)
+      val local = ev.withColumn("run_ts", max(tsec(col("ts"))).over(wIn))
+      val wPrior = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bmax = ev.groupBy("bkt").agg(max(tsec(col("ts"))).as("bkt_max"))
+        .withColumn("prior_max", max(col("bkt_max")).over(wPrior))
+        .select("bkt", "prior_max")
+      local.join(broadcast(bmax), "bkt")
+        .withColumn("wm",
+          greatest(col("run_ts"), coalesce(col("prior_max"), lit(Long.MinValue))) - 600)
         .withColumn("late", tsec(col("ts")) < col("wm"))
         .where(!col("late"))
         .groupBy(window(col("ts"), "1 hour").as("w"))
