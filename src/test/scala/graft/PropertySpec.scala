@@ -29,6 +29,27 @@ class PropertySpec extends AnyFunSuite {
     assert(leafN == total.head.getAs[Long]("n"))
   }
 
+  test("TopKPerKey == window row_number on randomized data (keys, ties, ks)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      key <- Gen.choose(0, 20)
+      v <- Gen.choose(0, 50) // small domain → plenty of ties
+      id <- Gen.choose(0L, 1000000L)
+    } yield (key, v, id)
+    val rows = samples(gen, 2000).distinct
+    val df = rows.toDF("k", "v", "id")
+    for (k <- Seq(1, 3, 7)) {
+      val custom = org.apache.spark.sql.graftx.TopK
+        .topKPerKey(df, Seq("k"), Seq("v" -> false, "id" -> true), k)
+        .orderBy("k", "rnk").collect()
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+      val ref = df.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k).orderBy("k", "rnk").collect()
+      assert(custom.toSeq == ref.toSeq, s"mismatch at k=$k")
+    }
+  }
+
   test("q_agg_stats decimal recomposition matches built-in stddev/var/corr/covar") {
     val recomposed = q("q_agg_stats").collect()
       .map(r => r.getString(0) -> r).toMap

@@ -137,6 +137,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("restart from checkpoint resumes offsets+state without re-emitting") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val sink = Files.createTempDirectory("graft-restart-sink").toString
+    val ck = ckpt() // memory sinks can't recover; file sink + same ckpt can
+    def nanos(h: Int, m: Int): Long =
+      (java.time.LocalDateTime.of(2024, 1, 1, h, m)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    def run(): Unit = {
+      val q = Streams.watermarked(Streams.readEvents(spark, dir))
+        .writeStream.format("parquet").option("path", sink)
+        .outputMode("append").option("checkpointLocation", ck).start()
+      q.processAllAvailable(); q.stop()
+    }
+    // run 1: 10:00 window (2 events) finalized once 12:30 advances the wm
+    write(Seq((1L, nanos(10, 0), 1L, "view", 1.0, "{}"),
+      (2L, nanos(10, 10), 1L, "view", 1.0, "{}"),
+      (3L, nanos(12, 30), 1L, "view", 1.0, "{}")))
+    run()
+    // data lands while the query is DOWN; the restart must resume from the
+    // checkpointed offsets+state: the already-emitted 10:00 window may not
+    // be re-emitted, and 13:30 closes the 12:00 window
+    write(Seq((4L, nanos(13, 30), 1L, "view", 1.0, "{}")))
+    run()
+    val out = spark.read.parquet(sink).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).sorted
+    assert(out.count(_._1 == "2024-01-01 10:00:00.0") == 1, out.toSeq.toString)
+    assert(out.toSeq.contains(("2024-01-01 12:00:00.0", 1L)), out.toSeq.toString)
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late").toString
