@@ -283,6 +283,54 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id", "rnk")
     }),
 
+    // True IVF ANN: train a coarse quantizer (centroid per label cell,
+    // dimension-wise mean via exact decimal sums — deterministic under any
+    // partitioning), re-assign every vector to its nearest centroid
+    // (rounded cosine, label tie-break), then probe only within the
+    // assigned cell. Completes the IVF/LSH pair of ANN scale paths: at
+    // 100 TB the quantizer trains on a sample, centroids broadcast
+    // (here 10×64 doubles), assignment is a narrow map, and the pair join
+    // touches one cell per query vector. Both top-k steps run through the
+    // custom TopKPerKey plan.
+    "q_sim_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      // dimension-wise means: posexplode → decimal-sum/count per (label, d)
+      val comp = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"))
+      val cent = comp.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          f => f.getField("m")).as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      // assignment: cosine(vector, each of 10 centroids) — HOF fold is fine
+      // on this cold 10-per-vector path; rounded before comparison so the
+      // argmax is engine-portable
+      val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
+        lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+      val scored = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          r4(dotc / (na * nb)).as("ccos"))
+      val assigned = org.apache.spark.sql.graftx.TopK.topKPerKey(
+          scored.select(col("vec_id"), col("embedding"), col("cell"), col("ccos")),
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
+          k = 1, rankName = "arnk")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      // probe within the assigned cell only
+      val pairs = assigned.as("a")
+        .join(broadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+          col("b.vec_id").as("neighbor_id"),
+          r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
     // #45 corpus term frequencies, top 50.
     "q_text_stats" -> ((s, d) =>
       t(s, d, "documents")
@@ -537,6 +585,36 @@ object LlmPipeline extends QueryPack {
          |   ORDER BY $cosSql DESC, b.vec_id ASC) AS INT) AS rnk
          |FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
          |QUALIFY rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin,
+    "q_sim_ann_ivf" ->
+      s"""WITH comp AS (
+         |  SELECT label, t.d AS dim,
+         |   CAST(sum(CAST(embedding[t.d] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+         |  FROM embeddings, generate_series(1, 64) t(d)
+         |  GROUP BY label, t.d),
+         |cent AS (
+         |  SELECT label AS cell, list(m ORDER BY dim) AS centroid
+         |  FROM comp GROUP BY label),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |   CAST(round(CAST(list_cosine_similarity(
+         |     list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
+         |    AS DECIMAL(38,6)), 4) AS DOUBLE) AS ccos
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT vec_id, embedding, cell,
+         |     row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS arnk
+         |    FROM scored)
+         |  WHERE arnk = 1)
+         |SELECT vec_id, cell, neighbor_id, cos, rnk FROM (
+         |  SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS neighbor_id,
+         |   $cosSql AS cos,
+         |   CAST(row_number() OVER (PARTITION BY a.vec_id
+         |     ORDER BY $cosSql DESC, b.vec_id ASC) AS INT) AS rnk
+         |  FROM assigned a JOIN assigned b
+         |   ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
     "q_text_stats" ->
       """SELECT word, count(*) AS n FROM (

@@ -83,6 +83,25 @@ class LlmSpec extends AnyFunSuite {
     assert(recall > 0.0, s"ANN recall $recall — pipeline found no true neighbors at all")
   }
 
+  test("IVF pipeline: every vector assigned to exactly one cell, nonzero knn overlap") {
+    // The synthetic embeddings are near-uniform (measured: within-label
+    // mean cosine ≈ cross-label ≈ 0), so the label "clusters" are not
+    // geometric and no quantizer can recover them — high recall vs the
+    // label-blocked knn is impossible by construction. The oracle already
+    // hash-checks the full train→assign→probe pipeline; here we assert the
+    // structural invariants + a sanity overlap floor.
+    val ivf = q("q_sim_ann_ivf").collect()
+    val cellsPerVec = ivf.map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+      .map { case (_, rows) => rows.map(_._2).distinct.length }
+    assert(cellsPerVec.forall(_ == 1), "a vector probed more than one cell")
+    val knn = q("q_sim_knn").where(col("rnk") <= 3)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = if (knn.isEmpty) 1.0 else pairs.intersect(knn).size.toDouble / knn.size
+    assert(recall > 0.0, s"IVF found no true neighbors at all")
+  }
+
   test("fingerprint is deterministic and total") {
     val a = q("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getString(1)))
     val b = q("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getString(1)))
