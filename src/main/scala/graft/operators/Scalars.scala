@@ -98,6 +98,26 @@ object Scalars extends QueryPack {
             MapType(StringType, IntegerType)))).as("n_keys"))
         .orderBy("event_id")),
 
+    // Calendar-dimension generation: sequence + explode builds a date spine
+    // (the time-dim every warehouse needs; SNOWAV's daily water-year axis).
+    // Generated from literals — no scan at all; at 100 TB the spine joins
+    // broadcast against facts.
+    "q_date_dim" -> ((s, d) =>
+      s.range(1)
+        .select(explode(sequence(
+          lit("1995-01-01").cast(DateType),
+          lit("1995-12-31").cast(DateType),
+          expr("INTERVAL 1 DAY"))).as("dt"))
+        .select(
+          col("dt").cast(TimestampType).as("day_ts"),
+          year(col("dt")).as("yr"),
+          month(col("dt")).as("mo"),
+          dayofmonth(col("dt")).as("dom"),
+          quarter(col("dt")).as("qtr"),
+          dayofweek(col("dt")).as("dow"),
+          waterYearExpr(col("dt").cast(TimestampType)).as("water_year"))
+        .orderBy("day_ts")),
+
     // Conditional scalar family: CASE banding, coalesce/nullif null
     // plumbing, greatest/least clamping. Analog: cclimit-style conditional
     // classification (avail/unavail split as a scalar, not an agg).
@@ -177,6 +197,15 @@ object Scalars extends QueryPack {
         | CAST(json_extract_string(props, '$.k') AS INT) AS k_map,
         | CAST(len(json_keys(props)) AS INT) AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_date_dim" ->
+      """SELECT CAST(dt AS TIMESTAMP) AS day_ts,
+        | CAST(year(dt) AS INT) AS yr, CAST(month(dt) AS INT) AS mo,
+        | CAST(day(dt) AS INT) AS dom, CAST(quarter(dt) AS INT) AS qtr,
+        | CAST(dayofweek(dt) + 1 AS INT) AS dow,
+        | CAST(year(dt) + CASE WHEN month(dt) >= 10 THEN 1 ELSE 0 END AS INT) AS water_year
+        |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+        |  DATE '1995-12-31', INTERVAL 1 DAY)) AS DATE) AS dt)
+        |ORDER BY day_ts""".stripMargin,
     "q_cond_funcs" ->
       """SELECT c_custkey,
         | nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
