@@ -95,6 +95,22 @@ object Relational extends QueryPack {
           coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_p"))
         .orderBy("c_custkey")),
 
+    // FULL OUTER join completing the join-type family: customers vs
+    // suppliers per nation — rows survive from EITHER side with null
+    // plumbing on the other. Analog: reconciling two partially-overlapping
+    // run inventories.
+    "q_join_full" -> ((s, d) => {
+      val c = t(s, d, "customer").groupBy(col("c_nationkey").cast("int").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, d, "supplier").groupBy(col("s_nationkey").cast("int").as("nk2"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
     // #10 left semi (EXISTS). Analog: "run already in DB" check.
     "q_join_semi" -> ((s, d) =>
       t(s, d, "customer")
@@ -297,6 +313,15 @@ object Relational extends QueryPack {
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
         | ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS INT) AS nk, count(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |     s AS (SELECT CAST(s_nationkey AS INT) AS nk2, count(*) AS n_supp
+        |           FROM supplier GROUP BY 1)
+        |SELECT coalesce(nk, nk2) AS nationkey,
+        | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON nk = nk2
+        |ORDER BY nationkey""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

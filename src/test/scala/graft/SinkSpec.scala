@@ -86,4 +86,29 @@ class SinkSpec extends AnyFunSuite {
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("cosine_sim: NULL on length mismatch and zero-norm, never a wrong value") {
+    def one(sql: String) = spark.sql(s"SELECT $sql AS c").head()
+    // mismatched lengths: must NOT silently truncate to the shorter prefix
+    assert(one("cosine_sim(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT)))").isNullAt(0))
+    // zero-norm side: must NOT return NaN/Infinity
+    assert(one("cosine_sim(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)))").isNullAt(0))
+    // null input propagates
+    assert(one("cosine_sim(CAST(NULL AS ARRAY<FLOAT>), " +
+      "array(CAST(1.0 AS FLOAT)))").isNullAt(0))
+    // interpreted path (no codegen) agrees with the codegen path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val at = ArrayType(FloatType)
+    def lit(xs: Float*) = Literal.create(ArrayData.toArrayData(xs.toArray), at)
+    val e = org.apache.spark.sql.graftx.CosineSimilarityExpr(
+      lit(1.0f, 2.0f), lit(1.0f))
+    assert(e.eval(null) == null)
+    val z = org.apache.spark.sql.graftx.CosineSimilarityExpr(
+      lit(0.0f, 0.0f), lit(1.0f, 1.0f))
+    assert(z.eval(null) == null)
+  }
 }
