@@ -44,6 +44,24 @@ class SinkSpec extends AnyFunSuite {
     assert(back.columns.sameElements(agg.columns))
   }
 
+  test("json and orc sources round-trip with schema intact") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    val jsonDir = Files.createTempDirectory("graft-json").toString + "/d"
+    val orcDir = Files.createTempDirectory("graft-orc").toString + "/d"
+    docs.write.json(jsonDir)
+    docs.write.orc(orcDir)
+    // ORC is schema-full; JSON needs the schema supplied to avoid a
+    // sampling pass and long-vs-double inference drift
+    val backJson = spark.read.schema(docs.schema).json(jsonDir)
+    val backOrc = spark.read.orc(orcDir)
+    assert(backJson.schema == docs.schema)
+    assert(backOrc.schema == docs.schema)
+    val want = docs.orderBy("doc_id").collect().toSeq
+    assert(backJson.orderBy("doc_id").collect().toSeq == want)
+    assert(backOrc.orderBy("doc_id").collect().toSeq == want)
+  }
+
   test("bucketed tables join with zero shuffle (co-located SMJ)") {
     import org.apache.spark.sql.functions.sum
     // the in-memory catalog is per-JVM: orphaned table dirs from a prior
