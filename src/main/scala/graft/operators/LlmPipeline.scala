@@ -143,6 +143,22 @@ object LlmPipeline extends QueryPack {
         .where(col("n_copies") > 1)
         .orderBy("h")),
 
+    // Dedup APPLICATION: keep one copy per content hash (min doc_id wins)
+    // and report the shrink per language — the filter step a training
+    // pipeline actually runs after q_dedup_exact identifies groups. One
+    // window pass, no join back to the corpus.
+    "q_dedup_keep" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(lower(trim(col("text"))), 256))
+        .orderBy(col("doc_id").asc)
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_before"),
+          count_if(col("rn") === 1).as("n_after"))
+        .orderBy("lang")
+    }),
+
     // #43 exact near-dup: 3-token shingle Jaccard >= 0.8 (the truth oracle
     // for the MinHash scale path below).
     "q_dedup_near" -> ((s, d) => {
@@ -547,6 +563,15 @@ object LlmPipeline extends QueryPack {
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keeper,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "q_dedup_keep" ->
+      """SELECT lang, count(*) AS n_before,
+        | count(*) FILTER (WHERE rn = 1) AS n_after
+        |FROM (
+        |  SELECT lang,
+        |   row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+        |     ORDER BY doc_id ASC) AS rn
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_near" ->
       s"""WITH ds AS ($docShinglesSql),
          |cands AS (
