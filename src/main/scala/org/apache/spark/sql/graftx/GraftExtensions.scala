@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs.head, exprs(1))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // optimizer rewrite: row_number() <= k filter pattern → TopKPerKey, so
+    // the idiomatic window form still gets the map-side-heap physical plan
+    ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)
   }
 }

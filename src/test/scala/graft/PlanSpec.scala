@@ -66,6 +66,37 @@ class PlanSpec extends AnyFunSuite {
     assert(custom.toSeq == viaWindow.toSeq)
   }
 
+  test("optimizer rule rewrites row_number<=k filter into TopKPerKey") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val df = Tables.t(spark, TestSpark.SF, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyFinal"), s"rule did not fire:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains(" Window "), s"window survived:\n$p")
+    // row-identical to the unrewritten reference (rank() defeats the rule)
+    val ref = Tables.t(spark, TestSpark.SF, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", rank().over(w))
+      .withColumn("rn2", row_number().over(w))
+      .where(col("rn2") <= 3).drop("rn")
+      .withColumnRenamed("rn2", "rn")
+      .orderBy("o_custkey", "rn").collect()
+    assert(df.collect().toSeq == ref.toSeq)
+  }
+
+  test("optimizer rule leaves multi-function windows alone (q_window_rank)") {
+    val p = plan("q_window_rank")
+    assert(!p.contains("TopKPerKey"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("topKPerKey edge cases: k larger than any group, and k = 1") {
     import org.apache.spark.sql.graftx.TopK
     val orders = Tables.t(spark, TestSpark.SF, "orders")
