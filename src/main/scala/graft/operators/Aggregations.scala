@@ -188,6 +188,22 @@ object Aggregations extends QueryPack {
           "measure", "value")
         .orderBy("l_returnflag", "measure")),
 
+    // The reference's collect() query API driven end-to-end against real
+    // data: lineitem recast into the long/EAV Results shape (basin = return
+    // flag, elevation = quantity band, variable = 'qty'), then
+    // Collect.collect(method = "sum") pivots bands × basins — SNOWAV's
+    // band×basin matrix, oracle-checked via the conditional-agg pivot SQL.
+    "q_collect_pivot" -> ((s, d) => {
+      val eav = t(s, d, "lineitem").select(
+        col("l_returnflag").as("basin"),
+        col("l_shipdate").as("date"),
+        lit("qty").as("variable"),
+        concat(lit("band"), floor(col("l_quantity") / 10).cast("long")).as("elevation"),
+        col("l_quantity").as("value"))
+      graft.api.Collect.collect(eav, Seq("A", "N", "R"),
+        "1995-01-01", "1998-12-31", "qty", "sum")
+    }),
+
     // Moment statistics (variance/stddev/correlation/covariance) recomposed
     // from exact decimal power sums, so partial aggregation and scan order
     // cannot change the result (built-in stddev_samp/corr accumulate raw
@@ -308,6 +324,14 @@ object Aggregations extends QueryPack {
         | coalesce(CAST(sum(CAST(CASE WHEN l_returnflag='N' THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS "N",
         | coalesce(CAST(sum(CAST(CASE WHEN l_returnflag='R' THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS "R"
         |FROM lineitem GROUP BY band ORDER BY band""".stripMargin,
+    "q_collect_pivot" ->
+      """SELECT 'band' || CAST(floor(l_quantity/10) AS BIGINT) AS elevation,
+        | CAST(round(CAST(CAST(sum(CAST(CASE WHEN l_returnflag='A' THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE) AS DECIMAL(38,6)), 4) AS DOUBLE) AS "A",
+        | CAST(round(CAST(CAST(sum(CAST(CASE WHEN l_returnflag='N' THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE) AS DECIMAL(38,6)), 4) AS DOUBLE) AS "N",
+        | CAST(round(CAST(CAST(sum(CAST(CASE WHEN l_returnflag='R' THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE) AS DECIMAL(38,6)), 4) AS DOUBLE) AS "R"
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate <= TIMESTAMP '1998-12-31'
+        |GROUP BY 1 ORDER BY elevation""".stripMargin,
     "q_agg_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,

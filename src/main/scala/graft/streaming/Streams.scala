@@ -106,6 +106,45 @@ object Streams {
     * a TTL/timeout to bound it (NoTimeout here — tests feed finite data). */
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
+  /** Custom sessionization via flatMapGroupsWithState + EventTimeTimeout:
+    * the arbitrary-stateful surface where a session is CLOSED and emitted
+    * either by a later event arriving past the gap, or by the event-time
+    * timeout firing once the watermark passes sessionEnd + gap. This is
+    * what `session_window` cannot express when the per-session output
+    * needs custom shape/logic (e.g. emit-once closed sessions only).
+    * State per user = one open session; bounded by the watermark. */
+  case class Session(user_id: Long, n_events: Int, start_ms: Long, end_ms: Long)
+
+  def customSessions(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long, Long), Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val (n, st, en) = state.get
+            state.remove()
+            Iterator(Session(uid, n, st, en))
+          } else {
+            val arrivals = rows.map(_._2.getTime).toArray.sorted
+            var (n, st, en) = state.getOption.getOrElse((0, Long.MaxValue, Long.MinValue))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            arrivals.foreach { t =>
+              if (n == 0) { n = 1; st = t; en = t }
+              else if (t - en > gapMs) { closed += Session(uid, n, st, en); n = 1; st = t; en = t }
+              else { n += 1; en = math.max(en, t) }
+            }
+            state.update((n, st, en))
+            state.setTimeoutTimestamp(en + gapMs)
+            closed.iterator
+          }
+      }
+  }
+
   def runningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotals] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout

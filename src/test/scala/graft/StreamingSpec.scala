@@ -137,6 +137,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions by gap and by timeout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fmgs").toString
+    def nanos(h: Int, m: Int): Long =
+      (java.time.LocalDateTime.of(2024, 1, 1, h, m)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // user 7: burst at 10:00–10:10, then 11:30 (> 30-min gap → closes s1)
+    write(Seq((1L, nanos(10, 0), 7L, "view", 1.0, "{}"),
+      (2L, nanos(10, 10), 7L, "view", 1.0, "{}"),
+      (3L, nanos(11, 30), 7L, "view", 1.0, "{}")))
+    val qy = Streams.customSessions(spark, Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("fmgs")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    qy.processAllAvailable()
+    // far-future event advances the watermark past 12:00+gap → the open
+    // 11:30 session must close via EventTimeTimeout, not by a new arrival
+    write(Seq((4L, nanos(18, 0), 99L, "view", 1.0, "{}")))
+    qy.processAllAvailable()
+    qy.stop()
+    val sessions = spark.table("fmgs").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 7L).sortBy(_._3)
+    def ms(h: Int, m: Int): Long = nanos(h, m) / 1000000L
+    assert(sessions.toSeq == Seq(
+      (7L, 2, ms(10, 0), ms(10, 10)), // closed by the 11:30 arrival
+      (7L, 1, ms(11, 30), ms(11, 30)) // closed by event-time timeout
+    ), sessions.toSeq.toString)
+  }
+
   test("restart from checkpoint resumes offsets+state without re-emitting") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-restart").toString
