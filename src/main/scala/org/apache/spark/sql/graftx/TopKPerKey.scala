@@ -155,7 +155,13 @@ object TopKStrategy extends SparkStrategy {
   * analyzed output so the logical node is born fully resolved. */
 object TopK {
   /** Top-`k` rows per `keys` group, ranked 1..k by `orderBy` (column name,
-    * ascending?) with the rank emitted as `rankName`. */
+    * ascending?) with the rank emitted as `rankName`.
+    *
+    * `orderBy` should be a TOTAL order within each key group (append a
+    * unique tiebreak column). With ties at the k-boundary, which tied row
+    * survives is arbitrary — exactly as with `row_number()` over a
+    * non-total order — but here the map-side heaps and the window
+    * formulation may pick DIFFERENT arbitrary survivors. */
   def topKPerKey(
       df: DataFrame,
       keyNames: Seq[String],
