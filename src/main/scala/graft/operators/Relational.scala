@@ -235,6 +235,29 @@ object Relational extends QueryPack {
           dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")),
 
+    // Composite report table (SNOWAV report/report.py analog): multi-way
+    // join → hash agg → per-nation share (windowed exact-decimal sum) →
+    // within-nation rank → ordered output. One query exercising the whole
+    // operator chain a report page needs.
+    "q_report_summary" -> ((s, d) => {
+      val leaf = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+      val wTot = Window.partitionBy("n_name")
+      val wRnk = Window.partitionBy("n_name")
+        .orderBy(col("revenue").desc, col("o_orderpriority").asc)
+      leaf
+        .withColumn("share", r4(col("revenue") / dsumOver(col("revenue"), wTot)))
+        .withColumn("rnk", row_number().over(wRnk))
+        .select(col("n_name"), col("o_orderpriority"), r4(col("revenue")).as("revenue"),
+          col("n"), col("share"), col("rnk"))
+        .orderBy("n_name", "rnk")
+    }),
+
     // #32 multi-key sort with explicit null placement. Analog: plotorder.
     "q_sort_multi" -> ((s, d) =>
       t(s, d, "customer")
@@ -378,6 +401,22 @@ object Relational extends QueryPack {
         |FROM orders
         |WHERE ('0x'||substr(md5(o_orderkey::VARCHAR),1,15))::BIGINT % 100 < 10
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_report_summary" ->
+      """WITH leaf AS (
+        |  SELECT n_name, o_orderpriority,
+        |   CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |   count(*) AS n
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, o_orderpriority,
+        | CAST(round(CAST(revenue AS DECIMAL(38,6)), 4) AS DOUBLE) AS revenue, n,
+        | CAST(round(CAST(revenue / CAST(sum(CAST(revenue AS DECIMAL(38,6)))
+        |   OVER (PARTITION BY n_name) AS DOUBLE) AS DECIMAL(38,6)), 4) AS DOUBLE) AS share,
+        | CAST(row_number() OVER (PARTITION BY n_name
+        |   ORDER BY revenue DESC, o_orderpriority ASC) AS INT) AS rnk
+        |FROM leaf ORDER BY n_name, rnk""".stripMargin,
     "q_sort_multi" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC NULLS LAST, c_custkey""".stripMargin,

@@ -29,6 +29,24 @@ class PropertySpec extends AnyFunSuite {
     assert(leafN == total.head.getAs[Long]("n"))
   }
 
+  test("empty inputs: TopKPerKey, Collect, and dedup all return empty, not error") {
+    import spark.implicits._
+    val emptyOrders = Tables.t(spark, sf, "orders").where(lit(false))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    assert(org.apache.spark.sql.graftx.TopK.topKPerKey(
+      emptyOrders, Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      .count() == 0)
+    val emptyEav = Seq.empty[(String, String, String, String, Double)]
+      .toDF("basin", "date", "variable", "elevation", "value")
+      .withColumn("date", col("date").cast("timestamp"))
+    for (m <- graft.api.Collect.Methods)
+      assert(graft.api.Collect.collect(emptyEav, Seq("b1"),
+        "2024-01-01", "2024-01-02", "v", m).count() == 0, s"method $m")
+    // dedup over a corpus with no duplicates emits nothing
+    val q = SparkEntry.queries("q_dedup_exact")
+    assert(q(spark, sf).where(lit(false)).count() == 0)
+  }
+
   test("TopKPerKey == window row_number on randomized data (keys, ties, ks)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
