@@ -91,6 +91,30 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().toSeq == ref.toSeq)
   }
 
+  test("optimizer rule: strict bound and residual conjuncts both handled") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // rn < 4 ≡ k = 3; the extra conjunct must survive as a residual Filter
+    val df = Tables.t(spark, TestSpark.SF, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") < 4 && col("o_totalprice") > 50000.0)
+      .orderBy("o_custkey", "rn")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyFinal"), s"strict-bound rewrite did not fire:\n$p")
+    val ref = Tables.t(spark, TestSpark.SF, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("guard", lit(1)) // defeats the pass-through-Project match
+      .where(col("rn") < 4 && col("o_totalprice") > 50000.0)
+      .drop("guard")
+      .orderBy("o_custkey", "rn").collect()
+    assert(ref.nonEmpty && df.collect().toSeq == ref.toSeq)
+  }
+
   test("optimizer rule leaves multi-function windows alone (q_window_rank)") {
     val p = plan("q_window_rank")
     assert(!p.contains("TopKPerKey"), p)
