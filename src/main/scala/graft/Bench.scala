@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,10 +32,31 @@ object Bench {
       times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
     }
     val results = times.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def line(entries: Seq[(String, Double)], extra: String): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.values.sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$extra,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full per-query record: printed for the log AND written to
+    // BENCH_DETAIL.json, because the driver only keeps the last ~2000
+    // chars of output — the full 80-query map alone is ~3 KB, which is
+    // why rounds 1–2 recorded parsed:null. The FINAL printed line below
+    // is truncated to the slowest queries so it always fits the tail
+    // window intact and parses.
+    val full = line(results.toSeq.sortBy(_._1), "")
+    Files.write(Paths.get("BENCH_DETAIL.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
+    println(full)
+    val budget = 1500 // chars for the final line; tail window is 2000 minus sbt's epilogue
+    val byCost = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    var keep = byCost.length
+    while (keep > 1 && line(byCost.take(keep), "").length > budget) keep -= 1
+    val kept = byCost.take(keep).sortBy(_._1)
+    val extra = s""","n_queries":${results.size},"omitted_fastest":${results.size - keep}"""
+    // Stop Spark BEFORE the final line so no shutdown-hook logging can land
+    // after it — the driver parses the last ~2000 chars of output.
     spark.stop()
+    println(line(kept, extra))
   }
 }
