@@ -43,6 +43,13 @@ object Tables {
       // sides; on a production cluster this is a deployment knob and
       // genuinely-large sides still sort-merge
       .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+      // AQE stays ON (Spark 4 default) unless explicitly disabled — it is
+      // the 100 TB posture (runtime coalescing, skew-join splitting). The
+      // env knob exists to quantify its per-stage scheduling latency on
+      // small-sf latency benchmarks (each materialized query stage is a
+      // separate job in local mode).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // registers native expressions (cosine_sim) with the SQL registry
       .config("spark.sql.extensions", "org.apache.spark.sql.graftx.GraftExtensions")
       // bucketed-table catalog (Sinks.writeBucketed) — keep out of the repo
