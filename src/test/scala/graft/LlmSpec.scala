@@ -109,6 +109,26 @@ class LlmSpec extends AnyFunSuite {
     assert(a.forall(_._2 != null))
   }
 
+  test("hot-shingle cap bounds the near-dup pair join on a boilerplate-heavy corpus") {
+    import spark.implicits._
+    // 200 docs share a 9-token boilerplate prefix: its 7 shingles each have
+    // df=200, so the uncapped self-join pays 7 × C(200,2) = 139,300 rows —
+    // the quadratic shape that kills the join at corpus scale. The df cap
+    // removes exactly those shingles; the unique tails produce no pairs.
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"common header line shared by all docs plus unique tail t$i a$i b$i",
+        "en", "src", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val capped = operators.LlmPipeline.cappedShingles(docs, k = 3, maxDf = 50)
+    val cappedPairs = capped.as("sa").join(capped.as("sb"),
+      $"sa.shingle" === $"sb.shingle" && $"sa.doc_id" < $"sb.doc_id").count()
+    assert(cappedPairs == 0, s"capped pair join should be empty, got $cappedPairs")
+    val uncapped = operators.LlmPipeline.cappedShingles(docs, k = 3, maxDf = 1000)
+    val rawPairs = uncapped.as("sa").join(uncapped.as("sb"),
+      $"sa.shingle" === $"sb.shingle" && $"sa.doc_id" < $"sb.doc_id").count()
+    assert(rawPairs >= 7L * 199 * 200 / 2, s"fixture not boilerplate-heavy: $rawPairs")
+  }
+
   test("simhash hamming bounds: near pairs share most bits") {
     q("q_dedup_simhash").collect().foreach { r =>
       assert(r.getAs[Long]("hamming") <= 6)

@@ -145,8 +145,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_sim_ann_lsh pair join is broadcast (no sort-merge)") {
-    val p = plan("q_sim_ann_lsh")
+  test("q_sim_ann_lsh pair join is broadcast in the final plan (no sort-merge)") {
+    // The pair join's Catalyst size estimate (a join output) can overshoot
+    // the size gate, so maybeBroadcast declines the hint — and AQE converts
+    // the join back to broadcast at runtime from observed sizes. Assert on
+    // the FINAL plan section: the initial (pre-AQE) plan may show the
+    // sort-merge fallback by design.
+    val p = plan("q_sim_ann_lsh").split("== Initial Plan ==").head
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -173,6 +178,32 @@ class PlanSpec extends AnyFunSuite {
     // correlated subquery would show as ScalarSubquery in the physical plan
     assert(!p.contains("ScalarSubquery"), p)
     assert(p.contains("HashAggregate"), p)
+  }
+
+  test("dedup/ANN broadcast hints are size-gated: shuffle-join fallback when gated off") {
+    // With the broadcast budget disabled, maybeBroadcast must NOT hint —
+    // the plan falls back to a shuffled join (the 100 TB-safe shape) and
+    // produces identical rows. A forced broadcast() would ignore the
+    // threshold and keep BroadcastHashJoin here.
+    val onRows = SparkEntry.queries("q_dedup_simhash")(spark, TestSpark.SF)
+      .collect().map(_.toString).sorted.toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_dedup_simhash")(spark, TestSpark.SF)
+      val offRows = df.collect().map(_.toString).sorted.toSeq
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(offRows == onRows, "gated-off plan changed the result rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_dedup_minhash signature rows carry no per-document shingle payload") {
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, TestSpark.SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_set"), s"O(document) agg buffer back in the plan:\n$p")
   }
 
   test("q_agg_hash filter is pushed to the parquet scan") {
