@@ -25,19 +25,41 @@ object Bench {
     // baseline (BASELINE.md).
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, Double]
+    // Errors are FIRST-CLASS bench output (VERDICT r4 item 4): a failing
+    // query must not silently "benchmark" as time-to-throw while the total
+    // quietly shrinks. Failed reps record no time; a query that fails every
+    // rep appears ONLY under "errors" and inflates the errors count in the
+    // parsed final line.
+    val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to 3; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      } catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+      }
     }
     val results = times.toMap
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def fmt(v: Double): String = f"$v%.3f"
     def line(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.values.sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$extra,"queries":$qs,"sf":"$sfDir"}"""
+      val errFields = if (errors.isEmpty) s""","errors":0"""
+        else {
+          val em = errors.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+          s""","errors":${errors.size},"error_queries":$em"""
+        }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$errFields$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query record: printed for the log AND written to
     // BENCH_DETAIL.json, because the driver only keeps the last ~2000
