@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.Tables._
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -16,6 +17,20 @@ import org.apache.spark.sql.expressions.Window
   * range-join explosion (SURVEY.md §5).
   */
 object Relational extends QueryPack {
+
+  /** Month-partitioned copy of `orders` (hive layout, written once per
+    * (session, dataset) via Sinks.writePartitioned) — the fact-store shape
+    * q_join_dpp reads so dynamic partition pruning has partitions to
+    * prune. ~80 month partitions over the synthetic date range. */
+  private val dppMemo = scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def dppFactPath(s: SparkSession, d: String): String =
+    dppMemo.getOrElseUpdate((s, d), {
+      val path = s"/tmp/graft-dpp/${d.replaceAll("[^A-Za-z0-9.]", "_")}/orders_by_month"
+      graft.sources.Sinks.writePartitioned(
+        t(s, d, "orders").withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
+        path, Seq("o_month"))
+      path
+    })
 
   def queries: Seq[(String, Fn)] = Seq(
     // #1 full scan + count. Analog: daily NetCDF scan.
@@ -289,6 +304,48 @@ object Relational extends QueryPack {
       t(s, d, "customer").select(col("c_custkey").as("k"))
         .except(t(s, d, "orders").select(col("o_custkey").as("k")))
         .orderBy("k")),
+
+    // Dynamic partition pruning: a month-partitioned fact store joined on
+    // its partition column to a dim filtered on a NON-join attribute. The
+    // qualifying months are only known at runtime, so static pruning can't
+    // fire — Catalyst's PartitionPruning rule reuses the dim broadcast as
+    // a runtime IN-subquery on the fact scan's PartitionFilters, and the
+    // fact reader never lists, opens, or scans the other ~68 month
+    // directories. At 100 TB this is THE scan optimization: the dominant
+    // cost is fact I/O and DPP turns it proportional to the selected
+    // partition count. PlanSpec asserts `dynamicpruning` in the scan.
+    "q_join_dpp" -> ((s, d) => {
+      val fact = s.read.parquet(dppFactPath(s, d))
+      val dim = t(s, d, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          date_format(col("o_orderdate"), "yyyy").as("yr"))
+        .distinct()
+        .where(col("yr") === "1997")
+      // dim is calendar-bounded (#months), never corpus-sized → forced
+      // broadcast is safe and is what DPP's broadcast-reuse keys off
+      fact.join(broadcast(dim), col("o_month") === col("month"))
+        .groupBy("o_month")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_month")
+    }),
+
+    // Skew-mitigation surface: the same rows as a plain dim join, executed
+    // through Skew.saltedJoin — facts carry a deterministic salt, the
+    // 3-row dim replicates 8×, and the single hot l_returnflag key spreads
+    // across 8 reducers instead of starving all but 3 tasks. The manual
+    // fallback for when AQE's runtime skew split can't help (broadcast-
+    // ineligible build side, first-stage skew).
+    "q_join_salted" -> ((s, d) => {
+      val facts = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_orderkey"), col("l_extendedprice"))
+      val dims = t(s, d, "lineitem").select(col("l_returnflag").as("flag"))
+        .distinct()
+        .withColumn("flag_label", concat(lit("flag_"), col("flag")))
+      Skew.saltedJoin(facts, dims, "flag", col("l_orderkey"), buckets = 8)
+        .groupBy("flag_label")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("flag_label")
+    }),
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -438,5 +495,23 @@ object Relational extends QueryPack {
         |  SELECT c_custkey AS k FROM customer
         |  EXCEPT SELECT o_custkey AS k FROM orders)
         |ORDER BY k""".stripMargin,
+    "q_join_dpp" ->
+      """WITH f AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+        |  FROM orders),
+        |d AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month,
+        |   strftime(o_orderdate, '%Y') AS yr
+        |  FROM orders)
+        |SELECT f.o_month, count(*) AS n_orders,
+        | CAST(sum(CAST(f.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM f JOIN d ON f.o_month = d.month
+        |WHERE d.yr = '1997'
+        |GROUP BY f.o_month ORDER BY f.o_month""".stripMargin,
+    "q_join_salted" ->
+      """SELECT 'flag_' || l_returnflag AS flag_label, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -206,6 +206,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_set"), s"O(document) agg buffer back in the plan:\n$p")
   }
 
+  test("q_join_dpp: fact scan carries a runtime dynamicpruning partition filter") {
+    // The qualifying months are only known after filtering the dim, so the
+    // pruning must be DYNAMIC: a runtime IN-subquery in the partitioned
+    // fact scan's PartitionFilters (reusing the dim broadcast). Static
+    // pruning alone would read all ~80 month directories.
+    val p = plan("q_join_dpp")
+    assert(p.contains("dynamicpruning"), p)
+  }
+
+  test("q_join_salted joins on the composite (key, salt) pair") {
+    val p = plan("q_join_salted")
+    assert(p.contains("__salt"), s"salted join collapsed to a plain join:\n$p")
+  }
+
   test("q_agg_hash filter is pushed to the parquet scan") {
     val p = plan("q_agg_hash")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
