@@ -44,6 +44,57 @@ object Sinks {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JDBC sink — the reference's actual result store was a SQL database
+    * behind an ORM ([U] SURVEY.md §3A `database.py` add_rows). Embedded
+    * Derby (on the Spark classpath) serves as the in-process database for
+    * tests; on a cluster the url is deployment config and any
+    * JDBC-compliant store works. Appends create the table on first write.
+    *
+    * Scale note: each executor partition opens one connection and writes
+    * its rows batched (`batchsize`); the aggregate result tables this
+    * targets are orders of magnitude smaller than the fact inputs, so the
+    * single-database fan-in is the store's limit, not Spark's. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", "1000")
+      .save()
+
+  /** Idempotent incremental JDBC load — the delete-overlap upsert ([U]
+    * `database.py` delete + add_rows): one driver-side range DELETE over
+    * the batch's `keyCol` span, then append. Re-running the same batch
+    * replaces exactly its own rows; disjoint batches accumulate. The
+    * delete is a single statement from one 1-row min/max aggregate — no
+    * per-row driver loop, no read-modify-write of the table. */
+  def overwriteJdbcRange(batch: DataFrame, url: String, table: String,
+      keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.{max, min}
+    val Array(lo, hi) = batch.agg(min(batch(keyCol)), max(batch(keyCol)))
+      .head().toSeq.toArray
+    if (lo != null) { // empty batch: nothing to delete or append
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        // Spark's JDBC writer quotes column identifiers (case-sensitive),
+        // so the DELETE must quote them too or the store normalizes the
+        // name and misses the column
+        val st = conn.prepareStatement(
+          s"""DELETE FROM $table WHERE "$keyCol" BETWEEN ? AND ?""")
+        try { st.setObject(1, lo); st.setObject(2, hi); st.executeUpdate() }
+        finally st.close()
+      } catch {
+        // first load: the table does not exist yet — the append creates it
+        case e: java.sql.SQLException if e.getSQLState == "42X05" => ()
+      } finally conn.close()
+      writeJdbc(batch, url, table, SaveMode.Append)
+    }
+  }
+
+  /** Read a JDBC table back. */
+  def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
   /** Persist a table bucketed on a join key. Two tables bucketed the same
     * way join with ZERO shuffle (co-located sort-merge — asserted in
     * SinkSpec): at 100 TB this turns the nightly fact⋈fact join from a

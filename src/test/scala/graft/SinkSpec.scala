@@ -98,6 +98,30 @@ class SinkSpec extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount"), plan)
   }
 
+  test("jdbc sink: round-trip, idempotent re-run, disjoint batches accumulate") {
+    val url = s"jdbc:derby:/tmp/graft-derby/${System.nanoTime()};create=true"
+    val orders = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val batch1 = orders.where(col("o_orderkey") <= 500)
+    val batch2 = orders.where(col("o_orderkey") > 500 && col("o_orderkey") <= 1000)
+    val n1 = batch1.count(); val n2 = batch2.count()
+    assert(n1 > 0 && n2 > 0)
+    Sinks.overwriteJdbcRange(batch1, url, "results", "o_orderkey")
+    assert(Sinks.readJdbc(spark, url, "results").count() == n1)
+    // overlap re-run: same batch again must replace, not duplicate
+    Sinks.overwriteJdbcRange(batch1, url, "results", "o_orderkey")
+    assert(Sinks.readJdbc(spark, url, "results").count() == n1)
+    // disjoint batch accumulates
+    Sinks.overwriteJdbcRange(batch2, url, "results", "o_orderkey")
+    val back = Sinks.readJdbc(spark, url, "results")
+    assert(back.count() == n1 + n2)
+    // values survive the round trip
+    val want = batch1.unionByName(batch2).orderBy("o_orderkey", "o_custkey")
+      .collect().map(_.toString).toSeq
+    assert(back.orderBy("o_orderkey", "o_custkey")
+      .collect().map(_.toString).toSeq == want)
+  }
+
   test("cosine_sim is callable from SQL via GraftExtensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
