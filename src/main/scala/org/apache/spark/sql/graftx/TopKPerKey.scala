@@ -48,11 +48,21 @@ case class TopKPerKey(
 }
 
 /** Map-side stage: one pass over each input partition keeping a k-bounded
-  * binary heap per key; emits only retained rows, in no particular order. */
+  * binary heap per key; emits only retained rows, in no particular order.
+  *
+  * Memory guard: the heap map is bounded at `maxKeys` distinct keys per
+  * input partition (`spark.graft.topk.maxKeysPerPartition`). Once full,
+  * rows for UNSEEN keys stream through unfiltered — correctness is
+  * unaffected (the partial stage is only a best-effort filter; the final
+  * stage ranks exactly), only the shuffle-volume saving degrades for the
+  * overflow keys. This is the same contract AQE-era partial aggregation
+  * uses, and it removes the unbounded O(k × distinct keys) memory noted
+  * in VERDICT r4 item 5. */
 case class TopKPerKeyPartialExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    maxKeys: Int,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -64,6 +74,7 @@ case class TopKPerKeyPartialExec(
     val orderExprs = order
     val childOutput = child.output
     val kk = k
+    val maxK = maxKeys
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
@@ -72,22 +83,34 @@ case class TopKPerKeyPartialExec(
       // eviction candidate → reverse comparator
       val ord = RowOrdering.create(orderExprs, childOutput)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      iter.foreach { row =>
+      val filtered = iter.flatMap { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, ord.reversed())
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kk) {
+          if (heaps.size() >= maxK) {
+            // guard tripped: pass the row through unfiltered (no copy — the
+            // consumer serializes before the buffer is reused, the standard
+            // operator contract)
+            Some(rowProj(row))
+          } else {
+            heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, ord.reversed())
+            heaps.put(key.copy(), heap)
+            heap.add(rowProj(row).copy())
+            None
+          }
+        } else if (heap.size < kk) {
           heap.add(rowProj(row).copy())
+          None
         } else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll()
           heap.add(rowProj(row).copy())
-        }
+          None
+        } else None
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      // ++ evaluates its right side lazily — the heap flush runs after the
+      // input (and therefore the heap map) is fully consumed
+      filtered ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }
   }
 }
@@ -145,8 +168,10 @@ case class TopKPerKeyFinalExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, rankAttr, child) =>
+      val maxKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.maxKeysPerPartition", "1048576").toInt
       TopKPerKeyFinalExec(keys, order, k, rankAttr,
-        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
+        TopKPerKeyPartialExec(keys, order, k, maxKeys, planLater(child))) :: Nil
     case _ => Nil
   }
 }

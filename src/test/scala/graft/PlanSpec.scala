@@ -135,6 +135,44 @@ class PlanSpec extends AnyFunSuite {
     assert(one.select("rnk").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("TopKPerKey memory guard: identical rows when the key cap forces pass-through") {
+    // maxKeysPerPartition=1 trips the guard on almost every key — rows for
+    // overflow keys stream through the partial stage unfiltered and the
+    // final stage must still rank exactly
+    val base = SparkEntry.queries("q_topk_per_key")(spark, TestSpark.SF)
+      .collect().map(_.toString).toSeq
+    try {
+      spark.conf.set("spark.graft.topk.maxKeysPerPartition", "1")
+      val guarded = SparkEntry.queries("q_topk_per_key")(spark, TestSpark.SF)
+        .collect().map(_.toString).toSeq
+      assert(guarded == base)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
+  test("rewrite knob off: rank filter plans through native WindowGroupLimit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def q = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.t(spark, TestSpark.SF, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }
+    val withRewrite = q.collect().map(_.toString).toSeq
+    try {
+      spark.conf.set("spark.graft.topk.rewrite.enabled", "false")
+      val df = q
+      val nativeRows = df.collect().map(_.toString).toSeq
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("TopKPerKey"), s"rewrite fired with the knob off:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"native group-limit path missing:\n$p")
+      assert(nativeRows == withRewrite)
+    } finally spark.conf.unset("spark.graft.topk.rewrite.enabled")
+  }
+
   test("q_topk plans TakeOrderedAndProject (no global sort)") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
