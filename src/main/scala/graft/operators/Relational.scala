@@ -329,6 +329,21 @@ object Relational extends QueryPack {
         .orderBy("o_month")
     }),
 
+    // Custom DataSource V2 scan (graft-grid, the raster-ingest analog):
+    // synthetic deterministic grid through the full connector surface —
+    // schema inference, stripe partition planning, y-bound stripe pruning,
+    // x/y row-level pushdown, column pruning. The oracle regenerates the
+    // identical grid with generate_series, so the connector itself is
+    // hash-checked end to end.
+    "q_source_grid" -> ((s, d) =>
+      s.read.format("graft-grid")
+        .option("width", 64).option("height", 64).option("stripes", 8)
+        .load()
+        .where(col("y") >= 16 && col("y") < 32 && col("x") < 10)
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy("x")),
+
     // Skew-mitigation surface: the same rows as a plain dim join, executed
     // through Skew.saltedJoin — facts carry a deterministic salt, the
     // 3-row dim replicates 8×, and the single hot l_returnflag key spreads
@@ -513,5 +528,12 @@ object Relational extends QueryPack {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_source_grid" ->
+      """WITH g AS (
+        |  SELECT tx.x, ty.y, CAST((tx.x*31 + ty.y*17) % 97 AS INT) AS v
+        |  FROM generate_series(0, 63) tx(x), generate_series(0, 63) ty(y))
+        |SELECT CAST(x AS INT) AS x, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM g WHERE y >= 16 AND y < 32 AND x < 10
+        |GROUP BY x ORDER BY x""".stripMargin,
   )
 }

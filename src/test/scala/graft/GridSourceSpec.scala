@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 grid connector: schema, determinism, stripe pruning,
+  * filter pushdown, column pruning. */
+class GridSourceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def formatted(df: DataFrame): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.explainString(FormattedMode)
+
+  test("full scan: row count and deterministic cell values") {
+    val g = spark.read.format("graft-grid")
+      .option("width", 16).option("height", 8).load()
+    assert(g.count() == 16 * 8)
+    val bad = g.where(col("v") =!= (col("x") * 31 + col("y") * 17) % 97).count()
+    assert(bad == 0, s"$bad cells disagree with the formula")
+  }
+
+  test("y bounds prune stripes at planning time") {
+    val g = spark.read.format("graft-grid")
+      .option("width", 8).option("height", 64).option("stripes", 8).load()
+      .where(col("y") >= 16 && col("y") < 32)
+    // 2 of the 8 8-row stripes intersect [16, 32) — the others are never
+    // planned, the DSv2 analog of partition pruning
+    assert(g.rdd.getNumPartitions == 2, s"got ${g.rdd.getNumPartitions} partitions")
+    assert(g.count() == 8 * 16)
+  }
+
+  test("pushed filters and pruned read schema are plan-visible") {
+    val g = spark.read.format("graft-grid")
+      .option("width", 64).option("height", 64).load()
+      .where(col("y") >= 16 && col("x") < 10)
+      .select("x", "v")
+    val p = formatted(g)
+    assert(p.contains("PushedFilters: [GreaterThanOrEqual(y,16), LessThan(x,10)]"), p)
+    // y is consumed entirely by the pushdown, so the reader schema drops it
+    assert(p.contains("ReadSchema: struct<x:int,v:int>"), p)
+    assert(g.count() == 10 * 48)
+  }
+
+  test("row-level pushdown matches post-scan filtering") {
+    val full = spark.read.format("graft-grid")
+      .option("width", 32).option("height", 32).load().collect()
+      .filter(r => r.getInt(1) >= 5 && r.getInt(0) === 7).map(_.toString).sorted.toSeq
+    val pushed = spark.read.format("graft-grid")
+      .option("width", 32).option("height", 32).load()
+      .where(col("y") >= 5 && col("x") === 7).collect().map(_.toString).sorted.toSeq
+    assert(pushed == full)
+    assert(pushed.nonEmpty)
+  }
+}
