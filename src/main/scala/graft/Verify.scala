@@ -32,6 +32,31 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // ANN recall as a tracked per-round artifact: the oracle hash-checks
+    // that each ANN pipeline computes ITS OWN definition exactly, but not
+    // how well LSH/IVF approximate the exact knn truth — so a quality
+    // regression (e.g. a bucket-width change) could hide behind green
+    // hashes. recall@3 vs q_sim_knn lands in RECALL.json every round.
+    try {
+      import org.apache.spark.sql.functions.col
+      val knn = SparkEntry.queries("q_sim_knn")(spark, sfDir)
+        .where(col("rnk") <= 3).select("vec_id", "neighbor_id")
+      val total = knn.count()
+      def recall(name: String): Double = {
+        val hits = SparkEntry.queries(name)(spark, sfDir)
+          .select("vec_id", "neighbor_id")
+          .join(knn, Seq("vec_id", "neighbor_id"), "left_semi").count()
+        if (total == 0) 1.0 else hits.toDouble / total
+      }
+      val rec = f"""{"sf":"$sfDir","k":3,"knn_pairs":$total,""" +
+        f""""recall_lsh":${recall("q_sim_ann_lsh")}%.4f,""" +
+        f""""recall_ivf":${recall("q_sim_ann_ivf")}%.4f}"""
+      Files.writeString(Paths.get(s"$outDir/recall.json"), rec)
+      Files.writeString(Paths.get("RECALL.json"), rec + "\n")
+      println(s"[verify] ann recall: $rec")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] recall computation failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
