@@ -135,6 +135,26 @@ object LlmPipeline extends QueryPack {
   private def shingleCounts(ds: DataFrame): DataFrame =
     ds.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
+  /** Memoized per-doc 32-bit simhash signatures (doc_id, lang, simhash):
+    * one exploded-token pass, map-side-combinable bit sums. Shared by
+    * q_dedup_simhash (lang-blocked truth pairs) and
+    * q_dedup_simhash_banded (the banded scale path). */
+  private def simTable(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "simhash_sim") {
+      val tok = t(s, d, "documents")
+        .repartition(col("doc_id")) // single-row-group file → parallelize tokenize+hash
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+        .withColumn("th", h60(col("tok")))
+      val bitAggs = (0 until SIM_BITS).map(j =>
+        sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+      tok.groupBy("doc_id", "lang").agg(bitAggs.head, bitAggs.tail: _*)
+        .withColumn("simhash",
+          (0 until SIM_BITS).map(j =>
+            when(col(s"s$j") >= 0, shiftleft(lit(1L), j)).otherwise(0L))
+            .reduce(_ + _))
+        .select("doc_id", "lang", "simhash")
+    }
+
   /** jac = |∩| / (|A|+|B|−|∩|) given per-pair intersections + per-doc counts. */
   private def jaccardFromInter(inter: DataFrame, cnt: DataFrame): DataFrame =
     inter
@@ -269,20 +289,7 @@ object LlmPipeline extends QueryPack {
     // SimHash(32-bit) near-dup: token-frequency-weighted sign bits, pairs
     // (blocked by lang) with hamming distance <= 6.
     "q_dedup_simhash" -> ((s, d) => {
-      val tok = t(s, d, "documents")
-        .repartition(col("doc_id")) // single-row-group file → parallelize tokenize+hash
-        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
-        .withColumn("th", h60(col("tok")))
-      val bitAggs = (0 until SIM_BITS).map(j =>
-        sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
-      val bitSums = tok.groupBy("doc_id", "lang").agg(bitAggs.head, bitAggs.tail: _*)
-      // memoized: reused on both sides of the pair join below
-      val sim = cached(s, d, "simhash_sim")(
-        bitSums.withColumn("simhash",
-          (0 until SIM_BITS).map(j =>
-            when(col(s"s$j") >= 0, shiftleft(lit(1L), j)).otherwise(0L))
-            .reduce(_ + _))
-          .select("doc_id", "lang", "simhash"))
+      val sim = simTable(s, d)
       // size-gated broadcast of the right side: the join key `lang` has only
       // 5 values, so a shuffled join uses 5 of 32 tasks — the hint keeps the
       // pair generation parallel while the table fits the broadcast budget;
@@ -295,6 +302,36 @@ object LlmPipeline extends QueryPack {
         .where(col("hamming") <= 6)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash banded dedup — the 100 TB shape for the query above. The
+    // lang-blocked pair join is still quadratic WITHIN a language at
+    // corpus scale; pigeonhole fixes it exactly: if two 32-bit simhashes
+    // differ in ≤ 6 bits, then splitting them into 7 bands leaves at
+    // least one band identical — so joining on (band index, band value,
+    // lang) generates a candidate set that PROVABLY contains every
+    // hamming≤6 pair (recall 1.0, not approximate), and the exact hamming
+    // check then prunes false candidates. Join-key cardinality is
+    // 7 bands × band values × langs instead of 5 langs; candidates are
+    // bounded by band-bucket collisions, never all-pairs. Result rows are
+    // identical to q_dedup_simhash by construction (asserted in LlmSpec
+    // and by the oracle).
+    "q_dedup_simhash_banded" -> ((s, d) => {
+      val sim = simTable(s, d) // shared memoized signature table
+      val stackArgs = (0 until 7).map(j =>
+        s"$j, shiftright(simhash, ${j * 5}) & 31").mkString(", ")
+      val bands = sim.selectExpr("doc_id", "lang", "simhash",
+        s"stack(7, $stackArgs) as (band, bv)")
+      bands.as("a")
+        .join(maybeBroadcast(bands.as("b")), col("a.band") === col("b.band") &&
+          col("a.bv") === col("b.bv") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType)
+            .as("hamming"))
+        .where(col("hamming") <= 6)
+        .distinct() // a pair can collide in several bands
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -648,6 +685,18 @@ object LlmPipeline extends QueryPack {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash_banded" ->
+      s"""WITH $simhashTermsSql,
+         |bands AS (
+         |  SELECT doc_id, lang, simhash, t.j AS band, (simhash >> (t.j*5)) & 31 AS bv
+         |  FROM sim, generate_series(0, 6) t(j))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         | ON a.band = b.band AND a.bv = b.bv AND a.lang = b.lang
+         |  AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embcos" ->

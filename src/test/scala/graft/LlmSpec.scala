@@ -129,6 +129,15 @@ class LlmSpec extends AnyFunSuite {
     assert(rawPairs >= 7L * 199 * 200 / 2, s"fixture not boilerplate-heavy: $rawPairs")
   }
 
+  test("banded simhash finds EXACTLY the lang-blocked pairs (pigeonhole recall 1.0)") {
+    // ≤6 differing bits across 7 bands ⇒ at least one band identical, so
+    // band-blocking loses nothing; the hamming verify prunes the rest
+    val truth = q("q_dedup_simhash").collect().map(_.toString).sorted.toSeq
+    val banded = q("q_dedup_simhash_banded").collect().map(_.toString).sorted.toSeq
+    assert(banded == truth)
+    assert(truth.nonEmpty)
+  }
+
   test("simhash hamming bounds: near pairs share most bits") {
     q("q_dedup_simhash").collect().foreach { r =>
       assert(r.getAs[Long]("hamming") <= 6)
