@@ -59,6 +59,23 @@ object Tables {
 
   val DEC: DecimalType = DecimalType(38, 6)
 
+  /** Size-gated broadcast hint: hint only when Catalyst's size estimate for
+    * the optimized plan fits the session's `autoBroadcastJoinThreshold`;
+    * otherwise leave the plan alone (shuffled join; AQE may still convert
+    * back to broadcast at runtime from observed sizes).
+    *
+    * Use this for any join side whose size scales with the DATA (facts,
+    * per-document/per-vector derived tables, `customer`-like dims that grow
+    * with SF). A forced `broadcast()` hint bypasses the threshold entirely
+    * and OOMs the driver at 100 TB; forced hints remain appropriate only
+    * for provably bounded tables (calendar dims, geography dims, quantizer
+    * centroids) — document the bound at the call site. */
+  def maybeBroadcast(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftx.Sizing
+    val thresh = Sizing.broadcastThreshold(df)
+    if (thresh > 0 && Sizing.estimatedBytes(df) <= thresh) broadcast(df) else df
+  }
+
   /** Exact, order-independent sum of a double expression: round each value
     * to DECIMAL(38,6), sum exactly, return DOUBLE.
     *

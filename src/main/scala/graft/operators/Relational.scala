@@ -95,10 +95,12 @@ object Relational extends QueryPack {
         .orderBy("o_orderstatus")),
 
     // #8 multi-way join; dims broadcast, facts shuffle once on orderkey.
+    // customer GROWS with scale factor → size-gated hint (at 100 TB it
+    // sort-merges); nation is geography-bounded (25 rows) → forced is safe.
     "q_join_multi" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(maybeBroadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
@@ -262,7 +264,7 @@ object Relational extends QueryPack {
     "q_report_summary" -> ((s, d) => {
       val leaf = t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(maybeBroadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name", "o_orderpriority")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),

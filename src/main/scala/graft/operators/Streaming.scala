@@ -82,7 +82,9 @@ object Streaming extends QueryPack {
       val bmax = ev.groupBy("bkt").agg(max(tsec(col("ts"))).as("bkt_max"))
         .withColumn("prior_max", max(col("bkt_max")).over(wPrior))
         .select("bkt", "prior_max")
-      local.join(broadcast(bmax), "bkt")
+      // bmax has one row per bucket (#events / B) — grows with data, so
+      // the hint is size-gated like every data-proportional build side
+      local.join(maybeBroadcast(bmax), "bkt")
         .withColumn("wm",
           greatest(col("run_ts"), coalesce(col("prior_max"), lit(Long.MinValue))) - 600)
         .withColumn("late", tsec(col("ts")) < col("wm"))
