@@ -24,6 +24,49 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.map(_.toString).sameElements(plain.map(_.toString)))
   }
 
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    import spark.implicits._
+    // The automatic counterpart to saltedJoin: AQE detects the oversized
+    // post-shuffle partition (hot key 1) and splits it across tasks,
+    // marking the join skew=true. Thresholds are tuned down so the ~100k
+    // hot rows qualify at test scale; broadcast is disabled to force the
+    // sort-merge path the optimization applies to.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // the downstream aggregate re-shuffles anyway; without force, AQE
+      // declines splits that would add an exchange
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // md5 payload keeps the hot partition incompressible and survives
+      // pruning (it feeds the aggregate), so its shuffle size crosses the
+      // skew threshold
+      val facts = spark.range(100000).select(lit(1L).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+        .union(spark.range(2000).select((col("id") % 50 + 2).as("k"),
+          md5(col("id").cast("string")).as("payload")))
+      val dims = spark.range(60).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("name"))
+      val j = facts.join(dims, "k").groupBy("name")
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+      val rows = j.collect()
+      assert(rows.map(_.getLong(1)).sum == 102000L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not mark the skew split:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salt values are deterministic and span the bucket range") {
     import spark.implicits._
     val df = spark.range(1000).select(col("id"))
