@@ -1,7 +1,9 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
 
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,12 +33,36 @@ object Bench {
     // rep appears ONLY under "errors" and inflates the errors count in the
     // parsed final line.
     val errors = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to 3; (name, fn) <- ordered) {
+    // Shuffle/spill telemetry (last pass only): per-query shuffle-write
+    // bytes are the scale signal wall time can't give — a plan regression
+    // that doubles a shuffle shows up here rounds before it would dominate
+    // local wall time. Collected via task metrics; the drain sleep runs
+    // OUTSIDE the timed section.
+    val shuffleAcc = new AtomicLong; val spillAcc = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillAcc.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+    })
+    val shuffleMb = scala.collection.mutable.Map.empty[String, Double]
+    val spillMb = scala.collection.mutable.Map.empty[String, Double]
+    for (pass <- 1 to 3; (name, fn) <- ordered) {
+      val lastPass = pass == 3
+      if (lastPass) { Thread.sleep(80); shuffleAcc.set(0); spillAcc.set(0) }
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+        if (lastPass) {
+          Thread.sleep(80) // let listener events drain before reading
+          shuffleMb(name) = shuffleAcc.get / 1e6
+          spillMb(name) = spillAcc.get / 1e6
+        }
       } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
       }
@@ -67,7 +93,14 @@ object Bench {
     // why rounds 1–2 recorded parsed:null. The FINAL printed line below
     // is truncated to the slowest queries so it always fits the tail
     // window intact and parses.
-    val full = line(results.toSeq.sortBy(_._1), "")
+    val full = {
+      val base = line(results.toSeq.sortBy(_._1), "")
+      val sh = shuffleMb.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      val totalSpill = spillMb.values.sum
+      base.dropRight(1) +
+        s""","shuffle_mb":$sh,"spill_mb_total":${f"$totalSpill%.2f"}}"""
+    }
     Files.write(Paths.get("BENCH_DETAIL.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
     println(full)
     val budget = 1500 // chars for the final line; tail window is 2000 minus sbt's epilogue
