@@ -60,9 +60,15 @@ private[sources] class GridTable(options: CaseInsensitiveStringMap)
 }
 
 private[sources] class GridScanBuilder(width: Int, height: Int, stripes: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GridSource.SCHEMA
+  private var limit: Int = Int.MaxValue
+
+  // LIMIT n with no intervening filter reaches the source: each reader
+  // stops generating after n rows (Spark still applies the global limit)
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo(a, _: Integer) => a == "x" || a == "y"
@@ -79,18 +85,19 @@ private[sources] class GridScanBuilder(width: Int, height: Int, stripes: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = GridScan(width, height, stripes, pushed, required)
+  override def build(): Scan = GridScan(width, height, stripes, pushed, required, limit)
 }
 
 private[sources] case class GridScan(width: Int, height: Int, stripes: Int,
-    pushed: Array[Filter], required: StructType) extends Scan with Batch {
+    pushed: Array[Filter], required: StructType, limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in explain output (BatchScan prints the scan description) so
   // pushdown is plan-visible, like a parquet scan's PushedFilters
   override def description(): String =
     s"graft-grid ${width}x$height PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${required.catalogString}" +
+      (if (limit != Int.MaxValue) s", PushedLimit: $limit" else "")
 
   /** y-bounds from the pushed filters, for stripe pruning. */
   private def yBounds: (Int, Int) = {
@@ -120,18 +127,19 @@ private[sources] case class GridScan(width: Int, height: Int, stripes: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GridReaderFactory(width, pushed, required)
+    GridReaderFactory(width, pushed, required, limit)
 }
 
 private[sources] case class GridInputPartition(y0: Int, y1: Int) extends InputPartition
 
 private[sources] case class GridReaderFactory(width: Int, pushed: Array[Filter],
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, limit: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GridInputPartition]
     new PartitionReader[InternalRow] {
       private var x = -1
       private var y = p.y0
+      private var emitted = 0
       private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         required.length)
       // required-column projection indices resolved once per reader
@@ -148,11 +156,13 @@ private[sources] case class GridReaderFactory(width: Int, pushed: Array[Filter],
       private def pick(a: String, cx: Int, cy: Int): Int = if (a == "x") cx else cy
 
       override def next(): Boolean = {
+        if (emitted >= limit) return false // per-reader limit pushdown
         while (true) {
           x += 1
           if (x >= width) { x = 0; y += 1 }
           if (y >= p.y1) return false
           if (keep(x, y)) {
+            emitted += 1
             var i = 0
             while (i < cols.length) {
               row.setInt(i, cols(i) match {

@@ -95,6 +95,34 @@ object Sinks {
   def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =
     spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
 
+  /** Small-files compaction — the nightly maintenance pass every
+    * long-lived incrementally-loaded store needs: each micro-batch append
+    * leaves one-file-per-task debris, and scan cost at 100 TB degrades
+    * with file COUNT (listing, footer reads, task scheduling) long before
+    * data volume. Rewrites the store to `filesPerGroup` files (per
+    * hive-partition when `partitionCols` is set — the repartition on the
+    * partition columns aligns exchange and layout so each directory gets
+    * exactly that many files), atomically swapped in via a temp dir +
+    * rename, since Spark cannot overwrite a path it is reading. */
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String] = Nil,
+      filesPerGroup: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    val df = spark.read.parquet(path)
+    val out =
+      if (partitionCols.isEmpty) df.repartition(filesPerGroup)
+      else df.repartition(partitionCols.map(col): _*)
+    val w = out.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+  }
+
   /** Persist a table bucketed on a join key. Two tables bucketed the same
     * way join with ZERO shuffle (co-located sort-merge — asserted in
     * SinkSpec): at 100 TB this turns the nightly fact⋈fact join from a

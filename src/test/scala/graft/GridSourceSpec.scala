@@ -44,6 +44,15 @@ class GridSourceSpec extends AnyFunSuite {
     assert(g.count() == 10 * 48)
   }
 
+  test("limit pushdown stops generation at the reader and is plan-visible") {
+    val g = spark.read.format("graft-grid")
+      .option("width", 1000).option("height", 1000).load()
+      .limit(5)
+    assert(g.count() == 5)
+    val p = formatted(g)
+    assert(p.contains("PushedLimit: 5"), p)
+  }
+
   test("row-level pushdown matches post-scan filtering") {
     val full = spark.read.format("graft-grid")
       .option("width", 32).option("height", 32).load().collect()

@@ -122,6 +122,32 @@ class SinkSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq == want)
   }
 
+  test("compaction shrinks file count, preserves rows (flat and partitioned)") {
+    def parquetFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    val li = Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+    val want = li.count()
+    // flat store: 16-file debris → 1 file
+    val flat = Files.createTempDirectory("graft-compact").toString + "/flat"
+    li.repartition(16).write.parquet(flat)
+    assert(parquetFiles(flat).size == 16)
+    Sinks.compact(spark, flat)
+    assert(parquetFiles(flat).size == 1)
+    assert(spark.read.parquet(flat).count() == want)
+    // partitioned store: 16 files per partition dir → 1 per dir
+    val part = Files.createTempDirectory("graft-compact").toString + "/part"
+    li.repartition(16).write.partitionBy("l_returnflag").parquet(part)
+    assert(parquetFiles(part).size > 3)
+    Sinks.compact(spark, part, Seq("l_returnflag"))
+    val byDir = parquetFiles(part).groupBy(_.getParentFile.getName)
+    assert(byDir.size == 3 && byDir.values.forall(_.size == 1), byDir.toString)
+    assert(spark.read.parquet(part).count() == want)
+  }
+
   test("cosine_sim is callable from SQL via GraftExtensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
