@@ -437,6 +437,36 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id", "rnk")
     }),
 
+    // End-to-end training-data pipeline — the composition a real corpus
+    // run executes: exact-dedup keepers → quality filter → deterministic
+    // 50% hash sample → per-language summary. The point is operator
+    // COMPOSITION under one optimized plan: the keeper selection
+    // (row_number = 1 over the content hash) is rewritten by
+    // RewriteRankFilterToTopK into the map-side-heap TopKPerKey plan
+    // (asserted in PlanSpec), the quality/sample predicates collapse into
+    // one filter, and the final agg is map-side combinable. One job, two
+    // shuffles (keeper grouping, final agg) regardless of corpus size.
+    "q_pipeline_e2e" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(lower(trim(col("text"))), 256))
+        .orderBy(col("doc_id").asc)
+      val tk = col("toks")
+      val diversity = size(array_distinct(tk)).cast(DoubleType) / size(tk)
+      val quality = least(lit(1.0), col("n_chars") / 200.0) * diversity
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .withColumn("toks", toks(col("text")))
+        .withColumn("q", r4(quality))
+        .where(col("q") >= 0.35 &&
+          pmod(h60(col("doc_id").cast("string")), lit(100)) < 50)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("n_tokens"),
+          r4(sum(col("q").cast(DEC)).cast(DoubleType) / count(lit(1))).as("mean_quality"))
+        .orderBy("lang")
+    }),
+
     // #45 corpus term frequencies, top 50.
     "q_text_stats" -> ((s, d) =>
       t(s, d, "documents")
@@ -749,6 +779,27 @@ object LlmPipeline extends QueryPack {
          |   ON a.cell = b.cell AND a.vec_id <> b.vec_id)
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
+    "q_pipeline_e2e" ->
+      """WITH keep AS (
+        |  SELECT doc_id, lang, text, n_chars FROM (
+        |    SELECT doc_id, lang, text, n_chars,
+        |     row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+        |       ORDER BY doc_id ASC) AS rn
+        |    FROM documents)
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT lang, doc_id, len(string_split(text,' ')) AS n_tok,
+        |   CAST(round(CAST(least(1.0, n_chars/200.0)
+        |     * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |        / len(string_split(text,' '))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS q
+        |  FROM keep)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | CAST(round(CAST(CAST(sum(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |   AS DECIMAL(38,6)), 4) AS DOUBLE) AS mean_quality
+        |FROM scored
+        |WHERE q >= 0.35
+        | AND ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 50
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_stats" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)

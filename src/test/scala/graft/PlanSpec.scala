@@ -244,6 +244,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_set"), s"O(document) agg buffer back in the plan:\n$p")
   }
 
+  test("q_pipeline_e2e: keeper selection is rewritten to the TopKPerKey plan") {
+    // the row_number=1 dedup step inside the composed pipeline must get
+    // the map-side-heap physical plan via the injected optimizer rule
+    val p = plan("q_pipeline_e2e")
+    assert(p.contains("TopKPerKeyFinal"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("q_join_dpp: fact scan carries a runtime dynamicpruning partition filter") {
     // The qualifying months are only known after filtering the dim, so the
     // pruning must be DYNAMIC: a runtime IN-subquery in the partitioned
