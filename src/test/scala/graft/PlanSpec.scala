@@ -252,6 +252,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective fact-fact join") {
+    // the shuffle-side analog of DPP: the selective orders filter seeds a
+    // bloom filter that is applied to lineitem BEFORE its shuffle, so
+    // non-matching fact rows never ship. Thresholds tuned down to fire at
+    // test scale; broadcast disabled to force the shuffled join the
+    // optimization targets.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.t(spark, TestSpark.SF, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables.t(spark, TestSpark.SF, "orders")
+        .where(col("o_orderstatus") === "P").select("o_orderkey")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val n = j.collect().head.getLong(0)
+      assert(n > 0)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no probe-side bloom predicate:\n$p")
+      assert(p.contains("bloom_filter_agg"), s"no creation-side bloom agg:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_join_dpp: fact scan carries a runtime dynamicpruning partition filter") {
     // The qualifying months are only known after filtering the dim, so the
     // pruning must be DYNAMIC: a runtime IN-subquery in the partitioned
