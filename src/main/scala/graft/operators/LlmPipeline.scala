@@ -476,6 +476,22 @@ object LlmPipeline extends QueryPack {
         .orderBy(col("n").desc, col("word").asc)
         .limit(50)),
 
+    // Heavy hitters via the Misra–Gries sketch (graftx.HeavyHittersAgg):
+    // frequent tokens from ONE pass with O(k) memory per partial and a
+    // ≤k-counter shuffle per partition — replaces the full
+    // groupBy(token).count() token-cardinality shuffle when only the
+    // frequent tail matters at 100 TB. No oracle by design (sketch
+    // family); MG bounds vs exact counts asserted in HeavyHittersSpec.
+    "q_text_heavyhitters" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(toks(col("text"))).as("tok"))
+        .agg(org.apache.spark.sql.graftx.HeavyHittersAgg
+          .heavyHitters(col("tok"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"))
+        .orderBy(col("est").desc, col("item").asc)
+        .limit(20)),
+
     // Inverse document frequency: document frequency per term over distinct
     // per-doc tokens, idf = ln(N/df); top 50 commonest terms. The corpus
     // count rides along as a broadcast scalar (crossJoin with a 1-row agg),
