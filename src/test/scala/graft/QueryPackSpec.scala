@@ -14,7 +14,9 @@ class QueryPackSpec extends AnyFunSuite {
     "q_dedup_near", "q_dedup_minhash", "q_dedup_simhash")
 
   /** Queries intentionally absent from oracleSql (engine-specific values). */
-  private val noOracle = Set("q_agg_approx_distinct", "q_agg_approx_percentile")
+  // sketch family: bounds asserted in scalatest instead of a hash oracle
+  private val noOracle =
+    Set("q_agg_approx_distinct", "q_agg_approx_percentile", "q_text_heavyhitters")
 
   test("oracle keys ⊆ query keys, and only justified omissions") {
     val q = SparkEntry.queries.keySet
