@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Windows,
     operators.Scalars,
     operators.LlmPipeline,
+    operators.Curation,
     operators.Streaming,
   )
 

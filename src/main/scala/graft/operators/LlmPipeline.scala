@@ -60,8 +60,9 @@ object LlmPipeline extends QueryPack {
   // the 1-row corpus-count agg), with the bound documented at the call
   // site. PlanSpec asserts the shuffle-join fallback when gated off.
 
-  /** Space-tokenization (documents.text is clean lowercase space-separated). */
-  private def toks(c: Column): Column = split(c, " ")
+  /** Space-tokenization (documents.text is clean lowercase space-separated).
+    * Shared with the Curation pack. */
+  private[operators] def toks(c: Column): Column = split(c, " ")
 
   /** Distinct k-token shingles over an ALREADY-MATERIALIZED tokens column.
     *
@@ -69,7 +70,7 @@ object LlmPipeline extends QueryPack {
     * referencing `split(text)` inside the transform lambda re-splits the
     * whole text per element access (no common-subexpression elimination
     * across lambda scopes — measured 6.5s vs 1.0s for the sf0.1 corpus). */
-  private def shingles(tk: Column, k: Int): Column = {
+  private[operators] def shingles(tk: Column, k: Int): Column = {
     val idx = sequence(lit(1), size(tk) - (k - 1))
     val mk = transform(idx, i =>
       concat_ws(" ", (0 until k).map(o => element_at(tk, i + o)): _*))
