@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Scalars,
     operators.LlmPipeline,
     operators.Curation,
+    operators.Vectors,
     operators.Streaming,
   )
 
