@@ -170,6 +170,64 @@ object Curation extends QueryPack {
         .orderBy("lang", "seq_id")
     }),
 
+    // Domain-mixture rebalancing: downsample over-represented languages so
+    // realized proportions hit a target mixture (en 40%, others 15%). The
+    // per-stratum budget is INTEGER-exact — desired_l = min over strata m
+    // of (w_l·n_m) div w_m, i.e. the largest integer allocation proportional
+    // to the weights that no stratum can exceed — so both engines derive
+    // identical thresholds with no float boundary risk. Row selection is
+    // the deterministic md5 bucket (reproducible across engines / cluster
+    // sizes / reruns). Cost: one count agg + a #langs² driver-size cross
+    // join + one broadcast-joined per-row filter — no corpus shuffle.
+    "q_mix_domains" -> ((s, d) => {
+      val weight = when(col("lang") === "en", 40).otherwise(15)
+      val counts = t(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("w", weight)
+      // bounded by #languages (5 rows) — forced broadcast is safe at any
+      // corpus scale, as is the #langs² cross join below
+      val stats = counts.as("a").crossJoin(broadcast(counts.as("b")))
+        .select(col("a.lang").as("lang"), col("a.n").as("n_total"),
+          col("a.w").as("weight"),
+          expr("(a.w * b.n) div b.w").as("cap"))
+        .groupBy("lang", "n_total", "weight")
+        .agg(min(col("cap")).as("n_desired"))
+        .withColumn("thr", expr("(n_desired * 1000000) div n_total"))
+      val keep = h60(col("doc_id").cast(StringType)) % 1000000 < col("thr")
+      t(s, d, "documents")
+        .join(broadcast(stats), Seq("lang"))
+        .groupBy("lang", "weight", "n_total", "n_desired")
+        .agg(count_if(keep).as("n_kept"))
+        .withColumn("rate_real", r4(col("n_kept") / col("n_total")))
+        .select("lang", "weight", "n_total", "n_desired", "n_kept", "rate_real")
+        .orderBy("lang")
+    }),
+
+    // Incremental dedup — dedup a new crawl batch (doc_id ≡ 7 mod 10, the
+    // deterministic stand-in for "newly arrived") against the existing
+    // corpus AND within itself: the production shape where the corpus is
+    // already deduped and only the delta is processed. Only 32-byte content
+    // hashes cross the shuffle for the corpus check; at 100 TB the corpus
+    // hash set is a bucketed index (zero-shuffle joins, SinkSpec) with a
+    // bloom prefilter (PlanSpec's runtime bloom pruning) in front.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      val isBatch = col("doc_id") % 10 === 7
+      val corpusH = docs.where(!isBatch).select("h").distinct()
+        .withColumn("in_corpus", lit(true))
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      docs.where(isBatch)
+        .withColumn("rn", row_number().over(w))
+        .join(corpusH, Seq("h"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_batch"),
+          count_if(col("in_corpus").isNotNull).as("n_corpus_dup"),
+          count_if(col("rn") > 1).as("n_batch_dup"),
+          count_if(col("rn") === 1 && col("in_corpus").isNull).as("n_new"))
+        .orderBy("lang")
+    }),
+
     // Near-dup graph clustering: connected components over q_dedup_near's
     // pairs — the step that turns pairwise matches into keep-one-per-cluster
     // decisions. cluster_id = min doc_id in the component.
@@ -246,6 +304,38 @@ object Curation extends QueryPack {
          | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          | min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM c GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
+    "q_mix_domains" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS n,
+         |   CASE WHEN lang = 'en' THEN 40 ELSE 15 END AS w
+         |  FROM documents GROUP BY 1),
+         |d AS (
+         |  SELECT a.lang, a.n AS n_total, a.w AS weight,
+         |   min((a.w * b.n) // b.w) AS n_desired
+         |  FROM c a, c b GROUP BY 1, 2, 3),
+         |t AS (SELECT *, (n_desired * 1000000) // n_total AS thr FROM d),
+         |k AS (
+         |  SELECT doc.lang,
+         |   count(*) FILTER (WHERE
+         |     ('0x'||substr(md5(doc.doc_id::VARCHAR),1,15))::BIGINT % 1000000 < t.thr
+         |   ) AS n_kept
+         |  FROM documents doc JOIN t USING (lang) GROUP BY 1)
+         |SELECT t.lang, t.weight, t.n_total, t.n_desired, k.n_kept,
+         | ${r4sql("CAST(k.n_kept AS DOUBLE) / t.n_total")} AS rate_real
+         |FROM t JOIN k USING (lang) ORDER BY lang""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, sha256(lower(trim(text))) AS h FROM documents),
+        |b AS (
+        |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM d WHERE doc_id % 10 = 7),
+        |c AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 <> 7)
+        |SELECT b.lang, count(*) AS n_batch,
+        | count(*) FILTER (WHERE c.h IS NOT NULL) AS n_corpus_dup,
+        | count(*) FILTER (WHERE rn > 1) AS n_batch_dup,
+        | count(*) FILTER (WHERE rn = 1 AND c.h IS NULL) AS n_new
+        |FROM b LEFT JOIN c ON b.h = c.h
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE pairs AS (
          |${LlmPipeline.oracle.toMap.apply("q_dedup_near")}
