@@ -123,6 +123,57 @@ object Sinks {
       throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
   }
 
+  /** Range-clustered layout: repartition by key RANGE (each output file
+    * owns a disjoint key interval) and sort within partitions (pages inside
+    * each file are tightly bounded too). Partitioning-by-directory cannot
+    * handle high-cardinality keys (one dir per value); clustering is the
+    * layout for those — parquet row-group/page min-max statistics then let
+    * a reader skip every file and page whose interval misses the
+    * predicate. At 100 TB this turns a point/range lookup on the cluster
+    * key from a full-corpus scan into a handful of pages; it composes
+    * under `partitionBy` (partition prune first, then intra-file skip).
+    * The range exchange samples the key to pick balanced bounds, so skew
+    * cannot produce one giant file. Skipping is asserted empirically in
+    * SinkSpec (clustered vs unclustered scan row counts) via
+    * [[clusteredRanges]]. */
+  def writeClustered(df: DataFrame, path: String, key: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Layout inspection: per-file [min, max] of `column` from the parquet
+    * footers (row-group statistics folded per file) — the maintenance-side
+    * check that a store's clustering is still tight enough to skip (e.g.
+    * after many incremental appends, before deciding to re-cluster). */
+  def clusteredRanges(spark: SparkSession, path: String,
+      column: String): Seq[(Comparable[_], Comparable[_])] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .map { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          val stats = r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .getOrElse(throw new IllegalArgumentException(
+                s"column $column not found in ${st.getPath}"))
+              .getStatistics
+          }
+          def lo(a: Comparable[_], b: Comparable[_]) =
+            if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
+          def hi(a: Comparable[_], b: Comparable[_]) =
+            if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
+          (stats.map(_.genericGetMin: Comparable[_]).reduce(lo),
+           stats.map(_.genericGetMax: Comparable[_]).reduce(hi))
+        } finally r.close()
+      }
+  }
+
   /** Persist a table bucketed on a join key. Two tables bucketed the same
     * way join with ZERO shuffle (co-located sort-merge — asserted in
     * SinkSpec): at 100 TB this turns the nightly fact⋈fact join from a

@@ -98,6 +98,45 @@ class SinkSpec extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount"), plan)
   }
 
+  test("range-clustered layout: disjoint file ranges, scan skips row groups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val clustered = Files.createTempDirectory("graft-clustered").toString
+    val unclustered = Files.createTempDirectory("graft-unclustered").toString
+    Sinks.writeClustered(li, clustered, "l_orderkey", 8)
+    // same data, same file count, key order destroyed — the skipping foil
+    li.repartition(8, col("l_quantity")).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(unclustered)
+
+    // footers: every file owns a disjoint l_orderkey interval
+    val ranges = Sinks.clusteredRanges(spark, clustered, "l_orderkey")
+      .map { case (a, b) =>
+        (a.asInstanceOf[java.lang.Long].longValue, b.asInstanceOf[java.lang.Long].longValue) }
+      .sortBy(_._1)
+    assert(ranges.size == 8, ranges.toString)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA < loB, ranges.toString)
+      case _ => ()
+    }
+
+    // a narrow key-range scan must emit far fewer rows from the clustered
+    // layout (row groups outside the range are skipped on footer stats;
+    // the unclustered foil has every-file ranges spanning the whole key
+    // space, so nothing skips and the filter does all the work post-scan)
+    val (lo, hi) = (ranges(3)._1, ranges(3)._2)
+    def scanRows(dir: String): Long = {
+      val df = spark.read.parquet(dir)
+        .where(col("l_orderkey").between(lo, (lo + hi) / 2))
+      df.collect()
+      val scan = df.queryExecution.executedPlan
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      scan.metrics("numOutputRows").value
+    }
+    val (cRows, uRows) = (scanRows(clustered), scanRows(unclustered))
+    assert(cRows * 4 <= uRows,
+      s"clustered scan emitted $cRows rows vs unclustered $uRows — no skipping")
+  }
+
   test("jdbc sink: round-trip, idempotent re-run, disjoint batches accumulate") {
     val url = s"jdbc:derby:/tmp/graft-derby/${System.nanoTime()};create=true"
     val orders = Tables.t(spark, sf, "orders")
