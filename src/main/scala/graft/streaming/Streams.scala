@@ -116,6 +116,19 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id", "ts")
 
+  /** Streaming content dedup with watermark-bounded state and NO event-time
+    * key: duplicates of the same content key arriving with DIFFERENT
+    * timestamps (retries, re-crawls, at-least-once sources re-emitting with
+    * fresh ingest times) are collapsed too — the case [[dedupedByKey]]'s
+    * (key, ts) compound key cannot catch. dropDuplicatesWithinWatermark
+    * keeps one state entry per key and evicts it once the watermark passes
+    * the first occurrence's event time + delay, so state stays bounded at
+    * any stream rate — the streaming face of q_dedup_incremental's
+    * batch-vs-corpus hash check. */
+  def dedupedByContent(events: DataFrame, key: String = "event_id"): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(key)
+
   /** Running per-user totals via custom state (mapGroupsWithState): state =
     * (event count, value sum) per user, carried across micro-batches in the
     * state store. The arbitrary-stateful-processing surface the built-in

@@ -153,6 +153,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("dropDuplicatesWithinWatermark collapses same key at different event times") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup-wm").toString
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // id=1 arrives twice with ts 1s apart (a retry with a fresh ingest
+    // time) — (key, ts) dedup would keep both; within-watermark keeps one
+    write(Seq((1L, 1000000000L, 7L, "view", 2.0, "{}"),
+      (2L, 5000000000L, 7L, "view", 3.0, "{}")))
+    val qy = Streams.dedupedByContent(Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").option("checkpointLocation", ckpt())
+      .start()
+    qy.processAllAvailable()
+    write(Seq((1L, 2000000000L, 7L, "view", 2.0, "{}"), // dup, ts += 1 s
+      (3L, 6000000000L, 8L, "view", 10.0, "{}")))
+    qy.processAllAvailable()
+    qy.stop()
+    val ids = spark.table("dedup_wm").select("event_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions by gap and by timeout") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-fmgs").toString
