@@ -50,7 +50,8 @@ object Verify {
       }
       val rec = f"""{"sf":"$sfDir","k":3,"knn_pairs":$total,""" +
         f""""recall_lsh":${recall("q_sim_ann_lsh")}%.4f,""" +
-        f""""recall_ivf":${recall("q_sim_ann_ivf")}%.4f}"""
+        f""""recall_ivf":${recall("q_sim_ann_ivf")}%.4f,""" +
+        f""""recall_sq":${recall("q_sim_ann_sq")}%.4f}"""
       Files.writeString(Paths.get(s"$outDir/recall.json"), rec)
       Files.writeString(Paths.get("RECALL.json"), rec + "\n")
       println(s"[verify] ann recall: $rec")

@@ -102,8 +102,10 @@ object Vectors extends QueryPack {
         .join(maybeBroadcast(q.as("b")), col("a.label") === col("b.label") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-          aggregate(zip_with(col("a.qvec"), col("b.qvec"), (x, y) => x * y),
-            lit(0L), (acc, x) => acc + x).as("qdot"),
+          // native codegen loop — the HOF zip_with+aggregate form is
+          // CodegenFallback and lambda-bound on this pair-join hot path
+          org.apache.spark.sql.graftx.VectorExprs.intDot(
+            col("a.qvec"), col("b.qvec")).as("qdot"),
           col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
       val coarse = org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
         keyNames = Seq("vec_id"),

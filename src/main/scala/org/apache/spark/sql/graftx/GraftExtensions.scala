@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDotProductExpr].getName, "int_dot"),
+      (exprs: Seq[Expression]) => IntDotProductExpr(exprs.head, exprs(1))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     // optimizer rewrite: row_number() <= k filter pattern → TopKPerKey, so
     // the idiomatic window form still gets the map-side-heap physical plan

@@ -83,9 +83,66 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native integer dot product over two long-array columns — the coarse
+  * scoring loop of the scalar-quantized ANN path (q_sim_ann_sq). The HOF
+  * form (`zip_with` + `aggregate`) is CodegenFallback (lambda dispatch +
+  * an intermediate array per pair); this is one fused codegen loop over
+  * both buffers, exact 64-bit arithmetic, no allocation — on the pair-join
+  * hot path that's the difference between the quantized scan being
+  * memory-bandwidth-bound (the point of int8) and lambda-bound.
+  *
+  * Length mismatch yields NULL (same contract as [[CosineSimilarityExpr]]:
+  * a malformed code must not produce a silently-wrong score). */
+case class IntDotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L; var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column-API entry point for [[CosineSimilarityExpr]]. */
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarityExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API entry point for [[IntDotProductExpr]]. */
+  def intDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntDotProductExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -53,6 +53,25 @@ class VectorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ recall $recall < 0.9 (${sq.size} vs ${exact.size})")
   }
 
+  test("int_dot native expression: == HOF form, SQL-callable, NULL on mismatch") {
+    import spark.implicits._
+    val qvecs = Tables.t(spark, sf, "embeddings")
+      .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("qvec", transform(col("embedding"), x =>
+        round(x.cast("double") * 127.0 / col("maxabs"), 0).cast("long")))
+      .select("vec_id", "qvec").limit(50)
+    val pairs = qvecs.as("a").crossJoin(qvecs.as("b"))
+    val native = org.apache.spark.sql.graftx.VectorExprs.intDot(col("a.qvec"), col("b.qvec"))
+    val hof = aggregate(zip_with(col("a.qvec"), col("b.qvec"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    assert(pairs.where(native =!= hof || native.isNull).count() == 0)
+    // SQL registration via GraftExtensions
+    val viaSql = spark.sql("SELECT int_dot(array(1L,2L,3L), array(4L,5L,6L))").head().getLong(0)
+    assert(viaSql == 32L)
+    // length mismatch must be NULL, never a wrong value
+    assert(spark.sql("SELECT int_dot(array(1L), array(1L,2L))").head().isNullAt(0))
+  }
+
   test("q_sim_ann_sq runs both top-k stages through map-side TopKPerKey heaps") {
     val df = q("q_sim_ann_sq")
     df.collect() // finalize AQE on THIS plan
