@@ -39,19 +39,41 @@ object Verify {
     // hashes. recall@3 vs q_sim_knn lands in RECALL.json every round.
     try {
       import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.DataFrame
       val knn = SparkEntry.queries("q_sim_knn")(spark, sfDir)
-        .where(col("rnk") <= 3).select("vec_id", "neighbor_id")
-      val total = knn.count()
-      def recall(name: String): Double = {
-        val hits = SparkEntry.queries(name)(spark, sfDir)
-          .select("vec_id", "neighbor_id")
-          .join(knn, Seq("vec_id", "neighbor_id"), "left_semi").count()
-        if (total == 0) 1.0 else hits.toDouble / total
+        .where(col("rnk") <= 3).select("vec_id", "neighbor_id").persist()
+      // TRUE exhaustive top-3 (no label block): on this fixture only ~10%
+      // of true top-3 neighbors share the query's label, so recall vs the
+      // label-blocked q_sim_knn measures definition-overlap, not index
+      // quality — a multi-probe IVF can look WORSE there while finding
+      // strictly more true neighbors. Both views are tracked: vs_exhaustive
+      // is the honest quality number (monotone in candidate-set growth),
+      // vs_blocked_knn keeps continuity with earlier rounds' artifact.
+      val e = Tables.t(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+      val allPairs = e.as("a").crossJoin(e.as("b"))
+        .where(col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+          Tables.r4(org.apache.spark.sql.graftx.VectorExprs.cosineSim(
+            col("a.embedding"), col("b.embedding"))).as("cos"))
+      val truth = org.apache.spark.sql.graftx.TopK.topKPerKey(allPairs,
+          keyNames = Seq("vec_id"), orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .select("vec_id", "neighbor_id").persist()
+      val knnN = knn.count(); val truthN = truth.count()
+      def recallVs(base: DataFrame, baseN: Long)(res: DataFrame): Double = {
+        val hits = res.select("vec_id", "neighbor_id")
+          .join(base, Seq("vec_id", "neighbor_id"), "left_semi").count()
+        if (baseN == 0) 1.0 else hits.toDouble / baseN
       }
-      val rec = f"""{"sf":"$sfDir","k":3,"knn_pairs":$total,""" +
-        f""""recall_lsh":${recall("q_sim_ann_lsh")}%.4f,""" +
-        f""""recall_ivf":${recall("q_sim_ann_ivf")}%.4f,""" +
-        f""""recall_sq":${recall("q_sim_ann_sq")}%.4f}"""
+      val anns = Seq("lsh" -> "q_sim_ann_lsh", "lsh_multi" -> "q_sim_ann_lsh_multi",
+        "ivf" -> "q_sim_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp", "sq" -> "q_sim_ann_sq")
+      def block(base: DataFrame, baseN: Long, extra: Seq[(String, DataFrame)]): String =
+        (extra ++ anns.map { case (k, qn) => k -> SparkEntry.queries(qn)(spark, sfDir) })
+          .map { case (k, df) => f""""$k":${recallVs(base, baseN)(df)}%.4f""" }
+          .mkString("{", ",", "}")
+      val rec = s"""{"sf":"$sfDir","k":3,"truth_pairs":$truthN,"knn_pairs":$knnN,""" +
+        s""""vs_exhaustive":${block(truth, truthN, Seq("knn_blocked" -> knn))},""" +
+        s""""vs_blocked_knn":${block(knn, knnN, Seq.empty)}}"""
       Files.writeString(Paths.get(s"$outDir/recall.json"), rec)
       Files.writeString(Paths.get("RECALL.json"), rec + "\n")
       println(s"[verify] ann recall: $rec")

@@ -37,6 +37,16 @@ object LlmPipeline extends QueryPack {
   private val SIM_BITS = 32
   private val MINHASH_K = 8
   private val LSH_PLANES = 8
+  /** Multi-table LSH (q_sim_ann_lsh_multi): OR of [[LSH_TABLES]]
+    * independent tables of [[LSH_TABLE_BITS]] sign bits each. Fewer bits
+    * per table → coarser buckets → higher per-table collision probability;
+    * OR-ing tables multiplies recall while each table's candidate set
+    * stays N²/2^bits in expectation. Plane ids start at [[LSH_PLANES]] so
+    * the tables are independent of the single-table query's hyperplanes. */
+  private val LSH_TABLES = 4
+  private val LSH_TABLE_BITS = 4
+  /** Cells probed per query vector in multi-probe IVF (q_sim_ann_ivf_mp). */
+  private val NPROBE = 3
 
   /** Hot-shingle document-frequency cap for the near-dup family (τ=0.8,
     * k=3): shingles appearing in more than this many documents are dropped
@@ -190,6 +200,67 @@ object LlmPipeline extends QueryPack {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), bucket.as("bucket"))
   }
+
+  /** One (vec_id, table, bucket) row per vector per LSH table: the
+    * LSH_TABLES × LSH_TABLE_BITS hyperplanes are pure functions of the
+    * global plane id (offset past the single-table query's planes), so —
+    * like [[lshBuckets]] — bucket assignment is a single narrow
+    * projection plus an explode: zero joins, zero shuffles. */
+  private def lshMultiBuckets(s: SparkSession, d: String): DataFrame = {
+    val tables = (0 until LSH_TABLES).map { tb =>
+      val bucket = (0 until LSH_TABLE_BITS).map { j =>
+        val plane = typedlit((1 to 64).map(planeValJvm(LSH_PLANES + tb * LSH_TABLE_BITS + j, _)))
+        val dot = aggregate(zip_with(col("embedding"), plane, (x, v) => x * v),
+          lit(0.0), (acc, x) => acc + x)
+        when(r4(dot) > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(tb).as("tb"), bucket.as("bucket"))
+    }
+    t(s, d, "embeddings")
+      .select(col("vec_id"), explode(array(tables: _*)).as("tbk"))
+      .select(col("vec_id"), col("tbk.tb").as("tb"), col("tbk.bucket").as("bucket"))
+  }
+
+  /** IVF coarse-quantizer training + per-vector cell ranking, shared by
+    * q_sim_ann_ivf (rank-1 assignment) and q_sim_ann_ivf_mp (top-NPROBE
+    * probe list). Centroid per label cell as dimension-wise means via
+    * exact decimal sums — deterministic under any partitioning; every
+    * vector scored against all centroids (rounded cosine, cell
+    * tie-break) and the top NPROBE cells kept through the map-side
+    * TopKPerKey plan. Memoized: quantizer training + assignment is a
+    * per-dataset artifact (both sides of the probe joins read it; Bench
+    * passes reuse it). At 100 TB the quantizer trains on a sample,
+    * centroids broadcast (here 10×64 doubles), and assignment is a
+    * narrow map. */
+  private def ivfCells(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "ivf_cells") {
+      val e = t(s, d, "embeddings")
+      // dimension-wise means: posexplode → decimal-sum/count per (label, d)
+      val comp = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"))
+      val cent = comp.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          f => f.getField("m")).as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      // scoring: cosine(vector, each of 10 centroids) — HOF fold is fine
+      // on this cold 10-per-vector path; rounded before comparison so the
+      // argmax is engine-portable
+      val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
+        lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+      // cent is bounded by cell count (10×64 doubles), not corpus size —
+      // a forced broadcast is safe at any scale
+      val scored = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          r4(dotc / (na * nb)).as("ccos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(
+          scored.select(col("vec_id"), col("embedding"), col("cell"), col("ccos")),
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
+          k = NPROBE, rankName = "arnk")
+        .select(col("vec_id"), col("embedding"), col("cell"), col("arnk"))
+    }
 
   def queries: Seq[(String, Fn)] = Seq(
     // #42 exact dedup by normalized content hash; keeper = min doc_id.
@@ -383,6 +454,36 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id", "rnk")
     }),
 
+    // Multi-table LSH: LSH_TABLES independent tables of LSH_TABLE_BITS
+    // sign bits each, candidates OR'd across tables — the standard fix
+    // for single-table LSH's recall collapse (a true neighbor only needs
+    // to collide in ONE table; P(hit) = 1−(1−p^bits)^tables). Candidate
+    // generation stays narrow-id-only: the self-join emits (query,
+    // neighbor) id pairs, the cross-table OR is one DISTINCT on those
+    // 16-byte rows, and embeddings join back ONLY for surviving
+    // candidates — at 100 TB the wide vectors never ride through the
+    // bucket join or the dedup shuffle.
+    "q_sim_ann_lsh_multi" -> ((s, d) => {
+      val b = lshMultiBuckets(s, d)
+      val cands = b.as("ba")
+        .join(maybeBroadcast(b.as("bb")), col("ba.tb") === col("bb.tb") &&
+          col("ba.bucket") === col("bb.bucket") &&
+          col("ba.vec_id") =!= col("bb.vec_id"))
+        .select(col("ba.vec_id").as("qid"), col("bb.vec_id").as("nid"))
+        .distinct()
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = cands
+        .join(maybeBroadcast(e.as("a")), col("qid") === col("a.vec_id"))
+        .join(maybeBroadcast(e.as("b")), col("nid") === col("b.vec_id"))
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
     // True IVF ANN: train a coarse quantizer (centroid per label cell,
     // dimension-wise mean via exact decimal sums — deterministic under any
     // partitioning), re-assign every vector to its nearest centroid
@@ -393,43 +494,40 @@ object LlmPipeline extends QueryPack {
     // touches one cell per query vector. Both top-k steps run through the
     // custom TopKPerKey plan.
     "q_sim_ann_ivf" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      // dimension-wise means: posexplode → decimal-sum/count per (label, d)
-      val comp = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("label", "dim")
-        .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"))
-      val cent = comp.groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          f => f.getField("m")).as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
-      // assignment: cosine(vector, each of 10 centroids) — HOF fold is fine
-      // on this cold 10-per-vector path; rounded before comparison so the
-      // argmax is engine-portable
-      val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
-        lit(0.0), (acc, x) => acc + x)
-      val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
-      val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
-      // cent is bounded by cell count (10×64 doubles), not corpus size —
-      // a forced broadcast is safe at any scale
-      val scored = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          r4(dotc / (na * nb)).as("ccos"))
-      // memoized: quantizer training + assignment is a per-dataset artifact
-      // (both sides of the probe join read it; Bench passes reuse it)
-      val assigned = cached(s, d, "ivf_assigned") {
-        org.apache.spark.sql.graftx.TopK.topKPerKey(
-            scored.select(col("vec_id"), col("embedding"), col("cell"), col("ccos")),
-            keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
-            k = 1, rankName = "arnk")
-          .select(col("vec_id"), col("embedding"), col("cell"))
-      }
-      // probe within the assigned cell only (size-gated: `assigned` is the
-      // full vector table and outgrows any broadcast budget)
+      val cells = ivfCells(s, d)
+      // probe within the assigned (rank-1) cell only (size-gated:
+      // `assigned` is the full vector table and outgrows any broadcast
+      // budget)
+      val assigned = cells.where(col("arnk") === 1).drop("arnk")
       val pairs = assigned.as("a")
         .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
           col("b.vec_id").as("neighbor_id"),
+          r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
+    // Multi-probe IVF: same trained quantizer, but each QUERY vector
+    // probes its NPROBE nearest cells while database vectors stay in
+    // their rank-1 cell — FAISS's `nprobe` knob re-expressed relationally.
+    // This is THE recall/cost dial of an IVF index at scale: candidate
+    // volume grows linearly in NPROBE (still zero all-pairs terms) and
+    // recall climbs toward exhaustive as NPROBE → #cells. Pairs are
+    // generated once per (query, neighbor): the probe side's cells are
+    // distinct by construction and the database side appears in exactly
+    // one cell, so no DISTINCT pass is needed.
+    "q_sim_ann_ivf_mp" -> ((s, d) => {
+      val cells = ivfCells(s, d)
+      val assigned = cells.where(col("arnk") === 1).drop("arnk")
+      val pairs = cells.as("a")
+        .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
           r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
       org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
           keyNames = Seq("vec_id"),
@@ -697,6 +795,33 @@ object LlmPipeline extends QueryPack {
   private val cosSql =
     "CAST(round(CAST(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS DECIMAL(38,6)), 4) AS DOUBLE)"
 
+  /** Shared IVF CTE chain: quantizer training, per-vector cell scoring,
+    * and the ranked cell list (mirrors [[ivfCells]]). `assigned` is the
+    * rank-1 cell; `probes` the top-NPROBE list. */
+  private val ivfCtesSql: String =
+    s"""comp AS (
+       |  SELECT label, t.d AS dim,
+       |   CAST(sum(CAST(embedding[t.d] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+       |  FROM embeddings, generate_series(1, 64) t(d)
+       |  GROUP BY label, t.d),
+       |cent AS (
+       |  SELECT label AS cell, list(m ORDER BY dim) AS centroid
+       |  FROM comp GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |   CAST(round(CAST(list_cosine_similarity(
+       |     list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
+       |    AS DECIMAL(38,6)), 4) AS DOUBLE) AS ccos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT vec_id, embedding, cell, arnk FROM (
+       |    SELECT vec_id, embedding, cell,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS arnk
+       |    FROM scored)
+       |  WHERE arnk <= $NPROBE),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM probes WHERE arnk = 1)""".stripMargin
+
   def oracle: Seq[(String, String)] = Seq(
     "q_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keeper,
@@ -766,33 +891,55 @@ object LlmPipeline extends QueryPack {
          |FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
          |QUALIFY rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
+    "q_sim_ann_lsh_multi" ->
+      s"""WITH mplanes AS (
+         |  SELECT t.tb AS tb, j.j AS j, td.d AS d,
+         |   (('0x'||substr(md5(($LSH_PLANES + t.tb*$LSH_TABLE_BITS + j.j)||':'||td.d),1,15))::BIGINT % 1000)/500.0 - 1.0 AS v
+         |  FROM generate_series(0, ${LSH_TABLES - 1}) t(tb),
+         |       generate_series(0, ${LSH_TABLE_BITS - 1}) j(j),
+         |       generate_series(1, 64) td(d)),
+         |mcomps AS (
+         |  SELECT e.vec_id, pl.tb, pl.j,
+         |   sum(CAST(e.embedding[pl.d] AS DOUBLE) * pl.v) AS dot
+         |  FROM embeddings e JOIN mplanes pl ON true
+         |  GROUP BY 1, 2, 3),
+         |mbuckets AS (
+         |  SELECT vec_id, tb,
+         |   CAST(sum(CASE WHEN CAST(round(CAST(dot AS DECIMAL(38,6)), 4) AS DOUBLE) > 0
+         |            THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM mcomps GROUP BY 1, 2),
+         |mcands AS (
+         |  SELECT DISTINCT ba.vec_id AS qid, bb.vec_id AS nid
+         |  FROM mbuckets ba JOIN mbuckets bb
+         |   ON ba.tb = bb.tb AND ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id)
+         |SELECT vec_id, neighbor_id, cos, rnk FROM (
+         |  SELECT c.qid AS vec_id, c.nid AS neighbor_id, $cosSql AS cos,
+         |   CAST(row_number() OVER (PARTITION BY c.qid
+         |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
+         |  FROM mcands c
+         |  JOIN embeddings a ON c.qid = a.vec_id
+         |  JOIN embeddings b ON c.nid = b.vec_id)
+         |WHERE rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin,
     "q_sim_ann_ivf" ->
-      s"""WITH comp AS (
-         |  SELECT label, t.d AS dim,
-         |   CAST(sum(CAST(embedding[t.d] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
-         |  FROM embeddings, generate_series(1, 64) t(d)
-         |  GROUP BY label, t.d),
-         |cent AS (
-         |  SELECT label AS cell, list(m ORDER BY dim) AS centroid
-         |  FROM comp GROUP BY label),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, c.cell,
-         |   CAST(round(CAST(list_cosine_similarity(
-         |     list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
-         |    AS DECIMAL(38,6)), 4) AS DOUBLE) AS ccos
-         |  FROM embeddings e CROSS JOIN cent c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT vec_id, embedding, cell,
-         |     row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS arnk
-         |    FROM scored)
-         |  WHERE arnk = 1)
+      s"""WITH $ivfCtesSql
          |SELECT vec_id, cell, neighbor_id, cos, rnk FROM (
          |  SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS neighbor_id,
          |   $cosSql AS cos,
          |   CAST(row_number() OVER (PARTITION BY a.vec_id
          |     ORDER BY $cosSql DESC, b.vec_id ASC) AS INT) AS rnk
          |  FROM assigned a JOIN assigned b
+         |   ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |WHERE rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin,
+    "q_sim_ann_ivf_mp" ->
+      s"""WITH $ivfCtesSql
+         |SELECT vec_id, neighbor_id, cos, rnk FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |   $cosSql AS cos,
+         |   CAST(row_number() OVER (PARTITION BY a.vec_id
+         |     ORDER BY $cosSql DESC, b.vec_id ASC) AS INT) AS rnk
+         |  FROM probes a JOIN assigned b
          |   ON a.cell = b.cell AND a.vec_id <> b.vec_id)
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,

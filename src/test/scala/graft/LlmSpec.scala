@@ -83,6 +83,56 @@ class LlmSpec extends AnyFunSuite {
     assert(recall > 0.0, s"ANN recall $recall — pipeline found no true neighbors at all")
   }
 
+  test("multi-probe IVF: recall vs exhaustive truth is monotone in nprobe") {
+    // Truth = TRUE unblocked top-3 by the same rounded-cosine score. With a
+    // consistent score function, growing the candidate set (probe 3 cells
+    // vs 1) can only displace an output row with a globally-closer one, so
+    // recall vs exhaustive truth is provably monotone — this is the
+    // assertion that would have caught judging multi-probe against the
+    // label-blocked knn (where it can look worse while finding strictly
+    // more true neighbors; labels here are geometry-blind).
+    val e = Tables.t(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        Tables.r4(org.apache.spark.sql.graftx.VectorExprs.cosineSim(
+          col("a.embedding"), col("b.embedding"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val truth = pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(name: String): Double = {
+      val got = q(name).select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val single = recallOf("q_sim_ann_ivf")
+    val multi = recallOf("q_sim_ann_ivf_mp")
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    // multi-table LSH OR's 4 independent coarse tables — each true
+    // neighbor only needs one collision, so it must beat the one
+    // 8-bit-table query on the same truth
+    val lshS = recallOf("q_sim_ann_lsh")
+    val lshM = recallOf("q_sim_ann_lsh_multi")
+    assert(lshM > lshS, s"multi-table LSH recall $lshM <= single-table $lshS")
+  }
+
+  test("multi-table LSH: every reported pair collides in some table; candidates bounded") {
+    val b = q("q_sim_ann_lsh_multi")
+    val rows = b.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rnk = r.getAs[Int]("rnk")
+      assert(rnk >= 1 && rnk <= 3)
+    }
+    // per-query output is capped at k — the OR across tables must not
+    // duplicate a (query, neighbor) pair
+    val dup = b.groupBy("vec_id", "neighbor_id").count()
+      .where(col("count") > 1).count()
+    assert(dup == 0, "duplicate (vec_id, neighbor_id) across tables survived the DISTINCT")
+  }
+
   test("IVF pipeline: every vector assigned to exactly one cell, nonzero knn overlap") {
     // The synthetic embeddings are near-uniform (measured: within-label
     // mean cosine ≈ cross-label ≈ 0), so the label "clusters" are not
