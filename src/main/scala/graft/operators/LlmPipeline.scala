@@ -48,6 +48,11 @@ object LlmPipeline extends QueryPack {
   /** Cells probed per query vector in multi-probe IVF (q_sim_ann_ivf_mp). */
   private val NPROBE = 3
 
+  /** Denylist pattern for q_text_redact — word-boundary alternation, valid
+    * under both Java regex (Spark) and RE2 (DuckDB) with identical
+    * semantics for ASCII word chars. */
+  private val REDACT_PAT = "\\b(customer|order|value)\\b"
+
   /** Hot-shingle document-frequency cap for the near-dup family (τ=0.8,
     * k=3): shingles appearing in more than this many documents are dropped
     * from the shingle universe BEFORE any pair join. A shingle shared by f
@@ -670,6 +675,22 @@ object LlmPipeline extends QueryPack {
           array_min(transform(shingles(col("toks"), 5), sh => md5(sh))).as("fp"))
         .orderBy("doc_id")),
 
+    // Denylist redaction — the masking step a curation pipeline runs
+    // before release (PII scrubbing, blocked terms): every word-boundary
+    // match of the denylist pattern is replaced by a mask token, with a
+    // per-document hit count to audit redaction volume. A pure per-row
+    // regex map: narrow, whole-stage codegen, no shuffle before the
+    // output sort — at 100 TB this runs at scan speed. Real-PII patterns
+    // (emails, phone numbers) are the same machinery with a different
+    // pattern constant; the synthetic corpus contains none, so the
+    // denylist targets live vocabulary to keep the op observable.
+    "q_text_redact" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          regexp_count(col("text"), lit(REDACT_PAT)).cast(LongType).as("n_hits"),
+          sha2(regexp_replace(col("text"), REDACT_PAT, "<MASK>"), 256).as("h_redacted"))
+        .orderBy("doc_id")),
+
     // Edit-distance similarity: levenshtein over bounded-length strings
     // (source labels) — the char-level near-dup family complementing the
     // token-level Jaccard ops. Pairs within distance 2.
@@ -1020,6 +1041,11 @@ object LlmPipeline extends QueryPack {
         |          string_split(text,' ')[i+4]))
         |    ELSE [] END, sh -> md5(sh))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_redact" ->
+      s"""SELECT doc_id, lang,
+         | CAST(len(regexp_extract_all(text, '$REDACT_PAT')) AS BIGINT) AS n_hits,
+         | sha256(regexp_replace(text, '$REDACT_PAT', '<MASK>', 'g')) AS h_redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_editdist" ->
       """WITH src AS (SELECT DISTINCT source FROM documents)
         |SELECT a.source AS src_a, b.source AS src_b,
