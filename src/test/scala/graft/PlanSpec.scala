@@ -194,6 +194,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_sim_ann_lsh_multi: bucket assignment is scan-side (no join), topk heaps map-side") {
+    val p = plan("q_sim_ann_lsh_multi").split("== Initial Plan ==").head
+    // the 16 hyperplane projections ride in the task closure as literals —
+    // bucket assignment must appear as Generate/Project over the scan, not
+    // as a join against a plane table
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(p.contains("TopKPerKeyFinal"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sim_ann_ivf_mp probes through the cached cell ranking with map-side heaps") {
+    val p = plan("q_sim_ann_ivf_mp").split("== Initial Plan ==").head
+    assert(p.contains("TopKPerKeyFinal"), p)
+    assert(p.contains("InMemoryTableScan"), p) // shared ivf_cells artifact, not recomputed
+  }
+
   test("q_sim_knn pair join is broadcast with the codegen cosine expression") {
     val p = plan("q_sim_knn")
     assert(p.contains("BroadcastHashJoin"), p)
