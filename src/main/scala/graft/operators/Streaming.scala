@@ -94,6 +94,27 @@ object Streaming extends QueryPack {
         .select(col("w.start").as("win_start"), col("n_on_time"))
         .orderBy("win_start")
     }),
+
+    // Streaming outlier alerts, batch-emulated: z-score of each event
+    // against the mean/stddev of that user's STRICTLY PRIOR events
+    // (prefix frame ordered by event time), alert when n_prior >= 10 and
+    // rounded z >= 2. One partitioned window pass — a single shuffle on
+    // user_id at any scale. The genuine streaming run is
+    // Streams.outlierAlerts (Spark 4 transformWithState + RocksDB state
+    // store, Welford moments in a per-user ValueState); StreamingSpec
+    // asserts it emits exactly these rows across micro-batch splits.
+    "q_stream_outliers" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          ((col("value") - avg("value").over(w)) / stddev_samp("value").over(w)).as("zraw"),
+          count(lit(1)).over(w).as("n_prior"))
+        .where(col("n_prior") >= 10 && r4(col("zraw")) >= 2.0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          r4(col("zraw")).as("z"))
+        .orderBy("user_id", "event_id")
+    }),
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -137,5 +158,19 @@ object Streaming extends QueryPack {
         |SELECT date_trunc('hour', ts) AS win_start, count(*) AS n_on_time
         |FROM wm WHERE CAST(floor(epoch(ts)) AS BIGINT) >= wm_sec
         |GROUP BY 1 ORDER BY win_start""".stripMargin,
+    "q_stream_outliers" ->
+      """WITH z AS (
+        |  SELECT user_id, event_id, value,
+        |   (value - avg(value) OVER w) / stddev_samp(value) OVER w AS zraw,
+        |   count(*) OVER w AS n_prior
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, value,
+        | CAST(round(CAST(zraw AS DECIMAL(38,6)), 4) AS DOUBLE) AS z
+        |FROM z
+        |WHERE n_prior >= 10
+        |  AND CAST(round(CAST(zraw AS DECIMAL(38,6)), 4) AS DOUBLE) >= 2.0
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -176,6 +176,74 @@ object Streams {
       }
   }
 
+  /** Streaming z-score outlier alerts via Spark 4's transformWithState
+    * (StatefulProcessor on the RocksDB state store — the arbitrary-state
+    * API that supersedes mapGroupsWithState): per-user running moments
+    * (count, mean, M2 — Welford's update) live in a ValueState; each event
+    * is scored against the moments of the STRICTLY PRIOR events and then
+    * folded in, so semantics are pinned by the batch twin
+    * q_stream_outliers (prefix-frame avg/stddev window, DuckDB-oracled)
+    * and asserted equal in StreamingSpec. At scale the state is one
+    * 24-byte triple per user partitioned across executors, emission is
+    * append-mode (alerts only, no retractions), and a TTLConfig bounds
+    * abandoned keys (NONE here — finite test data). */
+  case class EventV(event_id: Long, ts_ms: Long, user_id: Long, value: Double)
+  case class Alert(user_id: Long, event_id: Long, value: Double, z: Double)
+
+  /** Rounding twin of Tables.r4 (DECIMAL(38,6) → 4dp HALF_UP) so the
+    * processor's threshold test matches the batch twin bit-for-bit. */
+  private def r4jvm(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  class OutlierProcessor(minPrior: Long, zThresh: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventV, Alert] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var moments: ValueState[(Long, Double, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      moments = getHandle.getValueState[(Long, Double, Double)](
+        "moments", org.apache.spark.sql.Encoders.product[(Long, Double, Double)],
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[EventV],
+        timers: TimerValues): Iterator[Alert] = {
+      var (n, mean, m2) =
+        if (moments.exists()) moments.get() else (0L, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Alert]
+      // event-time order within the batch so scoring matches the batch
+      // twin's ORDER BY (ts, event_id) prefix frames
+      rows.toArray.sortBy(r => (r.ts_ms, r.event_id)).foreach { r =>
+        if (n >= minPrior) { // n = prior-event count; minPrior >= 2 for stddev_samp
+          val sd = math.sqrt(m2 / (n - 1))
+          if (sd > 0) {
+            val z = r4jvm((r.value - mean) / sd)
+            if (z >= zThresh) out += Alert(user, r.event_id, r.value, z)
+          }
+        }
+        n += 1
+        val d = r.value - mean
+        mean += d / n
+        m2 += d * (r.value - mean)
+      }
+      moments.update((n, mean, m2))
+      out.iterator
+    }
+  }
+
+  def outlierAlerts(spark: SparkSession, events: DataFrame,
+      minPrior: Long = 10L, zThresh: Double = 2.0): Dataset[Alert] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("event_id"),
+        (col("ts").cast("double") * 1000).cast("long").as("ts_ms"),
+        col("user_id"), col("value"))
+      .as[EventV]
+      .groupByKey(_.user_id)
+      .transformWithState(new OutlierProcessor(minPrior, zThresh),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def runningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotals] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout

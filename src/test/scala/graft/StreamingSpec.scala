@@ -242,6 +242,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq.contains(("2024-01-01 12:00:00.0", 1L)), out.toSeq.toString)
   }
 
+  test("transformWithState outlier alerts == batch twin across micro-batch splits") {
+    // Genuine Spark-4 StatefulProcessor run on the RocksDB state store
+    // (transformWithState requires it). Events are split into two
+    // micro-batches at the median event time, so per-user Welford moments
+    // MUST survive in state across batches to reproduce the batch twin's
+    // prefix-frame scores.
+    val dir = Files.createTempDirectory("graft-outlier").toString
+    // raw nanos-long form, as the streaming source reads it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val cutNs = raw.selectExpr("approx_percentile(ts, 0.5)").head().getLong(0)
+    raw.where(col("ts") <= cutNs).coalesce(1).write.mode("append").parquet(dir)
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.outlierAlerts(spark, Streams.readEvents(spark, dir))
+      val qy = stream.writeStream.format("memory").queryName("outliers")
+        .outputMode("append").option("checkpointLocation", ckpt())
+        .start()
+      qy.processAllAvailable()
+      raw.where(col("ts") > cutNs).coalesce(1).write.mode("append").parquet(dir)
+      qy.processAllAvailable()
+      qy.stop()
+      val got = spark.table("outliers").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val want = SparkEntry.queries("q_stream_outliers")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(got == want,
+        s"streaming-only: ${(got -- want).take(5)}; batch-only: ${(want -- got).take(5)}")
+      assert(want.nonEmpty, "twin produced no alerts — threshold too high for fixture")
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late").toString
