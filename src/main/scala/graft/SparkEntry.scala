@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Scalars,
     operators.LlmPipeline,
     operators.Curation,
+    operators.TextMining,
     operators.Vectors,
     operators.Streaming,
   )

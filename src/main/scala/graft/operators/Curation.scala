@@ -41,7 +41,7 @@ object Curation extends QueryPack {
   /** All (non-distinct) bigrams of an already-materialized tokens column —
     * unlike [[LlmPipeline.shingles]] this keeps duplicates, because
     * repetition scoring needs the full multiset. */
-  private def bigramsAll(tk: Column): Column =
+  private[operators] def bigramsAll(tk: Column): Column =
     when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1),
         i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))

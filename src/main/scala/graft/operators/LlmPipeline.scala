@@ -314,6 +314,30 @@ object LlmPipeline extends QueryPack {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Containment near-dup: cont = |∩| / min(|A|,|B|) over the same capped
+    // shingle universe. Catches QUOTE INCLUSION — a short doc fully embedded
+    // in a long one — which symmetric Jaccard dilutes toward 0 (a 20-shingle
+    // doc inside a 200-shingle doc has jac ≤ 0.1 but cont = 1.0). Same
+    // maxDf·(maxDf−1)/2-bounded self-join as q_dedup_near; shares its
+    // memoized shingle set, so running both costs one extra agg+join, not a
+    // second shingling pass.
+    "q_dedup_containment" -> ((s, d) => {
+      val ds = docShingles(s, d)
+      val inter = ds.as("sa")
+        .join(ds.as("sb"), col("sa.shingle") === col("sb.shingle") &&
+          col("sa.doc_id") < col("sb.doc_id"))
+        .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val cnt = shingleCounts(ds)
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .withColumn("cont", r4(col("inter") / least(col("na"), col("nb"))))
+        .where(col("cont") >= 0.9)
+        .select("doc_a", "doc_b", "cont")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // MinHash(k=8) + LSH(4 bands × 2 rows): candidates share a band bucket;
     // exact Jaccard verification only on candidates. The 100 TB dedup path.
     // Physical shape: signature rows are FIXED-SIZE (8 md5 minima, no
@@ -863,6 +887,18 @@ object LlmPipeline extends QueryPack {
          |  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
          |  FROM ds sa JOIN ds sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
          |$jaccardTailSql""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH $docShinglesCtes,
+         |inter AS (
+         |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM ds sa JOIN ds sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+         |  GROUP BY 1, 2),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1)
+         |SELECT i.doc_a, i.doc_b,
+         | ${r4sql("CAST(i.n_inter AS DOUBLE) / least(ca.n_sh, cb.n_sh)")} AS cont
+         |FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id JOIN cnt cb ON i.doc_b = cb.doc_id
+         |WHERE ${r4sql("CAST(i.n_inter AS DOUBLE) / least(ca.n_sh, cb.n_sh)")} >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $docShinglesCtes,
          |$minhashSigsSql,

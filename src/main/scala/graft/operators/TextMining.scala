@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-mining operators over the document corpus: retrieval-window
+  * chunking, token-entropy quality scoring, and PMI collocation mining.
+  * No SNOWAV analog (upstream has no text ops; SURVEY.md §0 [U] scheme) —
+  * these extend the §3B #45 text-analysis family with the remaining ops a
+  * training-data pipeline runs between cleaning and embedding.
+  *
+  * Scale notes (100 TB):
+  * - q_text_chunk: pure narrow op — sequence/explode/substr per row, zero
+  *   shuffles, fully pipelined inside whole-stage codegen. Chunking 100 TB
+  *   is exactly a full scan plus ~n_chars/STRIDE output rows per doc; the
+  *   presentation ORDER BY is the only exchange and exists for the oracle
+  *   compare, not the op.
+  * - q_text_entropy: two map-side-combinable aggs ((doc_id,tok) then
+  *   doc_id). Entropy is recomposed from INTEGER token counts —
+  *   H = ln(n) − Σc·ln(c)/n — so partitioning/order cannot change the
+  *   pre-rounding value beyond float-sum ulps (rounded to 4dp like every
+  *   float in the suite).
+  * - q_text_pmi: bigram and unigram counts are map-side combinable; the
+  *   two unigram joins are size-gated broadcasts (vocabulary-bounded, not
+  *   corpus-bounded — but at web scale "vocabulary" includes typos, so the
+  *   gate matters); the corpus totals are 1-row aggs (forced broadcast is
+  *   safe at any scale). PMI is pure arithmetic over counts in log space —
+  *   ln(c_xy)+2·ln(N_uni)−ln(N_big)−ln(c1)−ln(c2) — which never forms the
+  *   overflow-prone integer product c_xy·N_uni².
+  */
+object TextMining extends QueryPack {
+
+  /** Chunk window (chars) and stride: 50-char overlap between windows. */
+  private val CHUNK = 200
+  private val STRIDE = 150
+
+  /** Collocation support floor: bigrams rarer than this carry no stable
+    * PMI signal (and make the estimate high-variance). */
+  private val PMI_MIN_PAIR = 20
+
+  def queries: Seq[(String, Fn)] = Seq(
+
+    // Overlapping fixed-width character windows with provenance offsets —
+    // the doc→chunk step every embedding/retrieval pipeline runs. Window i
+    // covers [i·STRIDE, i·STRIDE+CHUNK); the last window is short. A doc
+    // always yields ≥1 chunk (greatest guard: Spark's sequence(0,-1) would
+    // count DOWN, not return empty).
+    "q_text_chunk" -> ((s, d) => {
+      // repartition: single-row-group testdata file → parallelize the
+      // explode (no-op at real scale where the scan has row-group splits)
+      val docs = t(s, d, "documents").repartition(col("doc_id"))
+      val nChunks = greatest(ceil(col("n_chars") / lit(STRIDE.toDouble)).cast(IntegerType), lit(1))
+      docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id").cast(LongType) * STRIDE).as("chunk_start"),
+          col("text").substr(col("chunk_id") * STRIDE + 1, lit(CHUNK)).as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Token Shannon entropy (nats) per doc — the distribution-shape
+    // quality signal (low entropy = repetitive/templated text) that
+    // complements q_quality_repetition's bigram top-share. Recomposed from
+    // integer counts: H = ln(n) − (Σ c·ln c)/n.
+    "q_text_entropy" -> ((s, d) => {
+      val tc = t(s, d, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), explode(LlmPipeline.toks(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tc.groupBy("doc_id")
+        .agg(sum("c").as("n_toks"), count(lit(1)).as("n_types"),
+          sum(col("c") * log(col("c"))).as("slc"))
+        .select(col("doc_id"), col("n_toks"), col("n_types"),
+          r4(log(col("n_toks")) - col("slc") / col("n_toks")).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // Pointwise mutual information of adjacent-token pairs over the whole
+    // corpus: which co-occurrences are more frequent than independence
+    // predicts. Top-30 by PMI among bigrams with support ≥ PMI_MIN_PAIR.
+    "q_text_pmi" -> ((s, d) => {
+      val tk = t(s, d, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), LlmPipeline.toks(col("text")).as("tk"))
+      val bc = tk.select(explode(Curation.bigramsAll(col("tk"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      val uni = tk.select(explode(col("tk")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      // 1-row corpus totals: forced broadcast is provably bounded
+      val nUni = uni.agg(sum("c").as("n_uni"))
+      val nBig = bc.agg(sum("c_xy").as("n_big"))
+      bc.where(col("c_xy") >= PMI_MIN_PAIR)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(maybeBroadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+        .join(maybeBroadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+        .select(col("bigram"), col("c_xy"),
+          r4(log(col("c_xy")) + lit(2.0) * log(col("n_uni"))
+            - log(col("n_big")) - log(col("c1")) - log(col("c2"))).as("pmi"))
+        .orderBy(desc("pmi"), col("bigram")).limit(30)
+    }),
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_text_chunk" ->
+      s"""SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         | CAST(i * $STRIDE AS BIGINT) AS chunk_start,
+         | substr(text, CAST(i * $STRIDE + 1 AS INT), $CHUNK) AS chunk,
+         | CAST(length(substr(text, CAST(i * $STRIDE + 1 AS INT), $CHUNK)) AS INT) AS chunk_len
+         |FROM (
+         |  SELECT doc_id, text, unnest(generate_series(0,
+         |    greatest(CAST(ceil(n_chars / $STRIDE.0) AS INT), 1) - 1)) AS i
+         |  FROM documents)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_text_entropy" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         | CAST(count(*) AS BIGINT) AS n_types,
+         | ${r4sql("ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c)")} AS entropy
+         |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_pmi" ->
+      s"""WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+         |bc AS (
+         |  SELECT bigram, count(*) AS c_xy FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM tk)
+         |  GROUP BY bigram),
+         |uni AS (
+         |  SELECT tok, count(*) AS c FROM (SELECT unnest(tk) AS tok FROM tk)
+         |  GROUP BY tok),
+         |nu AS (SELECT sum(c) AS n_uni FROM uni),
+         |nb AS (SELECT sum(c_xy) AS n_big FROM bc)
+         |SELECT bigram, c_xy,
+         | ${r4sql("ln(CAST(c_xy AS DOUBLE)) + 2 * ln(CAST(n_uni AS DOUBLE)) - ln(CAST(n_big AS DOUBLE)) - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE))")} AS pmi
+         |FROM bc
+         |JOIN (SELECT tok AS w1, c AS c1 FROM uni) u1 ON string_split(bigram, ' ')[1] = u1.w1
+         |JOIN (SELECT tok AS w2, c AS c2 FROM uni) u2 ON string_split(bigram, ' ')[2] = u2.w2
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE c_xy >= $PMI_MIN_PAIR
+         |ORDER BY pmi DESC, bigram ASC LIMIT 30""".stripMargin,
+  )
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + plan shape of the TextMining pack (chunking, entropy, PMI)
+  * and the containment dedup op — the properties the row-hash oracle can't
+  * express: exact reconstruction, closed-form values on fixtures, and the
+  * quote-inclusion case Jaccard provably misses. */
+class TextMiningSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.SF
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** documents.parquet fixture dir the registered queries can read. */
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-textmine").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_text_chunk reconstructs every document exactly (offsets + overlap)") {
+    val texts = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = q("q_text_chunk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet == texts.keySet)
+    chunks.foreach { case (id, cs) =>
+      val text = texts(id)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"doc $id chunk_ids not dense")
+      assert(sorted.length == math.max(math.ceil(text.length / 150.0).toInt, 1))
+      sorted.foreach { case (_, i, start, chunk) =>
+        assert(start == i * 150L)
+        val expected = text.substring(i * 150, math.min(i * 150 + 200, text.length))
+        assert(chunk == expected, s"doc $id chunk $i mismatch")
+      }
+      // full coverage: last chunk reaches the end of the doc
+      val last = sorted.last
+      assert(last._3 + last._4.length == text.length, s"doc $id tail not covered")
+    }
+  }
+
+  test("q_text_chunk is a narrow op: only the presentation sort exchanges") {
+    val df = q("q_text_chunk")
+    df.collect()
+    // AdaptiveSparkPlan.toString prints final AND initial plan — slice
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // exactly one hash exchange (the single-row-group fixture repartition);
+    // chunking itself is Generate+Project — it never shuffles or joins
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q_text_entropy matches closed forms on a fixture corpus") {
+    val dir = docsDir(Seq(
+      (1L, "a a b b", "en", "s", 7L),   // uniform over 2 types: H = ln 2
+      (2L, "z", "en", "s", 1L),         // single token: H = 0
+      (3L, "a a a b", "en", "s", 7L)))  // H = ln4 - (3 ln3)/4
+    val rows = SparkEntry.queries("q_text_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((4L, 2L, BigDecimal(math.log(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(rows(2L)._3 == 0.0)
+    val h3 = math.log(4) - 3 * math.log(3) / 4
+    assert(math.abs(rows(3L)._3 - h3) < 1e-4)
+  }
+
+  test("q_text_entropy bounds: 0 <= H <= ln(n_types)") {
+    q("q_text_entropy").collect().foreach { r =>
+      val (types, h) = (r.getLong(2), r.getDouble(3))
+      // 5e-5 slack: values are rounded to 4dp, which can land just above ln(types)
+      assert(h >= -1e-9 && h <= math.log(types.toDouble) + 5e-5,
+        s"doc ${r.getLong(0)}: H=$h types=$types")
+    }
+  }
+
+  test("q_text_pmi matches the closed form on an always-co-occurring fixture") {
+    // 25 two-token docs "p q": c_xy=25, c_p=c_q=25, N_uni=50, N_big=25
+    // PMI = ln25 + 2 ln50 - ln25 - ln25 - ln25 = 2 ln 2
+    val dir = docsDir((1 to 25).map(i => (i.toLong, "p q", "en", "s", 3L)))
+    val rows = SparkEntry.queries("q_text_pmi")(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "p q" && rows.head.getLong(1) == 25L)
+    assert(math.abs(rows.head.getDouble(2) - 2 * math.log(2)) < 1e-4)
+  }
+
+  test("q_text_pmi output is support-filtered and PMI-sorted") {
+    val rows = q("q_text_pmi").collect()
+    assert(rows.length <= 30)
+    rows.foreach(r => assert(r.getLong(1) >= 20))
+    val pmis = rows.map(_.getDouble(2)).toSeq
+    assert(pmis == pmis.sorted(Ordering[Double].reverse))
+  }
+
+  test("containment catches quote inclusion that Jaccard misses") {
+    // doc 2 = 200 unique tokens; doc 1 = a verbatim 30-token excerpt.
+    // Shingles: |A|=28, |B|=198, all of A's inside B ->
+    // jac = 28/(28+198-28) = 0.141 (invisible at tau=0.8); cont = 1.0.
+    val big = (1 to 200).map(i => s"w$i").mkString(" ")
+    val excerpt = (50 until 80).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, excerpt, "en", "s", excerpt.length.toLong),
+      (2L, big, "en", "s", big.length.toLong)))
+    val cont = SparkEntry.queries("q_dedup_containment")(spark, dir).collect()
+    assert(cont.length == 1)
+    assert((cont.head.getLong(0), cont.head.getLong(1)) == ((1L, 2L)))
+    assert(cont.head.getDouble(2) == 1.0)
+    val near = SparkEntry.queries("q_dedup_near")(spark, dir).collect()
+    assert(near.isEmpty, "Jaccard at 0.8 should NOT flag the excerpt pair")
+  }
+
+  test("containment dominates Jaccard on every shared pair") {
+    val jac = q("q_dedup_near").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = q("q_dedup_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // |∩|/min <= 1 and >= |∩|/union: containment >= jaccard wherever both fire
+    jac.keys.filter(cont.contains).foreach { k =>
+      assert(cont(k) >= jac(k) - 1e-9, s"pair $k cont ${cont(k)} < jac ${jac(k)}")
+    }
+    cont.values.foreach(c => assert(c >= 0.9 && c <= 1.0))
+  }
+}
