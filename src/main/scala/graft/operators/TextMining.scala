@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.Tables._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,15 +67,43 @@ object TextMining extends QueryPack {
     // quality signal (low entropy = repetitive/templated text) that
     // complements q_quality_repetition's bigram top-share. Recomposed from
     // integer counts: H = ln(n) − (Σ c·ln c)/n.
+    //
+    // Fully NARROW: a per-doc statistic must never shuffle the corpus, so
+    // the token counts come from a run-length fold over the doc's own
+    // sorted token array (O(n log n) per row, constant accumulator) —
+    // zero exchanges, zero aggs, the whole op pipelines inside the scan
+    // stage. The groupBy((doc_id,tok))→groupBy(doc_id) formulation would
+    // shuffle the full token stream twice for a value each row can
+    // compute alone.
     "q_text_entropy" -> ((s, d) => {
-      val tc = t(s, d, "documents").repartition(col("doc_id"))
-        .select(col("doc_id"), explode(LlmPipeline.toks(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      tc.groupBy("doc_id")
-        .agg(sum("c").as("n_toks"), count(lit(1)).as("n_types"),
-          sum(col("c") * log(col("c"))).as("slc"))
-        .select(col("doc_id"), col("n_toks"), col("n_types"),
-          r4(log(col("n_toks")) - col("slc") / col("n_toks")).as("entropy"))
+      val docs = t(s, d, "documents").repartition(col("doc_id"))
+      // fold state: (prev token|null, current run length, Σ run·ln(run)
+      // over CLOSED runs, #closed runs). null init never equals a token,
+      // so the first element always opens a run.
+      val zero = struct(lit(null).cast(StringType).as("prev"), lit(0L).as("run"),
+        lit(0.0).as("slc"), lit(0L).as("types"))
+      val closed = (run: Column, slc: Column) =>
+        slc + when(run > 0, run.cast(DoubleType) * log(run)).otherwise(0.0)
+      val folded = aggregate(
+        array_sort(col("tk")), zero,
+        (acc, x) => when(x === acc.getField("prev"),
+          struct(x.as("prev"), (acc.getField("run") + 1).as("run"),
+            acc.getField("slc").as("slc"), acc.getField("types").as("types")))
+          .otherwise(
+            struct(x.as("prev"), lit(1L).as("run"),
+              closed(acc.getField("run"), acc.getField("slc")).as("slc"),
+              (acc.getField("types") + 1).as("types"))),
+        acc => struct(closed(acc.getField("run"), acc.getField("slc")).as("slc"),
+          acc.getField("types").as("types")))
+      docs
+        // tokens hoisted into their own projection (re-split pitfall — see
+        // LlmPipeline.shingles)
+        .select(col("doc_id"), LlmPipeline.toks(col("text")).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"),
+          folded.as("f"))
+        .select(col("doc_id"), col("n_toks"),
+          col("f.types").as("n_types"),
+          r4(log(col("n_toks")) - col("f.slc") / col("n_toks")).as("entropy"))
         .orderBy("doc_id")
     }),
 

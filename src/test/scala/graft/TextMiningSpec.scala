@@ -72,6 +72,17 @@ class TextMiningSpec extends AnyFunSuite {
     assert(math.abs(rows(3L)._3 - h3) < 1e-4)
   }
 
+  test("q_text_entropy is a narrow op: run-length fold, no aggregation shuffle") {
+    val df = q("q_text_entropy")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // a per-doc statistic must not shuffle the corpus: the only hash
+    // exchange is the single-row-group fixture repartition, and there is
+    // no HashAggregate at all (counts come from the per-row sorted fold)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+  }
+
   test("q_text_entropy bounds: 0 <= H <= ln(n_types)") {
     q("q_text_entropy").collect().foreach { r =>
       val (types, h) = (r.getLong(2), r.getDouble(3))
