@@ -53,6 +53,11 @@ object Curation extends QueryPack {
   private val memo =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
+  /** Memoized persisted 5-gram shingle stream for q_decontaminate (keyed
+    * by dir like LlmPipeline's k=3 universe). */
+  private val sh5Memo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
   /** Connected components of the near-dup pair graph (q_dedup_near's
     * jac ≥ 0.8 pairs) by min-label propagation: every vertex repeatedly
     * takes the min label among itself and its neighbors until fixpoint.
@@ -98,10 +103,21 @@ object Curation extends QueryPack {
     // the benchmark set. The benchmark shingle universe is fixed-size →
     // size-gated broadcast; the corpus side is a single narrow pass.
     "q_decontaminate" -> ((s, d) => {
-      val sh5 = t(s, d, "documents")
-        .withColumn("toks", LlmPipeline.toks(col("text")))
-        .select(col("doc_id"),
-          explode(LlmPipeline.shingles(col("toks"), 5)).as("shingle"))
+      // memoized + repartitioned like LlmPipeline.docShingles: the three
+      // consumers below (bench set, hit counts, per-doc totals) would
+      // otherwise each re-run the tokenize+shingle chain — and on the
+      // single-row-group testdata file, single-threaded. At 100 TB this is
+      // the same "materialize the shingle stream once per run" choice as
+      // the k=3 dedup universe.
+      val sh5 = sh5Memo.getOrElseUpdate((s, d), {
+        val df = t(s, d, "documents").repartition(col("doc_id"))
+          .withColumn("toks", LlmPipeline.toks(col("text")))
+          .select(col("doc_id"),
+            explode(LlmPipeline.shingles(col("toks"), 5)).as("shingle"))
+          .persist()
+        df.count() // eager: concurrent consumers must not race the fill
+        df
+      })
       val bench = sh5.where(col("doc_id") % BENCH_MOD === 0)
         .select("shingle").distinct()
       val train = sh5.where(col("doc_id") % BENCH_MOD =!= 0)

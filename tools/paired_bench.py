@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Same-window paired DuckDB timing for the whole oracle suite.
+
+The VM's load swings totals 30%+ between windows, so a Spark/DuckDB ratio
+claim is only honest when both engines run in the same window (BASELINE.md
+round-2 note). Protocol: run graft.Bench, then IMMEDIATELY run this against
+the same sf dir and the oracle_sql.json the last Verify dumped.
+
+Usage: python3 tools/paired_bench.py <sfDir> <oracleSqlJson> [sparkBenchJson]
+  e.g. python3 tools/paired_bench.py /root/testdata/sf0.1 /tmp/verify01/oracle_sql.json /tmp/bench_now.json
+
+Prints one JSON line: per-query min-of-2 DuckDB seconds, the total, and —
+when a Spark bench JSON is given — the paired ratio.
+"""
+import sys, os, json, time
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main(sf_dir, oracle_path, spark_json=None):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(oracle_path))
+    times = {}
+    errors = 0
+    for name, sql in sorted(oracle.items()):
+        best = None
+        for _ in range(2):  # min-of-2: absorbs one scheduler hiccup per query
+            t0 = time.monotonic()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as e:
+                errors += 1
+                print(f"[paired] {name} oracle error: {e}", file=sys.stderr)
+                best = None
+                break
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            times[name] = round(best, 3)
+    total = round(sum(times.values()), 3)
+    out = {"engine": "duckdb", "sf": sf_dir, "total_sec": total,
+           "n_queries": len(times), "errors": errors, "queries": times}
+    if spark_json and os.path.exists(spark_json):
+        raw = open(spark_json).read()
+        spark = json.loads(raw[raw.find("{"):])
+        out["spark_total_sec"] = spark["value"]
+        out["spark_n_queries"] = spark["n_queries"]
+        # ratio over the queries BOTH engines ran, so registry growth or a
+        # sketch-only query can't skew the comparison
+        shared = set(times) & set(spark.get("queries", {}))
+        st = sum(spark["queries"][q] for q in shared)
+        dt = sum(times[q] for q in shared)
+        out["paired_shared_queries"] = len(shared)
+        out["paired_ratio_spark_over_duck"] = round(st / dt, 3) if dt else None
+    print(json.dumps(out))
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
