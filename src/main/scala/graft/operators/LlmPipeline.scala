@@ -145,6 +145,21 @@ object LlmPipeline extends QueryPack {
   private def shingleCounts(ds: DataFrame): DataFrame =
     ds.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
+  /** Memoized pairwise shingle-intersection counts (doc_a < doc_b) off the
+    * capped shingle self-join — the one expensive stage q_dedup_near and
+    * q_dedup_containment share (they differ only in the closed-form score
+    * applied to (|∩|, |A|, |B|)). Bounded by the df cap at
+    * maxDf·(maxDf−1)/2 rows per shingle. */
+  private def pairIntersections(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "pair_inter") {
+      val ds = docShingles(s, d)
+      ds.as("sa")
+        .join(ds.as("sb"), col("sa.shingle") === col("sb.shingle") &&
+          col("sa.doc_id") < col("sb.doc_id"))
+        .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+    }
+
   /** Memoized per-doc 32-bit simhash signatures (doc_id, lang, simhash):
     * one exploded-token pass, map-side-combinable bit sums. Shared by
     * q_dedup_simhash (lang-blocked truth pairs) and
@@ -211,7 +226,14 @@ object LlmPipeline extends QueryPack {
     * global plane id (offset past the single-table query's planes), so —
     * like [[lshBuckets]] — bucket assignment is a single narrow
     * projection plus an explode: zero joins, zero shuffles. */
-  private def lshMultiBuckets(s: SparkSession, d: String): DataFrame = {
+  private def lshMultiBuckets(s: SparkSession, d: String): DataFrame =
+    // memoized: the candidate self-join reads BOTH sides of this narrow
+    // (vec_id, tb, bucket) index — uncached, each side would recompute the
+    // LSH_TABLES × LSH_TABLE_BITS hyperplane dot products. At scale this
+    // small-int table IS the persisted index artifact of the corpus.
+    cached(s, d, "lsh_multi_buckets") { lshMultiBucketsPlan(s, d) }
+
+  private def lshMultiBucketsPlan(s: SparkSession, d: String): DataFrame = {
     val tables = (0 until LSH_TABLES).map { tb =>
       val bucket = (0 until LSH_TABLE_BITS).map { j =>
         val plane = typedlit((1 to 64).map(planeValJvm(LSH_PLANES + tb * LSH_TABLE_BITS + j, _)))
@@ -302,12 +324,9 @@ object LlmPipeline extends QueryPack {
     "q_dedup_near" -> ((s, d) => {
       val ds = docShingles(s, d)
       // intersection counts straight off the shingle self-join — no
-      // distinct-pairs pass, no second all-pairs join
-      val inter = ds.as("sa")
-        .join(ds.as("sb"), col("sa.shingle") === col("sb.shingle") &&
-          col("sa.doc_id") < col("sb.doc_id"))
-        .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
+      // distinct-pairs pass, no second all-pairs join; memoized, shared
+      // with q_dedup_containment
+      val inter = pairIntersections(s, d)
       jaccardFromInter(inter, shingleCounts(ds))
         .where(col("jac") >= 0.8)
         .select("doc_a", "doc_b", "jac")
@@ -323,11 +342,7 @@ object LlmPipeline extends QueryPack {
     // second shingling pass.
     "q_dedup_containment" -> ((s, d) => {
       val ds = docShingles(s, d)
-      val inter = ds.as("sa")
-        .join(ds.as("sb"), col("sa.shingle") === col("sb.shingle") &&
-          col("sa.doc_id") < col("sb.doc_id"))
-        .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
+      val inter = pairIntersections(s, d)
       val cnt = shingleCounts(ds)
       inter
         .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")

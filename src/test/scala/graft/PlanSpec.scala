@@ -196,12 +196,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_sim_ann_lsh_multi: bucket assignment is scan-side (no join), topk heaps map-side") {
     val p = plan("q_sim_ann_lsh_multi").split("== Initial Plan ==").head
-    // the 16 hyperplane projections ride in the task closure as literals —
-    // bucket assignment must appear as Generate/Project over the scan, not
-    // as a join against a plane table
+    // the hyperplane projections ride in the task closure as literals (no
+    // join against a plane table), and the (vec_id, tb, bucket) index is
+    // memoized — both sides of the candidate self-join read the cache
+    // rather than recomputing the dot products
     assert(p.contains("TopKPerKeyPartial"), p)
     assert(p.contains("TopKPerKeyFinal"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p)
   }
 
   test("q_sim_ann_ivf_mp probes through the cached cell ranking with map-side heaps") {
