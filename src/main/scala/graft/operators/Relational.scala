@@ -163,6 +163,24 @@ object Relational extends QueryPack {
         .orderBy("band_id")
     }),
 
+    // #12 at scale: the same interval join through Skew.binnedRangeJoin —
+    // bin-bucketed into a HASH join (no nested loop anywhere in the plan;
+    // PlanSpec asserts it). Same oracle as q_join_range: the rewrite is
+    // row-identical by construction. This is the shape that survives when
+    // the interval side outgrows a broadcast (e.g. 10⁸ sensor calibration
+    // windows), where BNLJ is O(n·m) and a broadcast OOMs.
+    "q_join_range_binned" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq((0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0),
+        (3, 30.0, 40.0), (4, 40.0, 50.0), (5, 50.0, 60.0))
+        .toDF("band_id", "lo", "hi")
+      Skew.binnedRangeJoin(t(s, d, "lineitem"), col("l_quantity"),
+          bands, col("lo"), col("hi"), binWidth = 10.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("band_id")
+    }),
+
     // #13 as-of join: for each purchase, latest view (same user) at-or-before
     // its ts. union+window formulation (SURVEY.md §7 hard-part 2): one
     // shuffle on user_id, no per-row range scan — the 100 TB-safe plan.
@@ -435,6 +453,13 @@ object Relational extends QueryPack {
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
     "q_join_range" ->
+      """SELECT band_id, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN (VALUES (0,0.0,10.0),(1,10.0,20.0),(2,20.0,30.0),
+        |  (3,30.0,40.0),(4,40.0,50.0),(5,50.0,60.0)) b(band_id, lo, hi)
+        | ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q_join_range_binned" ->
       """SELECT band_id, count(*) AS n,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN (VALUES (0,0.0,10.0),(1,10.0,20.0),(2,20.0,30.0),

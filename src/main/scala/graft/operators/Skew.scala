@@ -32,4 +32,35 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Bin-bucketed rewrite of an interval join (`lo <= v < hi`).
+    *
+    * Spark plans a pure range predicate as a nested-loop join — O(n·m)
+    * comparisons, fine for a 6-row broadcast band table, fatal when the
+    * interval side grows. The standard fix: quantize the value domain into
+    * fixed-width bins, explode each interval into every bin it overlaps,
+    * map each fact row to its single bin, equi-join on the bin id, and
+    * re-check the exact predicate as a residual filter. The plan becomes a
+    * hash join on `__bin` — partitionable, shuffle-bounded, AQE-visible —
+    * at the cost of ceil((hi−lo)/w)+1 copies of each interval row.
+    *
+    * Row-identical to `facts.join(intervals, lo <= v && v < hi)` for any
+    * `binWidth > 0` (asserted in SkewSpec): bins only over-approximate the
+    * candidate set and the residual filter removes the excess. Pick `w` ≈
+    * the median interval width so most intervals land in 1–2 bins.
+    */
+  def binnedRangeJoin(facts: DataFrame, v: Column, intervals: DataFrame,
+      lo: Column, hi: Column, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // hi is exclusive but floor(hi/w) is still included: an interval ending
+    // exactly on a bin edge contributes a no-match bin the residual filter
+    // clears — cheaper than special-casing the edge on both engines
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(floor(lo / binWidth).cast("long"),
+        floor(hi / binWidth).cast("long"))))
+    facts.withColumn("__bin", floor(v / binWidth).cast("long"))
+      .join(binned, Seq("__bin"))
+      .where(lo <= v && v < hi)
+      .drop("__bin")
+  }
 }

@@ -212,6 +212,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p) // shared ivf_cells artifact, not recomputed
   }
 
+  test("q_join_range_binned is a HASH join on the bin id (no nested loop)") {
+    val p = plan("q_join_range_binned").split("== Initial Plan ==").head
+    // the whole point of the rewrite: the interval predicate becomes an
+    // equi-join on __bin with a residual filter — BNLJ must be gone
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q_sim_knn pair join is broadcast with the codegen cosine expression") {
     val p = plan("q_sim_knn")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -24,6 +24,24 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.map(_.toString).sameElements(plain.map(_.toString)))
   }
 
+  test("binnedRangeJoin == plain interval join for aligned and misaligned widths") {
+    import spark.implicits._
+    // intervals of varying width, incl. one ending exactly on a bin edge
+    // and one spanning many bins; facts cover edges and out-of-range values
+    val intervals = Seq((0, 0.0, 10.0), (1, 5.0, 7.5), (2, 7.5, 40.0),
+      (3, 40.0, 40.0), (4, 55.5, 60.1)).toDF("band_id", "lo", "hi")
+    val facts = spark.range(0, 700).select((col("id") / 10.0).as("v"))
+    val plain = facts.join(intervals, col("lo") <= col("v") && col("v") < col("hi"))
+      .select("band_id", "v").orderBy("band_id", "v").collect()
+    for (w <- Seq(10.0, 7.0, 3.3, 100.0)) {
+      val binned = Skew.binnedRangeJoin(facts, col("v"), intervals,
+          col("lo"), col("hi"), w)
+        .select("band_id", "v").orderBy("band_id", "v").collect()
+      assert(binned.length == plain.length, s"width $w: row count")
+      assert(binned.map(_.toString).sameElements(plain.map(_.toString)), s"width $w")
+    }
+  }
+
   test("AQE splits the skewed partition of a sort-merge join at runtime") {
     import spark.implicits._
     // The automatic counterpart to saltedJoin: AQE detects the oversized
