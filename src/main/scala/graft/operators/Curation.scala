@@ -254,6 +254,47 @@ object Curation extends QueryPack {
         .select(col("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
         .orderBy("doc_id")
     }),
+
+    // Canonical-doc selection: within each near-dup cluster keep the
+    // highest-quality member (q_text_quality's score; ties → min doc_id).
+    // The step AFTER clustering in a real dedup pipeline — emit one
+    // representative, drop the rest. The rank-1 filter is the idiomatic
+    // row_number pattern the injected optimizer rule rewrites into the
+    // map-side-heap TopKPerKey plan; cluster membership is graph-sized
+    // (near-dup docs only), so the quality join touches a corpus-fraction.
+    "q_dedup_canonical" -> ((s, d) => {
+      val labels = clusterLabels(s, d)
+      val docsQ = t(s, d, "documents")
+        .withColumn("toks", LlmPipeline.toks(col("text")))
+        .select(col("doc_id"),
+          r4(least(lit(1.0), col("n_chars") / 200.0) *
+            (size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks"))))
+            .as("quality"))
+      val sized = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+        .join(docsQ, "doc_id")
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      val members = sized.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      sized.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .join(maybeBroadcast(members), "cluster_id")
+        .select("cluster_id", "doc_id", "quality", "n_members")
+        .orderBy("cluster_id")
+    }),
+
+    // Deterministic 90/5/5 train/val/test split by md5 bucket of doc_id —
+    // reproducible across engines, cluster sizes, and reruns (the property
+    // a training-data split MUST have so re-materializing the corpus never
+    // leaks val/test docs into train). Pure per-row predicate + one agg.
+    "q_split_train" -> ((s, d) => {
+      val bucket = pmod(Tables.h60(col("doc_id").cast(StringType)), lit(100))
+      t(s, d, "documents")
+        .withColumn("split", when(bucket < 90, "train")
+          .when(bucket < 95, "val").otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
+        .orderBy("split", "source")
+    }),
   )
 
   private val shingles5Sql =
@@ -367,5 +408,40 @@ object Curation extends QueryPack {
          |SELECT doc_id, cluster_id,
          | count(*) OVER (PARTITION BY cluster_id) AS n_members
          |FROM lbl ORDER BY doc_id""".stripMargin,
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${LlmPipeline.oracle.toMap.apply("q_dedup_near")}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS doc_id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         |lbl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id,
+         |   CAST(round(CAST(least(1.0, n_chars/200.0)
+         |     * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |        / len(string_split(text,' '))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS quality
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT l.cluster_id, l.doc_id, q.quality,
+         |   count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+         |   row_number() OVER (PARTITION BY l.cluster_id
+         |     ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+         |  FROM lbl l JOIN q USING (doc_id))
+         |SELECT cluster_id, doc_id, quality, n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "q_split_train" ->
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |   ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        | source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM b GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
   )
 }
