@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.Tables._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,6 +40,33 @@ object TextMining extends QueryPack {
   /** Collocation support floor: bigrams rarer than this carry no stable
     * PMI signal (and make the estimate high-variance). */
   private val PMI_MIN_PAIR = 20
+
+  /** Memoized persisted corpus count tables, shared by q_text_pmi and
+    * q_text_ppl (and read multiple times per Bench pass). Same pattern as
+    * LlmPipeline.cached: keyed by dir, eagerly materialized. */
+  private val memo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+  private def cached(s: SparkSession, d: String, stage: String)(mk: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, d, stage), { val df = mk.persist(); df.count(); df })
+
+  /** Tokenized docs: (doc_id, tk). */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").repartition(col("doc_id"))
+      .select(col("doc_id"), LlmPipeline.toks(col("text")).as("tk"))
+
+  /** Corpus bigram counts (bigram, c_xy) — NON-distinct bigrams. */
+  private def bigramCounts(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "bigram_counts") {
+      tokenized(s, d).select(explode(Curation.bigramsAll(col("tk"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+    }
+
+  /** Corpus unigram counts (tok, c). */
+  private def uniCounts(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "uni_counts") {
+      tokenized(s, d).select(explode(col("tk")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+    }
 
   def queries: Seq[(String, Fn)] = Seq(
 
@@ -111,12 +138,8 @@ object TextMining extends QueryPack {
     // corpus: which co-occurrences are more frequent than independence
     // predicts. Top-30 by PMI among bigrams with support ≥ PMI_MIN_PAIR.
     "q_text_pmi" -> ((s, d) => {
-      val tk = t(s, d, "documents").repartition(col("doc_id"))
-        .select(col("doc_id"), LlmPipeline.toks(col("text")).as("tk"))
-      val bc = tk.select(explode(Curation.bigramsAll(col("tk"))).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
-      val uni = tk.select(explode(col("tk")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val bc = bigramCounts(s, d)
+      val uni = uniCounts(s, d)
       // 1-row corpus totals: forced broadcast is provably bounded
       val nUni = uni.agg(sum("c").as("n_uni"))
       val nBig = bc.agg(sum("c_xy").as("n_big"))
@@ -130,6 +153,32 @@ object TextMining extends QueryPack {
           r4(log(col("c_xy")) + lit(2.0) * log(col("n_uni"))
             - log(col("n_big")) - log(col("c1")) - log(col("c2"))).as("pmi"))
         .orderBy(desc("pmi"), col("bigram")).limit(30)
+    }),
+
+    // LM-perplexity quality filter: score each doc under an add-1-smoothed
+    // corpus bigram model — p(y|x) = (c_xy + 1)/(c_x + V) — and emit the
+    // average negative log-likelihood per bigram (monotone in perplexity:
+    // ppl = exp(avg_nll)). The standard "does this doc look like the
+    // corpus" filter that catches gibberish exact-dedup and heuristic
+    // ratios miss. Shape at 100 TB: corpus model tables are
+    // vocabulary-sized (size-gated broadcasts), V is a 1-row agg, and the
+    // per-doc scoring is one exploded join + one map-side-combinable agg.
+    "q_text_ppl" -> ((s, d) => {
+      val bc = bigramCounts(s, d)
+      val uni = uniCounts(s, d)
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val docBigrams = tokenized(s, d)
+        .select(col("doc_id"), explode(Curation.bigramsAll(col("tk"))).as("bigram"))
+      docBigrams
+        .join(maybeBroadcast(bc), "bigram")
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .join(maybeBroadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          (log(col("c1") + col("v")) - log(col("c_xy") + 1)).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), r4(avg(col("nll"))).as("avg_nll"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -173,5 +222,23 @@ object TextMining extends QueryPack {
          |CROSS JOIN nu CROSS JOIN nb
          |WHERE c_xy >= $PMI_MIN_PAIR
          |ORDER BY pmi DESC, bigram ASC LIMIT 30""".stripMargin,
+    "q_text_ppl" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |db AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM tk),
+         |bc AS (SELECT bigram, count(*) AS c_xy FROM db GROUP BY bigram),
+         |uni AS (
+         |  SELECT tok, count(*) AS c FROM (
+         |    SELECT unnest(tk) AS tok FROM tk) GROUP BY tok),
+         |vocab AS (SELECT count(*) AS v FROM uni)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         | ${r4sql("avg(ln(CAST(c1 + v AS DOUBLE)) - ln(CAST(c_xy + 1 AS DOUBLE)))")} AS avg_nll
+         |FROM db
+         |JOIN bc USING (bigram)
+         |JOIN (SELECT tok AS w1, c AS c1 FROM uni) u1
+         |  ON string_split(bigram, ' ')[1] = u1.w1
+         |CROSS JOIN vocab
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -110,6 +110,33 @@ class TextMiningSpec extends AnyFunSuite {
     assert(pmis == pmis.sorted(Ordering[Double].reverse))
   }
 
+  test("q_text_ppl matches the closed form on a uniform fixture corpus") {
+    // 25 docs "p q": V=2, c_pq=25, c_p=25 -> every doc's single bigram has
+    // nll = ln(25+2) - ln(25+1) = ln(27/26)
+    val dir = docsDir((1 to 25).map(i => (i.toLong, "p q", "en", "s", 3L)))
+    val rows = SparkEntry.queries("q_text_ppl")(spark, dir).collect()
+    assert(rows.length == 25)
+    val expected = BigDecimal(math.log(27.0 / 26.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L)
+      assert(r.getDouble(2) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("q_text_ppl scores an out-of-distribution doc worse than in-corpus docs") {
+    // 30 identical in-distribution docs + 1 doc of never-repeated tokens:
+    // the model assigns the unseen bigrams only smoothing mass, so the
+    // outlier's avg_nll must exceed every in-distribution doc's
+    val docs = (1 to 30).map(i => (i.toLong, "the quick brown fox jumps", "en", "s", 25L)) :+
+      ((31L, "zq xw vv uy tt", "en", "s", 14L))
+    val dir = docsDir(docs)
+    val rows = SparkEntry.queries("q_text_ppl")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val inDist = (1 to 30).map(i => rows(i.toLong)).max
+    assert(rows(31L) > inDist, s"outlier ${rows(31L)} vs in-dist max $inDist")
+  }
+
   test("containment catches quote inclusion that Jaccard misses") {
     // doc 2 = 200 unique tokens; doc 1 = a verbatim 30-token excerpt.
     // Shingles: |A|=28, |B|=198, all of A's inside B ->
