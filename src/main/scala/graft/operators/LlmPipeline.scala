@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.Tables._
+import graft.multimodal.Media
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -760,6 +761,32 @@ object LlmPipeline extends QueryPack {
     "q_multimodal_frames" -> ((s, d) =>
       graft.multimodal.Media.frameStats(s, t(s, d, "documents"))),
 
+    // Perceptual-hash near-dup over decoded media frames: a 32-bit
+    // average-hash of the first frame — bit j set iff byte_j ≥ frame mean,
+    // computed INTEGER-exactly as 32·byte_j ≥ Σbytes so no float boundary
+    // can flip a bit between engines. Collision groups within a lang block
+    // are the near-dup report (the aHash analog of q_dedup_simhash for
+    // media payloads; with a real codec the same shape runs on decoded
+    // pixel bytes). Pure per-row hash + one agg — no pair join at all, so
+    // the op is corpus-linear at any scale.
+    "q_multimodal_phash" -> ((s, d) => {
+      val codes = (0 until Media.FRAME_BYTES).map(j =>
+        ascii(substring(col("text"), j + 1, 1)))
+      val total = codes.reduce(_ + _)
+      val phash = (0 until Media.FRAME_BYTES).map(j =>
+        when(codes(j) * Media.FRAME_BYTES >= total, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      val hashed = t(s, d, "documents")
+        .repartition(col("doc_id")) // single-row-group testdata parallelizer
+        .select(col("doc_id").as("media_id"), col("lang"), phash.as("phash"))
+      val groups = hashed.groupBy("lang", "phash")
+        .agg(count(lit(1)).as("n_dups"))
+        .where(col("n_dups") > 1)
+      hashed.join(maybeBroadcast(groups), Seq("lang", "phash"))
+        .select("media_id", "lang", "phash", "n_dups")
+        .orderBy("media_id")
+    }),
+
     // Opaque-binary plumbing: text→bytes with typed metadata; hashes and
     // byte lengths flow through BinaryType columns. (The mapPartitions
     // decode stub lives in graft.multimodal, scalatest-covered.)
@@ -1127,5 +1154,22 @@ object LlmPipeline extends QueryPack {
         | lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
         | lang AS m_lang, source AS m_source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_phash" -> {
+      val codesSql = (0 until Media.FRAME_BYTES).map(j =>
+        s"ord(substr(text, ${j + 1}, 1))")
+      val totalSql = codesSql.mkString(" + ")
+      val phashSql = (0 until Media.FRAME_BYTES).map(j =>
+        s"CASE WHEN ${codesSql(j)} * ${Media.FRAME_BYTES} >= total THEN (1::BIGINT << $j) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id AS media_id, lang, total, $phashSql AS phash
+         |  FROM (SELECT doc_id, lang, text, $totalSql AS total FROM documents)),
+         |g AS (
+         |  SELECT lang, phash, count(*) AS n_dups FROM h
+         |  GROUP BY lang, phash HAVING count(*) > 1)
+         |SELECT h.media_id, h.lang, h.phash, g.n_dups
+         |FROM h JOIN g ON h.lang = g.lang AND h.phash = g.phash
+         |ORDER BY media_id""".stripMargin
+    },
   )
 }

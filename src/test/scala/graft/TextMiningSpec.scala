@@ -154,6 +154,24 @@ class TextMiningSpec extends AnyFunSuite {
     assert(near.isEmpty, "Jaccard at 0.8 should NOT flag the excerpt pair")
   }
 
+  test("q_multimodal_phash collides same-first-frame media and nothing else") {
+    // docs 1,2: identical first 32 chars, different tails -> same phash.
+    // doc 3: no spaces in the first frame -> every bit set (uniform bytes),
+    // a different bit pattern from frameA's space-zeroed bits. doc 4:
+    // different lang blocks the group even with an identical payload.
+    val frameA = "aa bb cc dd ee ff gg hh iii jjj "
+    assert(frameA.length == 32)
+    val dir = docsDir(Seq(
+      (1L, frameA + "tail one xx", "en", "s", 43L),
+      (2L, frameA + "different tail yy zz", "en", "s", 52L),
+      (3L, "z" * 32 + " tail one xx", "en", "s", 44L),
+      (4L, frameA + "tail one xx", "de", "s", 43L)))
+    val rows = SparkEntry.queries("q_multimodal_phash")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L), rows.mkString(";"))
+    assert(rows.map(_.getLong(2)).distinct.length == 1, "same phash")
+    rows.foreach(r => assert(r.getLong(3) == 2L))
+  }
+
   test("containment dominates Jaccard on every shared pair") {
     val jac = q("q_dedup_near").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
