@@ -18,6 +18,57 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("chunking reconstructs random ASCII docs of any length (incl. edge sizes)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val gen = for {
+      // edge sizes around the 150-stride/200-window boundaries
+      n <- Gen.oneOf(Gen.choose(1, 500), Gen.oneOf(1, 149, 150, 151, 199, 200, 201, 300, 350))
+      s <- Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    } yield s
+    val texts = samples(gen, 60).zipWithIndex
+      .map { case (s, i) => (i.toLong, s, "en", "s", s.length.toLong) }
+    val dir = Files.createTempDirectory("graft-chunk-prop").toString
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val byDoc = SparkEntry.queries("q_text_chunk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    texts.foreach { case (id, text, _, _, _) =>
+      val chunks = byDoc(id)
+      assert(chunks.length == math.max(math.ceil(text.length / 150.0).toInt, 1), s"doc $id")
+      // stride-prefix concatenation + last chunk == original text
+      val rebuilt = chunks.init.map(_.take(150)).mkString + chunks.last
+      assert(rebuilt == text, s"doc $id not reconstructed")
+      // consecutive chunks agree on their 50-char overlap
+      chunks.toSeq.sliding(2).zipWithIndex.foreach {
+        case (Seq(a, b), i) =>
+          val overlap = math.min(a.length - 150, b.length)
+          if (overlap > 0) assert(a.drop(150).take(overlap) == b.take(overlap), s"doc $id chunk $i overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("binnedRangeJoin == BNLJ interval join on randomized intervals and widths") {
+    import spark.implicits._
+    val igen = for {
+      lo <- Gen.choose(-50.0, 50.0)
+      len <- Gen.choose(0.0, 30.0)
+    } yield (lo, lo + len)
+    val intervals = samples(igen, 40).zipWithIndex
+      .map { case ((lo, hi), i) => (i, lo, hi) }.toDF("band_id", "lo", "hi")
+    val facts = samples(Gen.choose(-60.0, 60.0), 500).toDF("v")
+    val plain = facts.join(intervals, col("lo") <= col("v") && col("v") < col("hi"))
+      .select("band_id", "v").collect().map(_.toString).sorted
+    for (w <- Seq(0.7, 5.0, 33.3)) {
+      val binned = graft.operators.Skew
+        .binnedRangeJoin(facts, col("v"), intervals, col("lo"), col("hi"), w)
+        .select("band_id", "v").collect().map(_.toString).sorted
+      assert(binned.sameElements(plain), s"width $w: ${binned.length} vs ${plain.length}")
+    }
+  }
+
   test("rollup: grand total equals sum of leaf rows") {
     val rows = q("q_rollup").collect()
     val leaves = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
