@@ -282,6 +282,29 @@ object Curation extends QueryPack {
         .orderBy("cluster_id")
     }),
 
+    // Corpus health report: the per-(source, lang) dashboard a data team
+    // reads before a training run — volume, token mass, exact-dup rate,
+    // mean quality. ONE pass over the corpus (every measure is map-side
+    // combinable off per-row expressions; the dup count is
+    // count − approxless exact distinct of the content hash, which is the
+    // same one-shuffle agg). Composes the per-row definitions already
+    // oracle-checked in q_text_quality / q_dedup_exact.
+    "q_corpus_report" -> ((s, d) => {
+      val tk = LlmPipeline.toks(col("text"))
+      t(s, d, "documents")
+        .withColumn("toks", tk)
+        .withColumn("h", sha2(lower(trim(col("text"))), 256))
+        .withColumn("quality",
+          least(lit(1.0), col("n_chars") / 200.0) *
+            (size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks"))))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast(LongType)).as("n_tokens"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"),
+          r4(avg(col("quality"))).as("mean_quality"))
+        .orderBy("source", "lang")
+    }),
+
     // Deterministic 90/5/5 train/val/test split by md5 bucket of doc_id —
     // reproducible across engines, cluster sizes, and reruns (the property
     // a training-data split MUST have so re-materializing the corpus never
@@ -304,6 +327,41 @@ object Curation extends QueryPack {
       |        string_split(text,' ')[i+2]||' '||string_split(text,' ')[i+3]||' '||
       |        string_split(text,' ')[i+4]))
       | ELSE [] END""".stripMargin
+
+  /** End-to-end curated-corpus materialization — the artifact a training
+    * run actually reads. In ONE plan: exact-dedup keep (min doc_id per
+    * content hash), quality floor, deterministic md5-bucket split
+    * assignment; written partitioned by split with doc_id range-clustering
+    * inside each split (every task owns one (split, doc_id-range) slice,
+    * so the dynamic-partition write fans out to exactly one directory per
+    * task and each file carries a tight doc_id footer range for scan
+    * skipping). Re-running is idempotent: same input → byte-identical
+    * keeper set, split labels, and file layout (Overwrite mode).
+    *
+    * 100 TB: every step is one shuffle (the hash window) plus the range
+    * exchange the clustered layout needs anyway; nothing is driver-side.
+    */
+  def materializeCorpus(s: SparkSession, d: String, outDir: String,
+      minQuality: Double = 0.3, filesPerSplit: Int = 4): Unit = {
+    val docs = t(s, d, "documents")
+      .withColumn("toks", LlmPipeline.toks(col("text")))
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .withColumn("quality",
+        least(lit(1.0), col("n_chars") / 200.0) *
+          (size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks"))))
+    val keep = Window.partitionBy("h").orderBy(col("doc_id").asc)
+    val bucket = pmod(Tables.h60(col("doc_id").cast(StringType)), lit(100))
+    docs
+      .withColumn("rn", row_number().over(keep)).where(col("rn") === 1)
+      .where(col("quality") >= minQuality)
+      .withColumn("split", when(bucket < 90, "train")
+        .when(bucket < 95, "val").otherwise("test"))
+      .select("doc_id", "text", "lang", "source", "n_chars", "quality", "split")
+      .repartitionByRange(filesPerSplit, col("split"), col("doc_id"))
+      .sortWithinPartitions(col("split"), col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("split").parquet(outDir)
+  }
 
   def oracle: Seq[(String, String)] = Seq(
     "q_decontaminate" ->
@@ -434,6 +492,14 @@ object Curation extends QueryPack {
          |  FROM lbl l JOIN q USING (doc_id))
          |SELECT cluster_id, doc_id, quality, n_members
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "q_corpus_report" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        | count(*) - count(DISTINCT sha256(lower(trim(text)))) AS n_dup_docs,
+        | CAST(round(CAST(avg(least(1.0, n_chars/200.0)
+        |   * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |      / len(string_split(text,' ')))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS mean_quality
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "q_split_train" ->
       """WITH b AS (
         |  SELECT source, n_chars,

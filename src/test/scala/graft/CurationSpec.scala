@@ -38,6 +38,52 @@ class CurationSpec extends AnyFunSuite {
     assert(p.contains("TopKPerKeyFinal"), p)
   }
 
+  test("materializeCorpus: deduped, quality-floored, split-partitioned, clustered") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-corpus").toString + "/curated"
+    graft.operators.Curation.materializeCorpus(spark, sf, out, minQuality = 0.3)
+    val curated = spark.read.parquet(out)
+    // no duplicate content survives, and the keeper is the min doc_id
+    val dupGroups = curated
+      .groupBy(sha2(lower(trim(col("text"))), 256)).count().where(col("count") > 1)
+    assert(dupGroups.count() == 0, "curated corpus must be exact-dup free")
+    assert(curated.where(col("quality") < 0.3).count() == 0)
+    // split labels are the deterministic md5 buckets (byte-identical rerun);
+    // snapshot rows BEFORE the overwrite replaces the files under the scan
+    val firstRows = curated.orderBy("doc_id").collect().map(_.toString).toSeq
+    graft.operators.Curation.materializeCorpus(spark, sf, out, minQuality = 0.3)
+    val again = spark.read.parquet(out)
+    assert(firstRows == again.orderBy("doc_id").collect().map(_.toString).toSeq)
+    // reading one split prunes partitions at the scan
+    val train = spark.read.parquet(out).where(col("split") === "train")
+    train.collect()
+    val scan = train.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(split"), scan)
+    // doc_id footer ranges are disjoint within the train split (clustered)
+    val ranges = graft.sources.Sinks
+      .clusteredRanges(spark, s"$out/split=train", "doc_id")
+      .map { case (lo, hi) => (lo.toString.toLong, hi.toString.toLong) }
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: $ranges")
+      case _ =>
+    }
+  }
+
+  test("q_corpus_report totals agree with the per-query families") {
+    val report = q("q_corpus_report").collect()
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(report.map(_.getLong(2)).sum == total)
+    // per-stratum dup counts can never exceed the global dup count (a
+    // group spanning strata loses one dup per extra stratum)
+    val dupTotal = q("q_dedup_exact").collect().map(_.getLong(2) - 1).sum
+    assert(report.map(_.getLong(4)).sum <= dupTotal)
+    report.foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getLong(4) >= 0 && r.getLong(4) < r.getLong(2))
+    }
+  }
+
   test("q_split_train partitions every doc exactly once, deterministically") {
     val total = Tables.t(spark, sf, "documents").count()
     val rows = q("q_split_train").collect()
