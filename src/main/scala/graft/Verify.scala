@@ -65,15 +65,23 @@ object Verify {
           .join(base, Seq("vec_id", "neighbor_id"), "left_semi").count()
         if (baseN == 0) 1.0 else hits.toDouble / baseN
       }
+      // build + persist each ANN result ONCE: both recall bases read the
+      // same materialized pairs, halving the candidate-join/rerank cost of
+      // the artifact (the ANN plans are the most expensive in the registry)
       val anns = Seq("lsh" -> "q_sim_ann_lsh", "lsh_multi" -> "q_sim_ann_lsh_multi",
         "ivf" -> "q_sim_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp", "sq" -> "q_sim_ann_sq")
+        .map { case (k, qn) =>
+          k -> SparkEntry.queries(qn)(spark, sfDir)
+            .select(col("vec_id"), col("neighbor_id")).persist()
+        }
       def block(base: DataFrame, baseN: Long, extra: Seq[(String, DataFrame)]): String =
-        (extra ++ anns.map { case (k, qn) => k -> SparkEntry.queries(qn)(spark, sfDir) })
+        (extra ++ anns)
           .map { case (k, df) => f""""$k":${recallVs(base, baseN)(df)}%.4f""" }
           .mkString("{", ",", "}")
       val rec = s"""{"sf":"$sfDir","k":3,"truth_pairs":$truthN,"knn_pairs":$knnN,""" +
         s""""vs_exhaustive":${block(truth, truthN, Seq("knn_blocked" -> knn))},""" +
         s""""vs_blocked_knn":${block(knn, knnN, Seq.empty)}}"""
+      (Seq(knn, truth) ++ anns.map(_._2)).foreach(_.unpersist())
       Files.writeString(Paths.get(s"$outDir/recall.json"), rec)
       Files.writeString(Paths.get("RECALL.json"), rec + "\n")
       println(s"[verify] ann recall: $rec")

@@ -47,17 +47,6 @@ object Curation extends QueryPack {
         i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** Memoized cluster labels per (session, dir): the label-propagation loop
-    * materializes eagerly at query-construction time, so memoizing stops
-    * Bench's warmup+3 passes from re-running the whole fixpoint. */
-  private val memo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
-
-  /** Memoized persisted 5-gram shingle stream for q_decontaminate (keyed
-    * by dir like LlmPipeline's k=3 universe). */
-  private val sh5Memo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
-
   /** Connected components of the near-dup pair graph (q_dedup_near's
     * jac ≥ 0.8 pairs) by min-label propagation: every vertex repeatedly
     * takes the min label among itself and its neighbors until fixpoint.
@@ -65,7 +54,9 @@ object Curation extends QueryPack {
     * stays distributed. Iterations ≤ graph diameter (near-dup components
     * are near-cliques, so 2–3 in practice; hard-capped at 25). */
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
-    memo.getOrElseUpdate((s, d), {
+    // Tables.memoized stops Bench's warmup+3 passes from re-running the
+    // whole fixpoint (the loop materializes eagerly at construction time)
+    Tables.memoized(s, d, "cluster_labels") {
       val pairs = LlmPipeline.queries.toMap.apply("q_dedup_near")(s, d)
         .select(col("doc_a"), col("doc_b"))
       val edges = pairs
@@ -96,7 +87,7 @@ object Curation extends QueryPack {
         iter += 1
       }
       labels
-    })
+    }
 
   def queries: Seq[(String, Fn)] = Seq(
     // Benchmark decontamination: flag training docs sharing any 5-gram with
@@ -109,15 +100,12 @@ object Curation extends QueryPack {
       // single-row-group testdata file, single-threaded. At 100 TB this is
       // the same "materialize the shingle stream once per run" choice as
       // the k=3 dedup universe.
-      val sh5 = sh5Memo.getOrElseUpdate((s, d), {
-        val df = t(s, d, "documents").repartition(col("doc_id"))
+      val sh5 = Tables.memoized(s, d, "sh5_shingles") {
+        t(s, d, "documents").repartition(col("doc_id"))
           .withColumn("toks", LlmPipeline.toks(col("text")))
           .select(col("doc_id"),
             explode(LlmPipeline.shingles(col("toks"), 5)).as("shingle"))
-          .persist()
-        df.count() // eager: concurrent consumers must not race the fill
-        df
-      })
+      }
       val bench = sh5.where(col("doc_id") % BENCH_MOD === 0)
         .select("shingle").distinct()
       val train = sh5.where(col("doc_id") % BENCH_MOD =!= 0)
@@ -332,17 +320,19 @@ object Curation extends QueryPack {
     * run actually reads. In ONE plan: exact-dedup keep (min doc_id per
     * content hash), quality floor, deterministic md5-bucket split
     * assignment; written partitioned by split with doc_id range-clustering
-    * inside each split (every task owns one (split, doc_id-range) slice,
-    * so the dynamic-partition write fans out to exactly one directory per
-    * task and each file carries a tight doc_id footer range for scan
-    * skipping). Re-running is idempotent: same input → byte-identical
-    * keeper set, split labels, and file layout (Overwrite mode).
+    * inside each split. `numFiles` is the TOTAL range-partition count
+    * across all splits (range boundaries follow the (split, doc_id) key,
+    * so most tasks own one split slice; a boundary task may write two
+    * split directories). Within each split the per-file doc_id footer
+    * ranges are disjoint, which is what scan skipping needs. Re-running is
+    * idempotent: same input → byte-identical keeper set, split labels, and
+    * file layout (Overwrite mode).
     *
     * 100 TB: every step is one shuffle (the hash window) plus the range
     * exchange the clustered layout needs anyway; nothing is driver-side.
     */
   def materializeCorpus(s: SparkSession, d: String, outDir: String,
-      minQuality: Double = 0.3, filesPerSplit: Int = 4): Unit = {
+      minQuality: Double = 0.3, numFiles: Int = 4): Unit = {
     val docs = t(s, d, "documents")
       .withColumn("toks", LlmPipeline.toks(col("text")))
       .withColumn("h", sha2(lower(trim(col("text"))), 256))
@@ -357,7 +347,7 @@ object Curation extends QueryPack {
       .withColumn("split", when(bucket < 90, "train")
         .when(bucket < 95, "val").otherwise("test"))
       .select("doc_id", "text", "lang", "source", "n_chars", "quality", "split")
-      .repartitionByRange(filesPerSplit, col("split"), col("doc_id"))
+      .repartitionByRange(numFiles, col("split"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("doc_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("split").parquet(outDir)

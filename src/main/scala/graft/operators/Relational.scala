@@ -388,6 +388,15 @@ object Relational extends QueryPack {
     }),
   )
 
+  /** Shared by q_join_range and q_join_range_binned (row-identical ops). */
+  private val rangeBandOracle =
+    """SELECT band_id, count(*) AS n,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN (VALUES (0,0.0,10.0),(1,10.0,20.0),(2,20.0,30.0),
+      |  (3,30.0,40.0),(4,40.0,50.0),(5,50.0,60.0)) b(band_id, lo, hi)
+      | ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin
+
   def oracle: Seq[(String, String)] = Seq(
     "q_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
     "q_scan_pruned" ->
@@ -452,20 +461,10 @@ object Relational extends QueryPack {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
-    "q_join_range" ->
-      """SELECT band_id, count(*) AS n,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
-        |FROM lineitem JOIN (VALUES (0,0.0,10.0),(1,10.0,20.0),(2,20.0,30.0),
-        |  (3,30.0,40.0),(4,40.0,50.0),(5,50.0,60.0)) b(band_id, lo, hi)
-        | ON l_quantity >= lo AND l_quantity < hi
-        |GROUP BY band_id ORDER BY band_id""".stripMargin,
-    "q_join_range_binned" ->
-      """SELECT band_id, count(*) AS n,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
-        |FROM lineitem JOIN (VALUES (0,0.0,10.0),(1,10.0,20.0),(2,20.0,30.0),
-        |  (3,30.0,40.0),(4,40.0,50.0),(5,50.0,60.0)) b(band_id, lo, hi)
-        | ON l_quantity >= lo AND l_quantity < hi
-        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q_join_range" -> rangeBandOracle,
+    // the binned rewrite is row-identical BY CONSTRUCTION — binding both
+    // keys to the same SQL string expresses that contract (no drift risk)
+    "q_join_range_binned" -> rangeBandOracle,
     "q_join_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |     v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view')

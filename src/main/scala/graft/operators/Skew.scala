@@ -52,15 +52,20 @@ object Skew {
   def binnedRangeJoin(facts: DataFrame, v: Column, intervals: DataFrame,
       lo: Column, hi: Column, binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // internal join-key name must not collide with (and silently destroy) a
+    // caller column — this is public API, not query-local plumbing
+    val bin = "__graft_range_bin"
+    require(!facts.columns.contains(bin) && !intervals.columns.contains(bin),
+      s"inputs must not already carry a '$bin' column")
     // hi is exclusive but floor(hi/w) is still included: an interval ending
     // exactly on a bin edge contributes a no-match bin the residual filter
     // clears — cheaper than special-casing the edge on both engines
-    val binned = intervals.withColumn("__bin",
+    val binned = intervals.withColumn(bin,
       explode(sequence(floor(lo / binWidth).cast("long"),
         floor(hi / binWidth).cast("long"))))
-    facts.withColumn("__bin", floor(v / binWidth).cast("long"))
-      .join(binned, Seq("__bin"))
+    facts.withColumn(bin, floor(v / binWidth).cast("long"))
+      .join(binned, Seq(bin))
       .where(lo <= v && v < hi)
-      .drop("__bin")
+      .drop(bin)
   }
 }

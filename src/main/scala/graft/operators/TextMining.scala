@@ -42,12 +42,10 @@ object TextMining extends QueryPack {
   private val PMI_MIN_PAIR = 20
 
   /** Memoized persisted corpus count tables, shared by q_text_pmi and
-    * q_text_ppl (and read multiple times per Bench pass). Same pattern as
-    * LlmPipeline.cached: keyed by dir, eagerly materialized. */
-  private val memo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    * q_text_ppl (and read multiple times per Bench pass) — the shared
+    * [[Tables.memoized]] store. */
   private def cached(s: SparkSession, d: String, stage: String)(mk: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((s, d, stage), { val df = mk.persist(); df.count(); df })
+    Tables.memoized(s, d, stage)(mk)
 
   /** Tokenized docs: (doc_id, tk). */
   private def tokenized(s: SparkSession, d: String): DataFrame =

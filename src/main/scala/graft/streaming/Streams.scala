@@ -187,7 +187,7 @@ object Streams {
     * 24-byte triple per user partitioned across executors, emission is
     * append-mode (alerts only, no retractions), and a TTLConfig bounds
     * abandoned keys (NONE here — finite test data). */
-  case class EventV(event_id: Long, ts_ms: Long, user_id: Long, value: Double)
+  case class EventV(event_id: Long, ts_us: Long, user_id: Long, value: Double)
   case class Alert(user_id: Long, event_id: Long, value: Double, z: Double)
 
   /** Rounding twin of Tables.r4 (DECIMAL(38,6) → 4dp HALF_UP) so the
@@ -212,7 +212,7 @@ object Streams {
       val out = scala.collection.mutable.ArrayBuffer.empty[Alert]
       // event-time order within the batch so scoring matches the batch
       // twin's ORDER BY (ts, event_id) prefix frames
-      rows.toArray.sortBy(r => (r.ts_ms, r.event_id)).foreach { r =>
+      rows.toArray.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
         if (n >= minPrior) { // n = prior-event count; minPrior >= 2 for stddev_samp
           val sd = math.sqrt(m2 / (n - 1))
           if (sd > 0) {
@@ -236,7 +236,10 @@ object Streams {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events
       .select(col("event_id"),
-        (col("ts").cast("double") * 1000).cast("long").as("ts_ms"),
+        // FULL microsecond precision: ms truncation would let two
+        // same-user events <1ms apart score in a different order than the
+        // batch twin's ORDER BY (ts, event_id) prefix frames
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
         col("user_id"), col("value"))
       .as[EventV]
       .groupByKey(_.user_id)

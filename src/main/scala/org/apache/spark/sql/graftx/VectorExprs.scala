@@ -23,9 +23,10 @@ import org.apache.spark.sql.types._
   * Semantics: elements promoted float→double before multiply (matches
   * DuckDB `list_cosine_similarity(list_transform(e, x -> CAST(x AS
   * DOUBLE)), ...)`), sequential accumulation, dot/(‖a‖·‖b‖). Mismatched
-  * vector lengths and zero-norm inputs yield NULL — a malformed embedding
-  * must not produce a silently-wrong similarity (DuckDB errors on length
-  * mismatch; NULL is the non-aborting analog a 100 TB scan needs).
+  * vector lengths, null elements, and zero-norm inputs yield NULL — a
+  * malformed embedding must not produce a silently-wrong similarity
+  * (DuckDB errors on length mismatch; NULL is the non-aborting analog a
+  * 100 TB scan needs).
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -43,6 +44,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      // a null element is malformed input — NULL, not a silent 0 score
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -64,12 +67,14 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean ${i}_hasNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${i}_hasNull = true; break; }
          |    double $x = (double) $a.getFloat($i);
          |    double $y = (double) $b.getFloat($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
+         |  if (${i}_hasNull || $na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -91,8 +96,9 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   * hot path that's the difference between the quantized scan being
   * memory-bandwidth-bound (the point of int8) and lambda-bound.
   *
-  * Length mismatch yields NULL (same contract as [[CosineSimilarityExpr]]:
-  * a malformed code must not produce a silently-wrong score). */
+  * Length mismatch or a null element yields NULL (same contract as
+  * [[CosineSimilarityExpr]]: a malformed code must not produce a
+  * silently-wrong score). */
 case class IntDotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -108,7 +114,11 @@ case class IntDotProductExpr(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) return null
     var dot = 0L; var i = 0
-    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      // a null element is malformed input — NULL, not a silent 0 term
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getLong(i) * y.getLong(i); i += 1
+    }
     dot
   }
 
@@ -122,10 +132,16 @@ case class IntDotProductExpr(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  long $dot = 0L;
+         |  boolean ${i}_hasNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${i}_hasNull = true; break; }
          |    $dot += $a.getLong($i) * $b.getLong($i);
          |  }
-         |  ${ev.value} = $dot;
+         |  if (${i}_hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })

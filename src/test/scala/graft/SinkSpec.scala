@@ -218,4 +218,32 @@ class SinkSpec extends AnyFunSuite {
       lit(0.0f, 0.0f), lit(1.0f, 1.0f))
     assert(z.eval(null) == null)
   }
+
+  test("cosine_sim / int_dot: a NULL array ELEMENT yields NULL, not a 0-term score") {
+    def one(sql: String) = spark.sql(s"SELECT $sql AS c").head()
+    // codegen path
+    assert(one("cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))").isNullAt(0))
+    assert(one("int_dot(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)), " +
+      "array(CAST(5 AS BIGINT), CAST(7 AS BIGINT)))").isNullAt(0))
+    // a clean pair still scores
+    assert(one("int_dot(array(CAST(2 AS BIGINT), CAST(3 AS BIGINT)), " +
+      "array(CAST(5 AS BIGINT), CAST(7 AS BIGINT)))").getLong(0) == 31L)
+    // interpreted path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val withNullF = Literal.create(
+      new GenericArrayData(Array[Any](1.0f, null)), ArrayType(FloatType))
+    val cleanF = Literal.create(
+      new GenericArrayData(Array[Any](1.0f, 2.0f)), ArrayType(FloatType))
+    assert(org.apache.spark.sql.graftx.CosineSimilarityExpr(withNullF, cleanF)
+      .eval(null) == null)
+    val withNullL = Literal.create(
+      new GenericArrayData(Array[Any](1L, null)), ArrayType(LongType))
+    val cleanL = Literal.create(
+      new GenericArrayData(Array[Any](5L, 7L)), ArrayType(LongType))
+    assert(org.apache.spark.sql.graftx.IntDotProductExpr(withNullL, cleanL)
+      .eval(null) == null)
+  }
 }

@@ -51,6 +51,14 @@ def main(sf_dir, oracle_path, spark_json=None):
         out["spark_n_queries"] = spark["n_queries"]
         # ratio over the queries BOTH engines ran, so registry growth or a
         # sketch-only query can't skew the comparison
+        if spark.get("omitted_fastest", 0) > 0:
+            # Bench's stdout line drops its fastest queries to fit the size
+            # budget — the shared set is then biased toward Spark's SLOWEST
+            # queries, making the ratio conservative (flag it, don't hide it)
+            out_note = (f"spark breakdown omits its {spark['omitted_fastest']} "
+                        "fastest queries; paired ratio covers the slow subset only")
+            out["note"] = out_note
+            print(f"[paired] WARNING: {out_note}", file=sys.stderr)
         shared = set(times) & set(spark.get("queries", {}))
         st = sum(spark["queries"][q] for q in shared)
         dt = sum(times[q] for q in shared)
