@@ -773,10 +773,11 @@ object LlmPipeline extends QueryPack {
         // what keeps the oracle compare exact for any fixture
         .where(length(col("text")) >= Media.FRAME_BYTES)
         .select(col("doc_id").as("media_id"), col("lang"), phash.as("phash"))
-      val groups = hashed.groupBy("lang", "phash")
-        .agg(count(lit(1)).as("n_dups"))
+      // collision-group size via ONE window pass (single shuffle on the
+      // (lang, phash) key) instead of a groupBy + join back
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy("lang", "phash")
+      hashed.withColumn("n_dups", count(lit(1)).over(wg))
         .where(col("n_dups") > 1)
-      hashed.join(maybeBroadcast(groups), Seq("lang", "phash"))
         .select("media_id", "lang", "phash", "n_dups")
         .orderBy("media_id")
     }),
