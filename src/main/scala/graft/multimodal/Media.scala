@@ -99,6 +99,10 @@ object Media {
     * the mapPartitions decode path gets a full hash-match, not just a
     * rows-only check. */
   def frameStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // NOT repartitioned: an exchange here ships the binary payloads and
+    // costs more than the single-task decode saves at this row count
+    // (measured 0.82s → 0.95s); at real scale the scan's own row-group
+    // splits parallelize the decode for free
     val media = mediaFromDocuments(spark, docs)
     val frames = decodeAll(spark, media)
     frames.groupBy("media_id")

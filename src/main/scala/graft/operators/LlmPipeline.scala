@@ -650,6 +650,7 @@ object LlmPipeline extends QueryPack {
         concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
       val bigrams = when(size(tk) >= 2, mk).otherwise(array().cast(ArrayType(StringType)))
       t(s, d, "documents")
+        .repartition(col("doc_id")) // single-row-group file → parallelize the explode
         .withColumn("toks", toks(col("text")))
         .select(explode(bigrams).as("bigram"))
         .groupBy("bigram")
