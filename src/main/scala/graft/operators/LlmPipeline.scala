@@ -357,8 +357,14 @@ object LlmPipeline extends QueryPack {
       // shares the memoized capped shingle set with q_dedup_near; the
       // groupBy below reuses its doc_id hash partitioning — no extra shuffle
       val ds = docShingles(s, d)
+      // one-permutation hashing: ONE md5 per shingle, the K hash family is
+      // its K disjoint hex slices (avalanche makes slices independent
+      // across shingles) — 8× less hashing on the hot map side for the
+      // same banding statistics; candidates are still verified exactly, so
+      // a weaker slice can only add candidates, never wrong pairs
       val aggs = (0 until MINHASH_K).map(i =>
-        min(md5(concat(lit(i.toString), lit(":"), col("shingle")))).as(s"sig$i"))
+        min(substring(md5(col("shingle")), 32 / MINHASH_K * i + 1, 32 / MINHASH_K))
+          .as(s"sig$i"))
       // memoized: the band self-join reads it from both sides
       val sigs = cached(s, d, "minhash_sigs")(ds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
       val stackArgs = (0 until MINHASH_K / 2).map(j =>
@@ -846,7 +852,8 @@ object LlmPipeline extends QueryPack {
 
   private val minhashSigsSql: String = {
     val sigs = (0 until MINHASH_K).map(i =>
-      s"min(md5('$i:'||shingle)) AS sig$i").mkString(", ")
+      s"min(substr(md5(shingle), ${32 / MINHASH_K * i + 1}, ${32 / MINHASH_K})) AS sig$i")
+      .mkString(", ")
     val bandRows = (0 until MINHASH_K / 2).map(j =>
       s"SELECT doc_id, $j AS band, md5(sig${2 * j}||sig${2 * j + 1}) AS bucket FROM sigs")
       .mkString("\n  UNION ALL ")
