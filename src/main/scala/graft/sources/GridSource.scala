@@ -61,14 +61,33 @@ private[sources] class GridTable(options: CaseInsensitiveStringMap)
 
 private[sources] class GridScanBuilder(width: Int, height: Int, stripes: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GridSource.SCHEMA
   private var limit: Int = Int.MaxValue
+  private var hadResidual = false
+  private var countPushed = false
 
   // LIMIT n with no intervening filter reaches the source: each reader
   // stops generating after n rows (Spark still applies the global limit)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  // COMPLETE aggregate pushdown for ungrouped COUNT(*): the grid's row
+  // count under rectangular x/y bounds is pure arithmetic over the pushed
+  // filters — the scan answers from metadata without generating a single
+  // cell (the DSv2 analog of a parquet footer rowcount answer). Only legal
+  // when every filter was pushed (a residual filter must see real rows).
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar] && !hadResidual
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    countPushed = true
+    required = StructType(Seq(StructField("count_star", LongType, nullable = false)))
+    true
+  }
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo(a, _: Integer) => a == "x" || a == "y"
@@ -81,15 +100,20 @@ private[sources] class GridScanBuilder(width: Int, height: Int, stripes: Int)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(supported)
-    filters.filterNot(supported) // residual: Spark evaluates these post-scan
+    val residual = filters.filterNot(supported)
+    hadResidual = residual.nonEmpty
+    residual // Spark evaluates these post-scan
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = GridScan(width, height, stripes, pushed, required, limit)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (!countPushed) required = requiredSchema
+  override def build(): Scan =
+    GridScan(width, height, stripes, pushed, required, limit, countPushed)
 }
 
 private[sources] case class GridScan(width: Int, height: Int, stripes: Int,
-    pushed: Array[Filter], required: StructType, limit: Int) extends Scan with Batch {
+    pushed: Array[Filter], required: StructType, limit: Int,
+    countPushed: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in explain output (BatchScan prints the scan description) so
@@ -97,24 +121,35 @@ private[sources] case class GridScan(width: Int, height: Int, stripes: Int,
   override def description(): String =
     s"graft-grid ${width}x$height PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}" +
-      (if (limit != Int.MaxValue) s", PushedLimit: $limit" else "")
+      (if (limit != Int.MaxValue) s", PushedLimit: $limit" else "") +
+      (if (countPushed) ", PushedAggregate: COUNT(*)" else "")
 
-  /** y-bounds from the pushed filters, for stripe pruning. */
-  private def yBounds: (Int, Int) = {
+  /** Bounds of `col` under the pushed filters (inclusive). */
+  private def bounds(col: String, max: Int): (Int, Int) = {
     var lo = 0
-    var hi = height - 1
+    var hi = max - 1
     pushed.foreach {
-      case EqualTo("y", v: Integer) => lo = math.max(lo, v); hi = math.min(hi, v)
-      case GreaterThan("y", v: Integer) => lo = math.max(lo, v + 1)
-      case GreaterThanOrEqual("y", v: Integer) => lo = math.max(lo, v)
-      case LessThan("y", v: Integer) => hi = math.min(hi, v - 1)
-      case LessThanOrEqual("y", v: Integer) => hi = math.min(hi, v)
+      case EqualTo(a, v: Integer) if a == col => lo = math.max(lo, v); hi = math.min(hi, v)
+      case GreaterThan(a, v: Integer) if a == col => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(a, v: Integer) if a == col => lo = math.max(lo, v)
+      case LessThan(a, v: Integer) if a == col => hi = math.min(hi, v - 1)
+      case LessThanOrEqual(a, v: Integer) if a == col => hi = math.min(hi, v)
       case _ => ()
     }
     (lo, hi)
   }
+  private def yBounds: (Int, Int) = bounds("y", height)
+
+  /** Closed-form COUNT(*) under the pushed rectangular bounds. */
+  private[sources] def metadataCount: Long = {
+    val (xLo, xHi) = bounds("x", width)
+    val (yLo, yHi) = yBounds
+    math.max(0, xHi - xLo + 1).toLong * math.max(0, yHi - yLo + 1).toLong
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (countPushed)
+      return Array(GridCountPartition(metadataCount))
     val (yLo, yHi) = yBounds
     val stripeH = math.max(1, math.ceil(height.toDouble / stripes).toInt)
     (0 until height by stripeH)
@@ -130,12 +165,28 @@ private[sources] case class GridScan(width: Int, height: Int, stripes: Int,
     GridReaderFactory(width, pushed, required, limit)
 }
 
+/** Single-partition carrier of the metadata-computed count. */
+private[sources] case class GridCountPartition(count: Long) extends InputPartition
+
 private[sources] case class GridInputPartition(y0: Int, y1: Int) extends InputPartition
 
 private[sources] case class GridReaderFactory(width: Int, pushed: Array[Filter],
     required: StructType, limit: Int) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GridInputPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case GridCountPartition(count) =>
+      // pushed COUNT(*): one row, no cell generation at all
+      new PartitionReader[InternalRow] {
+        private var done = false
+        private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        row.setLong(0, count)
+        override def next(): Boolean = { val r = !done; done = true; r }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    case p: GridInputPartition => createCellReader(p)
+  }
+
+  private def createCellReader(p: GridInputPartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private var x = -1
       private var y = p.y0

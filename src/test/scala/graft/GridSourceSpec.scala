@@ -53,6 +53,29 @@ class GridSourceSpec extends AnyFunSuite {
     assert(p.contains("PushedLimit: 5"), p)
   }
 
+  test("COUNT(*) is answered from metadata: complete aggregate pushdown") {
+    val g = spark.read.format("graft-grid")
+      .option("width", 64).option("height", 64).option("stripes", 8).load()
+    // ungrouped count with fully-pushed rectangular filters
+    val counted = g.where(col("y") >= 16 && col("y") < 48 && col("x") >= 10).agg(count(lit(1)))
+    assert(counted.head().getLong(0) == (64 - 10).toLong * 32)
+    val plan = formatted(counted)
+    assert(plan.contains("PushedAggregate: COUNT(*)"), plan)
+    // complete pushdown: no partial/final agg pair re-counting scan rows —
+    // Spark plans the scan's single pre-aggregated row straight through
+    assert(!plan.contains("Generate"), plan)
+    // a residual (v) filter must DISABLE the pushdown: count must see rows
+    val residual = g.where(col("v") > 50).agg(count(lit(1)))
+    val rplan = formatted(residual)
+    assert(!rplan.contains("PushedAggregate"), rplan)
+    assert(residual.head().getLong(0) ==
+      g.collect().count(r => r.getInt(2) > 50).toLong)
+    // grouped aggregation is not eligible either
+    val grouped = g.groupBy("y").agg(count(lit(1)))
+    assert(!formatted(grouped).contains("PushedAggregate"), formatted(grouped))
+    assert(grouped.count() == 64)
+  }
+
   test("row-level pushdown matches post-scan filtering") {
     val full = spark.read.format("graft-grid")
       .option("width", 32).option("height", 32).load().collect()
