@@ -369,6 +369,17 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
         .orderBy("x")),
 
+    // DSv2 COMPLETE aggregate pushdown: the ungrouped count under fully-
+    // pushed rectangular bounds is answered from grid metadata — the scan
+    // emits ONE pre-aggregated row, zero cells (GridSourceSpec asserts the
+    // PushedAggregate plan marker and both refusal paths).
+    "q_source_grid_count" -> ((s, d) =>
+      s.read.format("graft-grid")
+        .option("width", 64).option("height", 64).option("stripes", 8)
+        .load()
+        .where(col("y") >= 16 && col("y") < 48 && col("x") >= 10)
+        .agg(count(lit(1)).as("n"))),
+
     // Skew-mitigation surface: the same rows as a plain dim join, executed
     // through Skew.saltedJoin — facts carry a deterministic salt, the
     // 3-row dim replicates 8×, and the single hot l_returnflag key spreads
@@ -566,5 +577,9 @@ object Relational extends QueryPack {
         |SELECT CAST(x AS INT) AS x, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM g WHERE y >= 16 AND y < 32 AND x < 10
         |GROUP BY x ORDER BY x""".stripMargin,
+    "q_source_grid_count" ->
+      """SELECT count(*) AS n
+        |FROM generate_series(0, 63) tx(x), generate_series(0, 63) ty(y)
+        |WHERE y >= 16 AND y < 48 AND x >= 10""".stripMargin,
   )
 }
