@@ -113,9 +113,21 @@ private[sources] class GridScanBuilder(width: Int, height: Int, stripes: Int)
 
 private[sources] case class GridScan(width: Int, height: Int, stripes: Int,
     pushed: Array[Filter], required: StructType, limit: Int,
-    countPushed: Boolean = false) extends Scan with Batch {
+    countPushed: Boolean = false) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // planner-visible statistics AFTER pushdown: Catalyst's join planning
+  // (broadcast-side selection, AQE initial sizing) sees the filtered row
+  // count instead of a table-size guess — for a connector this exact, the
+  // estimate is exact
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.min(metadataCount, if (limit == Int.MaxValue) Long.MaxValue else limit.toLong)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * (required.length.max(1) * 4L))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
   // surfaced in explain output (BatchScan prints the scan description) so
   // pushdown is plan-visible, like a parquet scan's PushedFilters
   override def description(): String =

@@ -76,6 +76,23 @@ class GridSourceSpec extends AnyFunSuite {
     assert(grouped.count() == 64)
   }
 
+  test("reported statistics: pushdown-aware row count drives broadcast selection") {
+    val g = spark.read.format("graft-grid")
+      .option("width", 64).option("height", 64).load()
+      .where(col("y") === 1) // 64 rows after stripe/row pruning
+    val stats = g.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes < 5000, s"expected pruned-size stats, got ${stats.sizeInBytes}")
+    // join a larger frame with NO broadcast hint: the scan's reported
+    // post-pushdown size must make the grid the broadcast side on its own
+    val big = spark.range(100000).select((col("id") % 64).cast("int").as("x2"))
+    val j = big.join(g, col("x2") === col("x"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("row-level pushdown matches post-scan filtering") {
     val full = spark.read.format("graft-grid")
       .option("width", 32).option("height", 32).load().collect()
