@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * per-partition materialization), partition-preserving decode, and the
   * join back to metadata.
   *
+  * Why typed `mapPartitions` rather than `mapInPandas`: the two are the
+  * same physical contract — a per-partition batch iterator in, an
+  * iterator of schema'd rows out, decode library called inside — but this
+  * container is JVM-only (no pyspark/pandas available to executors). A
+  * Python decode stack would swap `decodeAll` for
+  * `df.mapInPandas(decode_fn, schema)` with byte-identical plumbing
+  * semantics; nothing else in the pipeline changes.
+  *
   * Scale notes (100 TB of media): bytes stay in one column of a columnar
   * scan — never collected; decode is narrow (no shuffle), so it pipelines
   * with the scan; frame rows explode size ~32×, so downstream aggs happen
