@@ -23,11 +23,11 @@ import org.apache.spark.sql.types._
   * - q_pack_sequences: one shuffle on the stratum key for the running-sum
   *   window; bin ids are pure integer arithmetic off the cumsum (no
   *   driver-side bin state).
-  * - q_dedup_cluster: min-label propagation over the (tiny, already-
-  *   near-dup-filtered) pair graph; per-iteration driver state is ONE
-  *   scalar, and iteration count is bounded by component diameter — for
-  *   near-dup clusters in practice ≤ 3–4. At extreme scale the same loop
-  *   body is the standard large-star/small-star contraction.
+  * - q_dedup_cluster: alternating large-star/small-star contraction over
+  *   the (already-near-dup-filtered) pair graph — O(log n) rounds in the
+  *   worst case, independent of component diameter; per-round driver state
+  *   is ONE scalar, and non-convergence fails loudly (asserted fixpoint +
+  *   star-forest structure check) instead of emitting wrong labels.
   */
 object Curation extends QueryPack {
 
@@ -47,46 +47,92 @@ object Curation extends QueryPack {
         i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): each round relinks every node toward the minimum of its
+    * neighborhood, halving tree heights, so the edge set converges to
+    * disjoint stars (every node → its component minimum) in O(log n)
+    * rounds — vs. the Θ(diameter) rounds of plain min-label propagation.
+    * Driver holds one scalar per round (the changed-edge count); all data
+    * stays distributed.
+    *
+    * Convergence is ASSERTED, twice: the loop must reach a round that
+    * changes nothing before `maxIter`, and the final edge set must be
+    * structurally a star forest (roots never appear as children; each
+    * child has exactly one root). A graph that somehow failed to converge
+    * fails loudly instead of emitting wrong labels — the round-7/8 defect
+    * was a silent 25-iteration exit.
+    *
+    * Input: (src, dst) pairs, any orientation, self-loops ignored.
+    * Output: (doc_id, lbl) for every node incident to an edge, where lbl
+    * is the component's minimum node id. Exposed for the deep-path-graph
+    * fixture test (CurationSpec). */
+  private[graft] def connectedComponents(edgesIn: DataFrame, maxIter: Int = 40): DataFrame = {
+    // canonical undirected edge list: (u < v), distinct
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val nodes = edgesIn.select(col("src").as("doc_id"))
+      .union(edgesIn.select(col("dst").as("doc_id"))).distinct().persist()
+    // localCheckpoint (eager) rather than persist: each round's plan would
+    // otherwise NEST the previous round's ~4 times, so analysis cost grows
+    // exponentially with rounds — checkpointing truncates the lineage to a
+    // materialized RDD every round (on a real cluster: reliable checkpoint).
+    var edges = canon(edgesIn.select(col("src").as("u"), col("dst").as("v")))
+      .localCheckpoint(true)
+    nodes.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: from each node u, relink every LARGER neighbor v to
+      // m(u) = min(Γ(u) ∪ {u}) — smaller neighbors keep their edge to u
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = canon(sym.join(lmins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))).localCheckpoint(true)
+      // small-star: orient each edge toward its larger endpoint; from each
+      // node u, relink u and all its (smaller) neighbors to m = min(Γ⁻(u))
+      val oriented = ls.select(col("v").as("big"), col("u").as("small"))
+      val smins = oriented.groupBy("big").agg(min(col("small")).as("m"))
+      val ss = canon(
+        oriented.join(smins, "big").select(col("small").as("u"), col("m").as("v"))
+          .union(smins.select(col("big").as("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      // fixpoint ⟺ the round changed nothing (set equality; both sides are
+      // canonical+distinct so two anti-join counts decide it)
+      val changed = ss.join(edges, Seq("u", "v"), "left_anti").count() +
+        edges.join(ss, Seq("u", "v"), "left_anti").count()
+      ls.unpersist()
+      edges.unpersist()
+      edges = ss
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not reach a fixpoint within $maxIter star rounds")
+    // structural check: at the fixpoint the edges MUST form disjoint stars
+    // (u = component min). Any violation means wrong labels — fail loudly.
+    val rootsAsChildren = edges.select("v").intersect(edges.select("u")).count()
+    val multiParent = edges.groupBy("v").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).count()
+    require(rootsAsChildren == 0 && multiParent == 0,
+      s"connectedComponents fixpoint is not a star forest " +
+        s"(roots-as-children=$rootsAsChildren, multi-parent=$multiParent)")
+    nodes.join(edges.select(col("v").as("doc_id"), col("u").as("parent")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("parent"), col("doc_id")).as("lbl"))
+  }
+
   /** Connected components of the near-dup pair graph (q_dedup_near's
-    * jac ≥ 0.8 pairs) by min-label propagation: every vertex repeatedly
-    * takes the min label among itself and its neighbors until fixpoint.
-    * Driver holds one scalar per iteration (the moved-count); all data
-    * stays distributed. Iterations ≤ graph diameter (near-dup components
-    * are near-cliques, so 2–3 in practice; hard-capped at 25). */
+    * jac ≥ 0.8 pairs) — [[connectedComponents]] over those edges,
+    * memoized so Bench's warmup+N passes and the two consumer queries
+    * share one fixpoint run. */
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
-    // Tables.memoized stops Bench's warmup+3 passes from re-running the
-    // whole fixpoint (the loop materializes eagerly at construction time)
     Tables.memoized(s, d, "cluster_labels") {
       val pairs = LlmPipeline.queries.toMap.apply("q_dedup_near")(s, d)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst").persist()
-      edges.count() // materialize once; the loop reads it every iteration
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id")).persist()
-      labels.count()
-      var moved = 1L
-      var iter = 0
-      while (moved > 0 && iter < 25) {
-        val nbr = edges
-          .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
-          .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_min"))
-          .withColumnRenamed("src", "doc_id")
-        moved = labels.join(nbr, Seq("doc_id"))
-          .where(col("nbr_min") < col("lbl")).count()
-        if (moved > 0) {
-          val next = labels.join(nbr, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-            .persist()
-          next.count() // materialize before dropping the parent cache
-          labels.unpersist()
-          labels = next
-        }
-        iter += 1
-      }
-      labels
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      connectedComponents(pairs)
     }
 
   def queries: Seq[(String, Fn)] = Seq(

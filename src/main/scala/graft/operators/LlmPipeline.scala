@@ -99,6 +99,26 @@ object LlmPipeline extends QueryPack {
   private def cached(s: SparkSession, d: String, stage: String)(mk: => DataFrame): DataFrame =
     Tables.memoized(s, d, stage)(mk)
 
+  /** Width of one MinHash signature slice in hex chars: 8 → each slice is
+    * a 32-bit min statistic. [[MINHASH_K]]·[[MINHASH_SLICE]] must not
+    * exceed 2 × 32 (two md5 digests feed the slices). */
+  private val MINHASH_SLICE = 8
+  private val MINHASH_SALT = "graft:"
+
+  /** The K min-slice aggregate expressions of the few-permutation MinHash
+    * signature (see q_dedup_minhash). Slices i ∈ [0,4) come from
+    * md5(shingle), slices i ∈ [4,8) from the salted md5; each is
+    * [[MINHASH_SLICE]] hex chars. Exposed for the large-doc
+    * non-degeneracy test (LlmSpec). */
+  private[graft] def minhashSigAggs: Seq[Column] =
+    (0 until MINHASH_K).map { i =>
+      val slicesPerHash = 32 / MINHASH_SLICE
+      val h = if (i < slicesPerHash) md5(col("shingle"))
+        else md5(concat(lit(MINHASH_SALT), col("shingle")))
+      min(substring(h, MINHASH_SLICE * (i % slicesPerHash) + 1, MINHASH_SLICE))
+        .as(s"sig$i")
+    }
+
   /** Distinct k-shingle set with the [[MAX_SHINGLE_DF]] hot-shingle cap
     * applied: shingles whose document frequency exceeds `maxDf` are removed
     * via a left-anti join against the (tiny by construction) hot set. The
@@ -357,14 +377,17 @@ object LlmPipeline extends QueryPack {
       // shares the memoized capped shingle set with q_dedup_near; the
       // groupBy below reuses its doc_id hash partitioning — no extra shuffle
       val ds = docShingles(s, d)
-      // one-permutation hashing: ONE md5 per shingle, the K hash family is
-      // its K disjoint hex slices (avalanche makes slices independent
-      // across shingles) — 8× less hashing on the hot map side for the
-      // same banding statistics; candidates are still verified exactly, so
-      // a weaker slice can only add candidates, never wrong pairs
-      val aggs = (0 until MINHASH_K).map(i =>
-        min(substring(md5(col("shingle")), 32 / MINHASH_K * i + 1, 32 / MINHASH_K))
-          .as(s"sig$i"))
+      // few-permutation hashing: TWO md5s per shingle (one salted), the K
+      // hash family is their K disjoint 8-hex-char slices (avalanche makes
+      // slices independent across shingles) — 4× less hashing on the hot
+      // map side for the same banding statistics. Each slice is a 32-bit
+      // min statistic: a doc needs ~2^32 shingles to saturate it, vs 2^16
+      // under the old 4-hex slicing where large docs got degenerate
+      // near-zero signatures and band buckets collided en masse (the
+      // round-8 `weak` mark; non-degeneracy asserted in LlmSpec).
+      // Candidates are still verified exactly, so a weaker slice can only
+      // add candidates, never wrong pairs.
+      val aggs = minhashSigAggs
       // memoized: the band self-join reads it from both sides
       val sigs = cached(s, d, "minhash_sigs")(ds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
       val stackArgs = (0 until MINHASH_K / 2).map(j =>
@@ -851,9 +874,12 @@ object LlmPipeline extends QueryPack {
   }
 
   private val minhashSigsSql: String = {
-    val sigs = (0 until MINHASH_K).map(i =>
-      s"min(substr(md5(shingle), ${32 / MINHASH_K * i + 1}, ${32 / MINHASH_K})) AS sig$i")
-      .mkString(", ")
+    val slicesPerHash = 32 / MINHASH_SLICE
+    val sigs = (0 until MINHASH_K).map { i =>
+      val h = if (i < slicesPerHash) "md5(shingle)"
+        else s"md5('$MINHASH_SALT'||shingle)"
+      s"min(substr($h, ${MINHASH_SLICE * (i % slicesPerHash) + 1}, $MINHASH_SLICE)) AS sig$i"
+    }.mkString(", ")
     val bandRows = (0 until MINHASH_K / 2).map(j =>
       s"SELECT doc_id, $j AS band, md5(sig${2 * j}||sig${2 * j + 1}) AS bucket FROM sigs")
       .mkString("\n  UNION ALL ")

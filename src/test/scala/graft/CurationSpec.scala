@@ -31,6 +31,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents labels a diameter-60 path graph correctly") {
+    // A path 0–1–2–…–60 has diameter 60: the pre-round-9 min-label loop
+    // (hard cap 25 iterations, silent exit) mislabeled it; star contraction
+    // must converge in O(log n) rounds and label every node 0.
+    import spark.implicits._
+    val path = (0L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = graft.operators.Curation.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 61)
+    assert(labels.values.forall(_ == 0L), s"non-zero labels: ${labels.filter(_._2 != 0L)}")
+    // two components + an out-of-order orientation: labels stay per-component
+    val two = Seq((5L, 3L), (3L, 1L), (10L, 12L), (12L, 14L), (14L, 10L))
+      .toDF("src", "dst")
+    val l2 = graft.operators.Curation.connectedComponents(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(1L -> 1L, 3L -> 1L, 5L -> 1L,
+      10L -> 10L, 12L -> 10L, 14L -> 10L))
+  }
+
   test("q_dedup_canonical rank-1 filter is rewritten to the TopKPerKey plan") {
     val df = q("q_dedup_canonical")
     df.collect()

@@ -45,6 +45,35 @@ class LlmSpec extends AnyFunSuite {
         s"LSH recall ${mh.size}/${exact.size} < 0.8")
   }
 
+  test("minhash signatures stay non-degenerate on a large-shingle-set doc") {
+    import spark.implicits._
+    // 70,000 distinct shingles in one doc saturate a 16-bit min statistic:
+    // under the old 4-hex slicing every slice min was "0000" w.h.p., so all
+    // large docs landed in the same band buckets and candidate generation
+    // went quadratic (the round-8 `weak` mark). With 8-hex (32-bit) slices
+    // the expected min is ~2^32/70k ≈ 61k — far from absolute zero, and the
+    // 8 slices are independent draws, so they must be pairwise distinct.
+    val shingleRows = (1 to 70000).map(i => (1L, s"shingle token number $i"))
+      .toDF("doc_id", "shingle")
+    val sig = shingleRows.groupBy("doc_id")
+      .agg(operators.LlmPipeline.minhashSigAggs.head,
+        operators.LlmPipeline.minhashSigAggs.tail: _*)
+      .collect().head
+    val slices = (0 until 8).map(i => sig.getAs[String](s"sig$i"))
+    slices.foreach { s =>
+      assert(s.length == 8, s"slice width changed: $s")
+      assert(s != "00000000", "slice min saturated to absolute zero")
+    }
+    assert(slices.distinct.size == slices.size,
+      s"degenerate signature — colliding slices: $slices")
+    // and the minima are in the expected small-but-nonzero range for n=70k
+    slices.foreach { s =>
+      val v = java.lang.Long.parseLong(s, 16)
+      assert(v > 0 && v < (1L << 32) / 70000 * 100,
+        s"slice min $s ($v) implausible for 70k draws from 2^32")
+    }
+  }
+
   test("exact dedup is idempotent: re-deduping keepers finds no dups") {
     import spark.implicits._
     val docs = Tables.t(spark, sf, "documents")
