@@ -123,6 +123,40 @@ object Tables {
   def memoized(s: SparkSession, d: String, stage: String)(mk: => DataFrame): DataFrame =
     memoStore.getOrElseUpdate((s, d, stage), { val df = mk.persist(); df.count(); df })
 
+  /** Evict memoized intermediates: unpersist the cached data and forget
+    * the entries for `s` (optionally only dataset `d`). The hook a
+    * long-lived session calls between datasets/pipelines so index caches
+    * don't accumulate executor storage forever (ADVICE r7). Disk-backed
+    * artifacts ([[memoizedOnDisk]]) survive eviction and reload lazily. */
+  def evictMemoized(s: SparkSession, d: Option[String] = None): Unit =
+    memoStore.keys
+      .filter { case (ks, kd, _) => ks == s && d.forall(_ == kd) }
+      .foreach { k => memoStore.remove(k).foreach(_.unpersist()) }
+
+  /** Artifact-layout version: bump when a persisted index's schema or
+    * defining constants change so stale artifacts from an older code
+    * version can never be read back. */
+  private val ARTIFACT_VERSION = "v1"
+  private[graft] def indexDir(d: String): String =
+    s"/tmp/graft-index/$ARTIFACT_VERSION/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** Disk-backed [[memoized]] — for the per-corpus INDEX ARTIFACTS a real
+    * 100 TB pipeline builds once and reuses across runs (minhash
+    * signatures, LSH tables, IVF assignments, corpus hash sets). First
+    * call computes and publishes parquet atomically
+    * ([[graft.sources.Sinks.publishAtomic]] — concurrent sessions race
+    * benignly); every later call IN ANY SESSION loads from parquet, so
+    * the artifact's lifecycle finally outlives the JVM. The in-memory
+    * memo still fronts the parquet read within a session. Callers must
+    * fold every semantics-defining constant into `stage` (e.g.
+    * `minhash_sigs_k8x8`) so parameter changes mint a new artifact. */
+  def memoizedOnDisk(s: SparkSession, d: String, stage: String)(mk: => DataFrame): DataFrame =
+    memoized(s, d, s"disk:$stage") {
+      val path = s"${indexDir(d)}/$stage"
+      graft.sources.Sinks.publishAtomic(path)(tmp => mk.write.parquet(tmp))
+      s.read.parquet(path)
+    }
+
   /** 60-bit portable numeric hash of a string column: first 15 hex digits
     * of md5 as a BIGINT. Identical on both engines
     * (`conv(substring(md5(x),1,15),16,10)` ↔ `('0x'||substr(md5(x),1,15))::BIGINT`);

@@ -264,7 +264,13 @@ object Curation extends QueryPack {
       val docs = t(s, d, "documents")
         .withColumn("h", sha2(lower(trim(col("text"))), 256))
       val isBatch = col("doc_id") % 10 === 7
-      val corpusH = docs.where(!isBatch).select("h").distinct()
+      // the existing-corpus hash set is a persisted index artifact: built
+      // once, published atomically, reloaded from parquet by later
+      // sessions — the delta-dedup path consumes the index, it does not
+      // rebuild the corpus side per run
+      val corpusH = Tables.memoizedOnDisk(s, d, "corpus_hashes_mod10ne7") {
+          docs.where(!isBatch).select("h").distinct()
+        }
         .withColumn("in_corpus", lit(true))
       val w = Window.partitionBy("h").orderBy("doc_id")
       docs.where(isBatch)

@@ -26,15 +26,19 @@ object Relational extends QueryPack {
   private def dppFactPath(s: SparkSession, d: String): String =
     dppMemo.getOrElseUpdate((s, d), {
       val path = s"/tmp/graft-dpp/${d.replaceAll("[^A-Za-z0-9.]", "_")}/orders_by_month"
-      // repartition on the partition column first: the single-row-group
-      // source reads as ONE task, which would otherwise write all ~80
-      // month directories serially; partition-aligned exchange also means
-      // exactly one file per month dir (no small-files explosion)
-      graft.sources.Sinks.writePartitioned(
-        t(s, d, "orders").withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-          .repartition(col("o_month")),
-        path, Seq("o_month"))
-      path
+      // publishAtomic: a concurrent session on the same dataset either
+      // wins the rename or reads the winner's complete store — never a
+      // half-written directory (VERDICT r8 minor). repartition on the
+      // partition column first: the single-row-group source reads as ONE
+      // task, which would otherwise write all ~80 month directories
+      // serially; partition-aligned exchange also means exactly one file
+      // per month dir (no small-files explosion)
+      graft.sources.Sinks.publishAtomic(path) { tmp =>
+        graft.sources.Sinks.writePartitioned(
+          t(s, d, "orders").withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+            .repartition(col("o_month")),
+          tmp, Seq("o_month"))
+      }
     })
 
   def queries: Seq[(String, Fn)] = Seq(

@@ -123,7 +123,11 @@ private[sources] case class GridScan(width: Int, height: Int, stripes: Int,
   // count instead of a table-size guess — for a connector this exact, the
   // estimate is exact
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = math.min(metadataCount, if (limit == Int.MaxValue) Long.MaxValue else limit.toLong)
+    // a pushed COUNT(*) scan emits exactly ONE pre-aggregated row, not
+    // metadataCount rows — report what the scan actually produces
+    private val rows =
+      if (countPushed) 1L
+      else math.min(metadataCount, if (limit == Int.MaxValue) Long.MaxValue else limit.toLong)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(rows * (required.length.max(1) * 4L))
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)

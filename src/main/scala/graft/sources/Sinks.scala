@@ -22,6 +22,54 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Build-once / publish-atomically for derived local stores shared
+    * across sessions (e.g. the /tmp DPP fact store): a reader must never
+    * see a half-written directory. If `path` lacks a `_SUCCESS` marker,
+    * `write` runs against a session-unique temp sibling which is then
+    * atomically renamed into place. Concurrent sessions race benignly:
+    * exactly one rename wins, the loser discards its temp dir and reads
+    * the winner's — any published directory is complete by construction
+    * (the marker was written inside the temp before the rename). Debris
+    * from a crashed pre-publish writer (dir present, no marker) is
+    * removed before writing. */
+  def publishAtomic(path: String)(write: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    val marker = Paths.get(path, "_SUCCESS")
+    if (!Files.exists(marker)) {
+      val tmp = s"$path.tmp.${java.util.UUID.randomUUID()}"
+      write(tmp)
+      // the marker rides INSIDE the temp dir, so a successful rename
+      // publishes marker and data in one atomic step — "marker present"
+      // and "store complete" are indistinguishable to any reader
+      var published = false
+      var attempts = 0
+      while (!published && attempts < 3) {
+        attempts += 1
+        try {
+          Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+          published = true
+        } catch {
+          // Linux raises the base FileSystemException ("Directory not
+          // empty") for an atomic rename onto an existing store, not the
+          // DirectoryNotEmptyException subtype — catch the family
+          case _: java.nio.file.FileSystemException =>
+            if (Files.exists(marker)) { // lost the race: keep the winner's
+              deleteRec(new java.io.File(tmp))
+              published = true
+            } else { // target exists WITHOUT marker ⟹ crashed-writer debris
+              deleteRec(new java.io.File(path))
+            }
+        }
+      }
+      require(published, s"publishAtomic: could not publish $path after $attempts attempts")
+    }
+    path
+  }
+
   /** Idempotent incremental load: replaces ONLY the partitions present in
     * `batch` (dynamic partition overwrite), leaving others intact — the
     * overlap-delete/upsert pattern with no read-modify-write cycle. */

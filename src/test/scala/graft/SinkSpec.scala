@@ -35,6 +35,55 @@ class SinkSpec extends AnyFunSuite {
     assert(rows == List((1, "a"), (20, "b"), (3, "c")), rows.toString)
   }
 
+  test("publishAtomic: concurrent writers publish one complete store, no debris") {
+    val base = Files.createTempDirectory("graft-atomic").toString + "/store"
+    val nation = Tables.t(spark, sf, "nation")
+    val expected = nation.count()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        try Sinks.publishAtomic(base)(tmp => nation.write.parquet(tmp))
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent publish threw: ${errors.peek()}")
+    assert(new java.io.File(base, "_SUCCESS").exists(), "no _SUCCESS marker")
+    assert(spark.read.parquet(base).count() == expected)
+    // losers cleaned up their temp siblings
+    val siblings = new java.io.File(base).getParentFile.listFiles.map(_.getName)
+    assert(siblings.toSeq == Seq("store"), s"temp debris left behind: ${siblings.mkString(",")}")
+    // a second call with a marker present must be a no-op (write not invoked)
+    Sinks.publishAtomic(base)(_ => fail("write invoked despite _SUCCESS marker"))
+  }
+
+  test("index artifacts persist to parquet and survive memo eviction byte-identically") {
+    // builds (or reuses) the minhash signature + corpus-hash artifacts
+    val first = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val inc1 = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val idx = new java.io.File(Tables.indexDir(sf))
+    assert(idx.isDirectory, s"no index dir at $idx")
+    val stages = idx.listFiles.map(_.getName).toSeq
+    assert(stages.exists(_.startsWith("minhash_sigs")), stages.mkString(","))
+    assert(stages.exists(_.startsWith("corpus_hashes")), stages.mkString(","))
+    stages.foreach { st =>
+      assert(new java.io.File(idx, s"$st/_SUCCESS").exists(),
+        s"artifact $st published without _SUCCESS marker")
+    }
+    // cold session emulation: drop every in-JVM memo entry (and its cached
+    // blocks); the queries must reload the parquet artifacts and reproduce
+    // byte-identical results
+    Tables.evictMemoized(spark)
+    val again = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == first, "minhash dedup diverged after artifact reload")
+    val inc2 = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(inc2 == inc1, "incremental dedup diverged after artifact reload")
+  }
+
   test("csv export round-trips") {
     val dir = Files.createTempDirectory("graft-csv").toString
     val agg = SparkEntry.queries("q_agg_hash")(spark, sf)

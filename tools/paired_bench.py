@@ -46,7 +46,14 @@ def main(sf_dir, oracle_path, spark_json=None):
            "n_queries": len(times), "errors": errors, "queries": times}
     if spark_json and os.path.exists(spark_json):
         raw = open(spark_json).read()
-        spark = json.loads(raw[raw.find("{"):])
+        brace = raw.find("{")
+        if brace < 0:
+            sys.exit(f"paired_bench: {spark_json} contains no JSON object")
+        spark = json.loads(raw[brace:])
+        for key in ("value", "n_queries", "queries"):
+            if key not in spark:
+                sys.exit(f"paired_bench: {spark_json} lacks key '{key}' — "
+                         "pass the one-line JSON graft.Bench prints")
         out["spark_total_sec"] = spark["value"]
         out["spark_n_queries"] = spark["n_queries"]
         # ratio over the queries BOTH engines ran, so registry growth or a
@@ -67,4 +74,10 @@ def main(sf_dir, oracle_path, spark_json=None):
     print(json.dumps(out))
 
 if __name__ == "__main__":
+    if not 3 <= len(sys.argv) <= 4:
+        sys.exit("usage: python3 tools/paired_bench.py <sfDir> <oracleSqlJson> [sparkBenchJson]")
+    if not os.path.isdir(sys.argv[1]):
+        sys.exit(f"paired_bench: sfDir {sys.argv[1]} is not a directory")
+    if not os.path.exists(sys.argv[2]):
+        sys.exit(f"paired_bench: oracle json {sys.argv[2]} not found")
     main(*sys.argv[1:])
