@@ -69,7 +69,8 @@ object Verify {
       // same materialized pairs, halving the candidate-join/rerank cost of
       // the artifact (the ANN plans are the most expensive in the registry)
       val anns = Seq("lsh" -> "q_sim_ann_lsh", "lsh_multi" -> "q_sim_ann_lsh_multi",
-        "ivf" -> "q_sim_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp", "sq" -> "q_sim_ann_sq")
+        "ivf" -> "q_sim_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp",
+        "ivf_k" -> "q_sim_ann_ivf_k", "sq" -> "q_sim_ann_sq")
         .map { case (k, qn) =>
           k -> SparkEntry.queries(qn)(spark, sfDir)
             .select(col("vec_id"), col("neighbor_id")).persist()

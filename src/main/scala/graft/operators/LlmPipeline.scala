@@ -320,6 +320,83 @@ object LlmPipeline extends QueryPack {
         .select(col("vec_id"), col("cell"), col("arnk"))
     }
 
+  /** TRAINED-k IVF quantizer (q_sim_ann_ivf_k): cell count is DATA-bound
+    * — k = ⌈√N⌉ — not schema-bound like the 10-label quantizer above
+    * (the missing dial of rounds 7–8). Init is a deterministic md5-bucket
+    * sample: the k vectors with the smallest md5("ivfk:"||vec_id) become
+    * seeds, cell id = the seed's rank in that md5 order. The seed set is
+    * a total-order property of the DATA, so init is order-independent
+    * under any partitioning, and one Lloyd refinement (assign-to-seed →
+    * dimension-wise decimal-mean) turns seeds into trained centroids —
+    * both steps engine-portable, mirrored CTE-for-CTE in the oracle.
+    *
+    * Scale: the artifact is ⌈√N⌉ × 64 doubles (N = 10⁹ → ~31.6k rows,
+    * ~16 MB) — k ∝ √N is exactly the growth rate that keeps a forced
+    * centroid broadcast safe at any corpus size, which is why it is the
+    * standard IVF dial (cells shrink as √N while the probed fraction
+    * √k/k = N^(-1/4) falls). The driver-side count() sizing k runs once,
+    * inside the build-once training path — never in the per-query path. */
+  private def ivfKCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, "ivfk_centroids_sqrtn_lloyd1") {
+      val e = t(s, d, "embeddings")
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val seeds = e
+        .select(col("vec_id"), col("embedding"),
+          md5(concat(lit("ivfk:"), col("vec_id").cast(StringType))).as("mk"))
+        .orderBy("mk").limit(k)
+        // k rows total — the unpartitioned rank window is bounded by √N
+        .select(col("embedding").as("seed"),
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy("mk"))
+            .as("cell"))
+      val init = e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cell"),
+          r4(cosine(col("embedding"), col("seed"))).as("scos"))
+      val assign0 = org.apache.spark.sql.graftx.TopK.topKPerKey(init,
+          keyNames = Seq("vec_id"), orderBy = Seq("scos" -> false, "cell" -> true),
+          k = 1, rankName = "irnk")
+        .select(col("vec_id"), col("cell"))
+      val comp = e.join(assign0, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"))
+      comp.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          f => f.getField("m")).as("centroid"))
+    }
+
+  /** Rounded cosine of every vector against every trained-k centroid —
+    * same narrow-map shape as [[ivfScored]], quantizer swapped. */
+  private def ivfKScored(s: SparkSession, d: String): DataFrame = {
+    val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+    t(s, d, "embeddings").crossJoin(broadcast(ivfKCentroids(s, d)))
+      .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
+  }
+
+  /** Rank-1 assignment index over the trained-k quantizer. */
+  private def ivfKAssign(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, "ivfk_assign_sqrtn") {
+      org.apache.spark.sql.graftx.TopK.topKPerKey(ivfKScored(s, d),
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
+          k = 1, rankName = "arnk")
+        .select(col("vec_id"), col("cell"))
+    }
+
+  /** Probe-list index over the trained-k quantizer: nprobe is data-bound
+    * too, ⌈√k⌉ cells per query (k = 23 → 5 probes ≈ 22% of cells; the
+    * probed corpus fraction decays as N^(-1/4)). */
+  private def ivfKProbes(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, "ivfk_probes_sqrtk") {
+      val n = t(s, d, "embeddings").count()
+      val np = math.ceil(math.sqrt(math.ceil(math.sqrt(n.toDouble)))).toInt
+      org.apache.spark.sql.graftx.TopK.topKPerKey(ivfKScored(s, d),
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
+          k = np, rankName = "arnk")
+        .select(col("vec_id"), col("cell"))
+    }
+
   def queries: Seq[(String, Fn)] = Seq(
     // #42 exact dedup by normalized content hash; keeper = min doc_id.
     "q_dedup_exact" -> ((s, d) =>
@@ -649,6 +726,33 @@ object LlmPipeline extends QueryPack {
       // join back per candidate (see q_sim_ann_ivf)
       val probes = ivfProbes(s, d)
       val assigned = ivfAssign(s, d)
+      val cands = probes.as("a")
+        .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = cands
+        .join(maybeBroadcast(e.as("ea")), col("qid") === col("ea.vec_id"))
+        .join(maybeBroadcast(e.as("eb")), col("nid") === col("eb.vec_id"))
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          r4(cosine(col("ea.embedding"), col("eb.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
+    // Trained-k IVF: both dials data-bound — k = ⌈√N⌉ cells trained from
+    // a deterministic md5-bucket seed sample + one Lloyd step, ⌈√k⌉
+    // probes per query (see ivfKCentroids). Candidate/rerank shape is
+    // identical to q_sim_ann_ivf_mp; only the quantizer differs. Measured
+    // recall@3 vs exhaustive at sf0.001: 0.579, vs 0.247 (label-cell ivf)
+    // and 0.549 (label-cell multi-probe) — finer, geometry-trained cells
+    // buy more recall per probed row (tracked per-round in RECALL.json).
+    "q_sim_ann_ivf_k" -> ((s, d) => {
+      val probes = ivfKProbes(s, d)
+      val assigned = ivfKAssign(s, d)
       val cands = probes.as("a")
         .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1013,6 +1117,51 @@ object LlmPipeline extends QueryPack {
        |assigned AS (
        |  SELECT vec_id, embedding, cell FROM probes WHERE arnk = 1)""".stripMargin
 
+  /** Trained-k IVF CTE chain (mirrors [[ivfKCentroids]]/[[ivfKScored]]
+    * stage for stage): k and nprobe derived from count(*), seeds by md5
+    * rank, init rank-1 assignment, decimal-mean Lloyd step, final
+    * ranking against the trained centroids. */
+  private val ivfkCtesSql: String =
+    s"""nk AS (
+       |  SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k,
+       |   CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS INT) AS np
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT embedding AS seed,
+       |   CAST(row_number() OVER (ORDER BY md5('ivfk:'||vec_id)) AS INT) AS cell
+       |  FROM embeddings
+       |  QUALIFY cell <= (SELECT k FROM nk)),
+       |iassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, s.cell,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+       |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+       |           list_transform(s.seed, x -> CAST(x AS DOUBLE)))
+       |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, s.cell ASC) AS irnk
+       |    FROM embeddings e CROSS JOIN seeds s)
+       |  WHERE irnk = 1),
+       |kcomp AS (
+       |  SELECT a.cell, t.d AS dim,
+       |   CAST(sum(CAST(e.embedding[t.d] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+       |  FROM embeddings e JOIN iassign a USING (vec_id), generate_series(1, 64) t(d)
+       |  GROUP BY a.cell, t.d),
+       |kcent AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM kcomp GROUP BY cell),
+       |kranked AS (
+       |  SELECT vec_id, embedding, cell,
+       |   CAST(row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC)
+       |    AS INT) AS arnk
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |     CAST(round(CAST(list_cosine_similarity(
+       |       list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
+       |      AS DECIMAL(38,6)), 4) AS DOUBLE) AS ccos
+       |    FROM embeddings e CROSS JOIN kcent c)),
+       |kassigned AS (SELECT vec_id, embedding, cell FROM kranked WHERE arnk = 1),
+       |kprobes AS (
+       |  SELECT vec_id, embedding, cell FROM kranked
+       |  WHERE arnk <= (SELECT np FROM nk))""".stripMargin
+
   def oracle: Seq[(String, String)] = Seq(
     "q_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keeper,
@@ -1153,6 +1302,17 @@ object LlmPipeline extends QueryPack {
          |   CAST(row_number() OVER (PARTITION BY a.vec_id
          |     ORDER BY $cosSql DESC, b.vec_id ASC) AS INT) AS rnk
          |  FROM probes a JOIN assigned b
+         |   ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |WHERE rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin,
+    "q_sim_ann_ivf_k" ->
+      s"""WITH $ivfkCtesSql
+         |SELECT vec_id, neighbor_id, cos, rnk FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |   $cosSql AS cos,
+         |   CAST(row_number() OVER (PARTITION BY a.vec_id
+         |     ORDER BY $cosSql DESC, b.vec_id ASC) AS INT) AS rnk
+         |  FROM kprobes a JOIN kassigned b
          |   ON a.cell = b.cell AND a.vec_id <> b.vec_id)
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,

@@ -181,6 +181,43 @@ class LlmSpec extends AnyFunSuite {
     assert(recall > 0.0, s"IVF found no true neighbors at all")
   }
 
+  test("trained-k IVF: data-bound cell count, recall beats the label-cell quantizer") {
+    val e = Tables.t(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    // the whole point of the trained quantizer: k tracks the DATA (√N),
+    // not the schema's 10 labels
+    assert(k != 10, s"fixture degenerates: ceil(sqrt($n)) = label count")
+    val res = q("q_sim_ann_ivf_k").collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val rnk = r.getAs[Int]("rnk"); assert(rnk >= 1 && rnk <= 3)
+    }
+    val got = res.map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.distinct.length == got.length,
+      "duplicate (vec_id, neighbor_id) pair — probe cells must not overlap assignment")
+    // recall vs the TRUE unblocked top-3 (same rounded-cosine definition
+    // as the monotonicity test): √N geometry-trained cells probed √k-deep
+    // must beat rank-1 label cells — the VERDICT r8 acceptance bar
+    val pairsAll = e.as("a").crossJoin(e.as("b"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        Tables.r4(org.apache.spark.sql.graftx.VectorExprs.cosineSim(
+          col("a.embedding"), col("b.embedding"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val truth = pairsAll.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(name: String): Double =
+      q(name).select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(truth).size.toDouble / truth.size
+    val rK = recallOf("q_sim_ann_ivf_k")
+    val rLbl = recallOf("q_sim_ann_ivf")
+    assert(rK >= rLbl, s"trained-k recall $rK < label-cell recall $rLbl")
+  }
+
   test("fingerprint is deterministic and total") {
     val a = q("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getString(1)))
     val b = q("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getString(1)))
