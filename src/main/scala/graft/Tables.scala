@@ -120,8 +120,32 @@ object Tables {
     * Bench's warmup+N passes reuse it. */
   private val memoStore =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
-  def memoized(s: SparkSession, d: String, stage: String)(mk: => DataFrame): DataFrame =
+  def memoized(s: SparkSession, d: String, stage: String)(mk: => DataFrame): DataFrame = {
+    guardStage(stage)
     memoStore.getOrElseUpdate((s, d, stage), { val df = mk.persist(); df.count(); df })
+  }
+
+  /** Stage-key uniqueness guard (VERDICT r8 minor): every stage string is
+    * OWNED by the one call site (builder `file:line`) that first used it —
+    * a second pack accidentally reusing the name would otherwise silently
+    * read the first pack's cached table. Checked on every call;
+    * driver-side stack peek only, no job. Forwarder frames (Tables
+    * itself, the packs' one-line `cached` helpers) are skipped so the
+    * recorded owner is the real builder. */
+  private val stageOwner = scala.collection.concurrent.TrieMap[String, String]()
+  private def guardStage(stage: String): Unit = {
+    val site = new Throwable().getStackTrace
+      .find { e =>
+        val c = e.getClassName
+        !c.startsWith("graft.Tables") && !c.startsWith("java.lang.") &&
+          e.getMethodName != "cached"
+      }
+      .map(e => s"${e.getFileName}:${e.getLineNumber}").getOrElse("?")
+    val owner = stageOwner.getOrElseUpdate(stage, site)
+    require(owner == site,
+      s"memo stage '$stage' is owned by $owner but was requested from $site — " +
+        "stage keys must be globally unique (prefix with the pack name)")
+  }
 
   /** Evict memoized intermediates: unpersist the cached data and forget
     * the entries for `s` (optionally only dataset `d`). The hook a

@@ -53,6 +53,23 @@ class GridSourceSpec extends AnyFunSuite {
     assert(p.contains("PushedLimit: 5"), p)
   }
 
+  test("pushed COUNT(*) scan reports 1-row statistics, not the metadata count") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val g = spark.read.format("graft-grid")
+      .option("width", 64).option("height", 64).option("stripes", 8).load()
+    val counted = g.agg(count(lit(1)).as("n"))
+    val qe = counted
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution
+    val scans = qe.optimizedPlan.collect { case r: DataSourceV2ScanRelation => r }
+    assert(scans.nonEmpty, qe.optimizedPlan.toString)
+    // the scan emits ONE pre-aggregated row once the count is pushed; a
+    // 4096-row estimate here would mislead join-side planning downstream
+    assert(scans.head.stats.rowCount.contains(BigInt(1)),
+      s"stats = ${scans.head.stats}")
+    assert(counted.collect().head.getLong(0) == 64 * 64)
+  }
+
   test("COUNT(*) is answered from metadata: complete aggregate pushdown") {
     val g = spark.read.format("graft-grid")
       .option("width", 64).option("height", 64).option("stripes", 8).load()

@@ -84,6 +84,17 @@ class SinkSpec extends AnyFunSuite {
     assert(inc2 == inc1, "incremental dedup diverged after artifact reload")
   }
 
+  test("memo stage keys are owned by one call site: cross-pack collision throws") {
+    def owner() = Tables.memoized(spark, sf, "spec_guard_stage")(Tables.t(spark, sf, "nation"))
+    assert(owner().count() == owner().count()) // same site twice: fine
+    val ex = intercept[IllegalArgumentException] {
+      // different call site reusing the stage name — would silently read
+      // the owner's cached table without the guard
+      Tables.memoized(spark, sf, "spec_guard_stage")(Tables.t(spark, sf, "region"))
+    }
+    assert(ex.getMessage.contains("owned by"), ex.getMessage)
+  }
+
   test("csv export round-trips") {
     val dir = Files.createTempDirectory("graft-csv").toString
     val agg = SparkEntry.queries("q_agg_hash")(spark, sf)
