@@ -68,7 +68,8 @@ object Verify {
       // build + persist each ANN result ONCE: both recall bases read the
       // same materialized pairs, halving the candidate-join/rerank cost of
       // the artifact (the ANN plans are the most expensive in the registry)
-      val anns = Seq("lsh" -> "q_sim_ann_lsh", "lsh_multi" -> "q_sim_ann_lsh_multi",
+      val anns = Seq("lsh" -> "q_sim_ann_lsh", "lsh_probe" -> "q_sim_ann_lsh_probe",
+        "lsh_multi" -> "q_sim_ann_lsh_multi",
         "ivf" -> "q_sim_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp",
         "ivf_k" -> "q_sim_ann_ivf_k", "sq" -> "q_sim_ann_sq")
         .map { case (k, qn) =>

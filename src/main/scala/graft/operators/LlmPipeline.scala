@@ -646,6 +646,39 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id", "rnk")
     }),
 
+    // Bit-flip multi-probe LSH — the single-TABLE recall dial,
+    // complementing the multi-table OR below: each QUERY vector probes
+    // its own bucket plus the LSH_PLANES buckets at hamming distance 1
+    // (the likeliest misses under sign-bit LSH: a near neighbor that
+    // escaped the bucket usually disagreed on exactly one plane), while
+    // database vectors stay in their one bucket. Recall rises 5×
+    // (0.101 vs 0.020 @3 vs exhaustive, sf0.001) for planes+1 probe rows
+    // per query and ZERO extra index state — vs ×TABLES bucket rows for
+    // q_sim_ann_lsh_multi. Candidates are id-only and distinct by
+    // construction (a query's probe buckets are distinct XOR masks; a
+    // database vector lives in exactly one bucket), so no DISTINCT pass.
+    "q_sim_ann_lsh_probe" -> ((s, d) => {
+      val b = lshBuckets(s, d).select(col("vec_id"), col("bucket"))
+      val masks = lit(0L) +: (0 until LSH_PLANES).map(p => lit(1L << p))
+      val probes = b.select(col("vec_id"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("pbucket"))
+      val cands = probes.as("a")
+        .join(maybeBroadcast(b.as("b")), col("a.pbucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = cands
+        .join(maybeBroadcast(e.as("ea")), col("qid") === col("ea.vec_id"))
+        .join(maybeBroadcast(e.as("eb")), col("nid") === col("eb.vec_id"))
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          r4(cosine(col("ea.embedding"), col("eb.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
     // Multi-table LSH: LSH_TABLES independent tables of LSH_TABLE_BITS
     // sign bits each, candidates OR'd across tables — the standard fix
     // for single-table LSH's recall collapse (a true neighbor only needs
@@ -1252,6 +1285,26 @@ object LlmPipeline extends QueryPack {
          |   ORDER BY $cosSql DESC, b.vec_id ASC) AS INT) AS rnk
          |FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
          |QUALIFY rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin,
+    "q_sim_ann_lsh_probe" ->
+      s"""WITH $lshBucketSql,
+         |masks AS (SELECT CAST(0 AS BIGINT) AS mask UNION ALL
+         |          SELECT CAST(1 AS BIGINT) << p FROM generate_series(0, ${LSH_PLANES - 1}) tm(p)),
+         |pprobes AS (
+         |  SELECT vec_id, xor(bucket, mask) AS pbucket
+         |  FROM buckets CROSS JOIN masks),
+         |pcands AS (
+         |  SELECT p.vec_id AS qid, b.vec_id AS nid
+         |  FROM pprobes p JOIN buckets b
+         |   ON p.pbucket = b.bucket AND p.vec_id <> b.vec_id)
+         |SELECT vec_id, neighbor_id, cos, rnk FROM (
+         |  SELECT c.qid AS vec_id, c.nid AS neighbor_id, $cosSql AS cos,
+         |   CAST(row_number() OVER (PARTITION BY c.qid
+         |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
+         |  FROM pcands c
+         |  JOIN embeddings a ON c.qid = a.vec_id
+         |  JOIN embeddings b ON c.nid = b.vec_id)
+         |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
     "q_sim_ann_lsh_multi" ->
       s"""WITH mplanes AS (

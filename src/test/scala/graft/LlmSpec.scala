@@ -145,6 +145,11 @@ class LlmSpec extends AnyFunSuite {
     val lshS = recallOf("q_sim_ann_lsh")
     val lshM = recallOf("q_sim_ann_lsh_multi")
     assert(lshM > lshS, s"multi-table LSH recall $lshM <= single-table $lshS")
+    // bit-flip probing strictly widens the single-table candidate set
+    // (mask 0 reproduces it), so recall must not drop — and the 8
+    // hamming-1 buckets should lift it strictly on this fixture
+    val lshP = recallOf("q_sim_ann_lsh_probe")
+    assert(lshP > lshS, s"bit-flip probe recall $lshP <= single-bucket $lshS")
   }
 
   test("multi-table LSH: every reported pair collides in some table; candidates bounded") {
