@@ -190,6 +190,28 @@ object LlmPipeline extends QueryPack {
         .select("doc_id", "lang", "simhash")
     }
 
+  /** Per-doc MinHash signature table — THE per-corpus dedup index a real
+    * pipeline builds once and keeps. Disk-backed (stage name encodes k,
+    * slice width, and the df cap so any retuning mints a new artifact);
+    * the band self-join reads it from both sides within a session, and
+    * the delta query filters the SAME artifact for its corpus side. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d,
+      s"minhash_sigs_k${MINHASH_K}x${MINHASH_SLICE}df$MAX_SHINGLE_DF") {
+      val aggs = minhashSigAggs
+      docShingles(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
+
+  /** LSH band rows (doc_id, band, bucket) off a signature table: bands of
+    * 2 adjacent slices, bucket = md5 of their concatenation — a stack
+    * generator, zero joins/shuffles. */
+  private def minhashBands(sigs: DataFrame): DataFrame = {
+    val stackArgs = (0 until MINHASH_K / 2).map(j =>
+      s"$j, md5(concat(sig${2 * j}, sig${2 * j + 1}))").mkString(", ")
+    sigs.select(col("doc_id"),
+      expr(s"stack(${MINHASH_K / 2}, $stackArgs)").as(Seq("band", "bucket")))
+  }
+
   /** jac = |∩| / (|A|+|B|−|∩|) given per-pair intersections + per-doc counts. */
   private def jaccardFromInter(inter: DataFrame, cnt: DataFrame): DataFrame =
     inter
@@ -485,19 +507,8 @@ object LlmPipeline extends QueryPack {
       // round-8 `weak` mark; non-degeneracy asserted in LlmSpec).
       // Candidates are still verified exactly, so a weaker slice can only
       // add candidates, never wrong pairs.
-      val aggs = minhashSigAggs
-      // disk-backed: the band self-join reads it from both sides within a
-      // session, and the signature table is THE per-corpus dedup index a
-      // real pipeline builds once and keeps (stage name encodes k, slice
-      // width, and the df cap so any retuning mints a new artifact)
-      val sigs = Tables.memoizedOnDisk(s, d,
-        s"minhash_sigs_k${MINHASH_K}x${MINHASH_SLICE}df$MAX_SHINGLE_DF") {
-        ds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      }
-      val stackArgs = (0 until MINHASH_K / 2).map(j =>
-        s"$j, md5(concat(sig${2 * j}, sig${2 * j + 1}))").mkString(", ")
-      val bands = sigs.select(col("doc_id"),
-        expr(s"stack(${MINHASH_K / 2}, $stackArgs)").as(Seq("band", "bucket")))
+      val sigs = minhashSigs(s, d)
+      val bands = minhashBands(sigs)
       val cands = bands.as("ba")
         .join(maybeBroadcast(bands.as("bb")), col("ba.band") === col("bb.band") &&
           col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
@@ -507,6 +518,40 @@ object LlmPipeline extends QueryPack {
       // matching doc_b's copy of each shingle — mirrors the oracle's
       // cands-filtered jaccardTail; cost is O(candidate pairs × shingles
       // per doc), never all-pairs
+      val withA = ds.join(maybeBroadcast(cands), col("doc_id") === col("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("shingle"))
+      val inter = withA.as("wa")
+        .join(ds.as("sb"), col("wa.shingle") === col("sb.shingle") &&
+          col("wa.doc_b") === col("sb.doc_id"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      jaccardFromInter(inter, shingleCounts(ds))
+        .where(col("jac") >= 0.8)
+        .select("doc_a", "doc_b", "jac")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Incremental NEAR-dup: a new crawl batch (doc_id%10=7, the
+    // q_dedup_incremental convention) against the STANDING corpus via the
+    // persisted signature index — the delta shape a 100 TB pipeline runs
+    // per ingest instead of re-deduping the world. Corpus side: the SAME
+    // disk-backed minhash_sigs artifact q_dedup_minhash built, filtered;
+    // batch side: signatures computed fresh (the index cannot contain an
+    // incoming batch). Cost per ingest is O(batch bands + collisions),
+    // never O(corpus²); candidates verified exactly like the full query,
+    // so precision is 1 by construction.
+    "q_dedup_minhash_delta" -> ((s, d) => {
+      val ds = docShingles(s, d)
+      val isBatch = col("doc_id") % 10 === 7
+      val corpusBands = minhashBands(minhashSigs(s, d).where(!isBatch))
+      val aggs = minhashSigAggs
+      val batchBands = minhashBands(
+        ds.where(isBatch).groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
+      // no doc_a < doc_b constraint: the sides are disjoint by definition
+      val cands = batchBands.as("ba")
+        .join(maybeBroadcast(corpusBands.as("bb")), col("ba.band") === col("bb.band") &&
+          col("ba.bucket") === col("bb.bucket"))
+        .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
+        .distinct()
       val withA = ds.join(maybeBroadcast(cands), col("doc_id") === col("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("shingle"))
       val inter = withA.as("wa")
@@ -1056,18 +1101,23 @@ object LlmPipeline extends QueryPack {
        |  JOIN (SELECT shingle FROM ds0 GROUP BY shingle
        |        HAVING count(*) <= $MAX_SHINGLE_DF) ok USING (shingle))""".stripMargin
 
-  private val jaccardTailSql =
-    """inter AS (
-      |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
-      |  FROM ds sa JOIN ds sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-      |  WHERE (sa.doc_id, sb.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
-      |  GROUP BY 1, 2),
-      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1)
-      |SELECT i.doc_a, i.doc_b,
-      | CAST(round(CAST(CAST(i.n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - i.n_inter) AS DECIMAL(38,6)), 4) AS DOUBLE) AS jac
-      |FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id JOIN cnt cb ON i.doc_b = cb.doc_id
-      |WHERE CAST(round(CAST(CAST(i.n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - i.n_inter) AS DECIMAL(38,6)), 4) AS DOUBLE) >= 0.8
-      |ORDER BY doc_a, doc_b""".stripMargin
+  /** Candidate-verified Jaccard tail over the capped shingle set `ds`;
+    * `pairPred` constrains the pair orientation (a<b for symmetric
+    * dedup, batch/corpus for the delta query). */
+  private def jaccardTailSqlFor(pairPred: String): String =
+    s"""inter AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM ds sa JOIN ds sb ON sa.shingle = sb.shingle AND $pairPred
+       |  WHERE (sa.doc_id, sb.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1)
+       |SELECT i.doc_a, i.doc_b,
+       | CAST(round(CAST(CAST(i.n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - i.n_inter) AS DECIMAL(38,6)), 4) AS DOUBLE) AS jac
+       |FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id JOIN cnt cb ON i.doc_b = cb.doc_id
+       |WHERE CAST(round(CAST(CAST(i.n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - i.n_inter) AS DECIMAL(38,6)), 4) AS DOUBLE) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val jaccardTailSql = jaccardTailSqlFor("sa.doc_id < sb.doc_id")
 
   private val simhashTermsSql: String = {
     val sums = (0 until SIM_BITS).map(j =>
@@ -1085,7 +1135,8 @@ object LlmPipeline extends QueryPack {
        |sim AS (SELECT doc_id, lang, $bits AS simhash FROM sums)""".stripMargin
   }
 
-  private val minhashSigsSql: String = {
+  /** sigs + bands CTEs shared by the full and delta minhash oracles. */
+  private val minhashBandsCte: String = {
     val slicesPerHash = 32 / MINHASH_SLICE
     val sigs = (0 until MINHASH_K).map { i =>
       val h = if (i < slicesPerHash) "md5(shingle)"
@@ -1097,12 +1148,24 @@ object LlmPipeline extends QueryPack {
       .mkString("\n  UNION ALL ")
     s"""sigs AS (SELECT doc_id, $sigs FROM ds GROUP BY doc_id),
        |bands AS (
-       |  $bandRows),
+       |  $bandRows)""".stripMargin
+  }
+
+  private val minhashSigsSql: String =
+    s"""$minhashBandsCte,
        |cands AS (
        |  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
        |  FROM bands ba JOIN bands bb
        |   ON ba.band = bb.band AND ba.bucket = bb.bucket AND ba.doc_id < bb.doc_id)""".stripMargin
-  }
+
+  /** Delta variant: batch (doc_id%10=7) bands probe corpus bands only. */
+  private val minhashDeltaSql: String =
+    s"""$minhashBandsCte,
+       |cands AS (
+       |  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+       |  FROM bands ba JOIN bands bb
+       |   ON ba.band = bb.band AND ba.bucket = bb.bucket
+       |  WHERE ba.doc_id % 10 = 7 AND bb.doc_id % 10 <> 7)""".stripMargin
 
   private val lshBucketSql: String =
     s"""planes AS (
@@ -1231,6 +1294,10 @@ object LlmPipeline extends QueryPack {
       s"""WITH $docShinglesCtes,
          |$minhashSigsSql,
          |$jaccardTailSql""".stripMargin,
+    "q_dedup_minhash_delta" ->
+      s"""WITH $docShinglesCtes,
+         |$minhashDeltaSql,
+         |${jaccardTailSqlFor("sa.doc_id % 10 = 7 AND sb.doc_id % 10 <> 7")}""".stripMargin,
     "q_shingle_cap_report" ->
       s"""WITH ds0 AS (SELECT doc_id, unnest($shinglesSql3) AS shingle FROM documents),
          |dfs AS (SELECT shingle, count(*) AS df FROM ds0 GROUP BY 1),

@@ -223,6 +223,28 @@ class LlmSpec extends AnyFunSuite {
     assert(rK >= rLbl, s"trained-k recall $rK < label-cell recall $rLbl")
   }
 
+  test("minhash delta == full dedup restricted to batch-vs-corpus pairs") {
+    // same bands + same exact verification ⟹ a (batch, corpus) pair
+    // collides in the delta run iff it collides in the full run, so the
+    // delta query must reproduce the full query's cross-side pairs
+    // exactly (reoriented batch-first) — the invariant that makes
+    // per-ingest delta dedup a sound substitute for re-deduping the world
+    val full = q("q_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossSide = full.flatMap { case (a, b, j) =>
+      (a % 10 == 7, b % 10 == 7) match {
+        case (true, false) => Some((a, b, j))
+        case (false, true) => Some((b, a, j))
+        case _             => None
+      }
+    }.toSet
+    val delta = q("q_dedup_minhash_delta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(delta == crossSide,
+      s"delta=${delta.size} pairs, full cross-side=${crossSide.size}")
+    assert(delta.forall { case (a, b, _) => a % 10 == 7 && b % 10 != 7 })
+  }
+
   test("fingerprint is deterministic and total") {
     val a = q("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getString(1)))
     val b = q("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getString(1)))
