@@ -129,6 +129,22 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(key)
 
+  /** Streaming incremental dedup against a PERSISTED corpus index — the
+    * ingest shape of a large-corpus pipeline: the standing content-hash
+    * index lives on disk ([[graft.Tables.memoizedOnDisk]] artifact, built
+    * by the batch q_dedup_incremental path) and each streamed document is
+    * flagged novel/duplicate by a stream-static left join on its
+    * normalized hash. State-free: unlike [[dedupedByContent]] the
+    * corpus side never enters the state store, so an arbitrarily large
+    * standing corpus costs the stream nothing but the join (narrow
+    * 32-byte hash rows; broadcast per micro-batch when small). */
+  def dedupAgainstIndex(docs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    docs.withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .join(corpusIndex.select(col("h")).withColumn("in_corpus", lit(true)),
+        Seq("h"), "left_outer")
+      .withColumn("is_novel", col("in_corpus").isNull)
+      .drop("in_corpus")
+
   /** Running per-user totals via custom state (mapGroupsWithState): state =
     * (event count, value sum) per user, carried across micro-batches in the
     * state store. The arbitrary-stateful-processing surface the built-in

@@ -85,6 +85,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("enriched").where(col("lifetime_n").isNull).count() == 0)
   }
 
+  test("stream-static dedup against the persisted corpus index flags novelty") {
+    // publish (or reuse) the disk-backed corpus hash artifact
+    SparkEntry.queries("q_dedup_incremental")(spark, sf).collect()
+    val idxPath = s"${Tables.indexDir(sf)}/corpus_hashes_mod10ne7"
+    assert(new java.io.File(idxPath, "_SUCCESS").exists(), s"no artifact at $idxPath")
+    val corpusIndex = spark.read.parquet(idxPath)
+    // the incoming "crawl" = the batch slice, streamed from a temp dir,
+    // plus ONE injected duplicate of a corpus doc under a fresh id (the
+    // sf0.001 fixture has no natural cross-side exact duplicate)
+    val batch = Tables.t(spark, sf, "documents").where(col("doc_id") % 10 === 7)
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-docstream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    Tables.t(spark, sf, "documents").where(col("doc_id") % 10 =!= 7)
+      .select(lit(999999L).as("doc_id"), col("text")).limit(1)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val qy = Streams.dedupAgainstIndex(stream, corpusIndex)
+      .writeStream.format("memory").queryName("deltadedup")
+      .outputMode("append").option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination(120000)
+    val got = spark.table("deltadedup").select("doc_id", "is_novel").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got.size == batch.count() + 1)
+    assert(got(999999L) == false, "injected corpus duplicate not flagged")
+    // truth for every streamed doc: novel iff hash absent from the index
+    val want = spark.read.parquet(dir)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .join(corpusIndex.withColumn("dup", lit(true)), Seq("h"), "left_outer")
+      .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("dup")).collect()
+      .map(r => (r.getLong(0), !r.getBoolean(1))).toMap
+    assert(got == want)
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-state").toString
