@@ -306,16 +306,18 @@ object LlmPipeline extends QueryPack {
 
   /** Rounded cosine of every vector against every centroid — a narrow map
     * over the vector table (centroids force-broadcast: bounded by cell
-    * count, not corpus size). NOT memoized: both consumers rank it
-    * immediately and persist only the narrow ranked ids. */
-  private def ivfScored(s: SparkSession, d: String): DataFrame = {
-    val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
-    t(s, d, "embeddings").crossJoin(broadcast(ivfCentroids(s, d)))
-      .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
-  }
+    * count, not corpus size). In-JVM memoized (not disk-backed): a cold
+    * session building BOTH the assignment and probe-list artifacts shares
+    * one scoring pass; once the artifacts exist it is never evaluated. */
+  private def ivfScored(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "ivf_scored_lbl") {
+      val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
+        lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+      t(s, d, "embeddings").crossJoin(broadcast(ivfCentroids(s, d)))
+        .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
+    }
 
   /** Rank-1 cell ASSIGNMENT index: (vec_id, cell), the narrow artifact the
     * single-probe query self-joins — vectors do NOT ride it (they join
@@ -387,15 +389,17 @@ object LlmPipeline extends QueryPack {
     }
 
   /** Rounded cosine of every vector against every trained-k centroid —
-    * same narrow-map shape as [[ivfScored]], quantizer swapped. */
-  private def ivfKScored(s: SparkSession, d: String): DataFrame = {
-    val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
-    t(s, d, "embeddings").crossJoin(broadcast(ivfKCentroids(s, d)))
-      .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
-  }
+    * same narrow-map shape (and cold-build memo) as [[ivfScored]],
+    * quantizer swapped. */
+  private def ivfKScored(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "ivfk_scored_sqrtn") {
+      val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
+        lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+      t(s, d, "embeddings").crossJoin(broadcast(ivfKCentroids(s, d)))
+        .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
+    }
 
   /** Rank-1 assignment index over the trained-k quantizer. */
   private def ivfKAssign(s: SparkSession, d: String): DataFrame =

@@ -212,6 +212,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p) // shared ivf_cells artifact, not recomputed
   }
 
+  test("q_sim_ann_lsh_probe: probe expansion stays broadcast with map-side heaps") {
+    val p = plan("q_sim_ann_lsh_probe").split("== Initial Plan ==").head
+    // the 9-bucket probe explode is scan-side; every pair/vector join is
+    // hash-broadcast and the rerank runs through the partial heaps
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+  }
+
+  test("q_sim_ann_ivf_k: trained-k candidates are id-only joins with map-side heaps") {
+    val p = plan("q_sim_ann_ivf_k").split("== Initial Plan ==").head
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p) // persisted assign/probe artifacts
+  }
+
+  test("q_dedup_minhash_delta: no cartesian, candidate joins broadcast, index cached") {
+    val p = plan("q_dedup_minhash_delta").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p) // corpus side reads the sig artifact
+  }
+
   test("q_join_range_binned is a HASH join on the bin id (no nested loop)") {
     val p = plan("q_join_range_binned").split("== Initial Plan ==").head
     // the whole point of the rewrite: the interval predicate becomes an
