@@ -41,7 +41,8 @@ object Sinks {
     val marker = Paths.get(path, "_SUCCESS")
     if (!Files.exists(marker)) {
       val tmp = s"$path.tmp.${java.util.UUID.randomUUID()}"
-      write(tmp)
+      try write(tmp)
+      catch { case e: Throwable => deleteRec(new java.io.File(tmp)); throw e }
       // the marker rides INSIDE the temp dir, so a successful rename
       // publishes marker and data in one atomic step — "marker present"
       // and "store complete" are indistinguishable to any reader
