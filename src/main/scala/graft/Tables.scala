@@ -161,8 +161,27 @@ object Tables {
     * defining constants change so stale artifacts from an older code
     * version can never be read back. */
   private val ARTIFACT_VERSION = "v1"
+
+  /** Per-dataset content token: md5 over the sorted (name, length, mtime)
+    * of the dataset's parquet files. Folded into every derived-store path
+    * so regenerating a fixture IN PLACE mints a fresh artifact directory —
+    * without it, a _SUCCESS-bearing store built from the old data would be
+    * served forever (review r9). Cached per JVM: the sources of a dataset
+    * are assumed stable within a session. */
+  private val tokenCache = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def dataToken(d: String): String =
+    tokenCache.getOrElseUpdate(d, {
+      val files = Option(new java.io.File(d).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(files.mkString("|").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    })
+
   private[graft] def indexDir(d: String): String =
-    s"/tmp/graft-index/$ARTIFACT_VERSION/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"/tmp/graft-index/$ARTIFACT_VERSION/${d.replaceAll("[^A-Za-z0-9.]", "_")}-${dataToken(d)}"
 
   /** Disk-backed [[memoized]] — for the per-corpus INDEX ARTIFACTS a real
     * 100 TB pipeline builds once and reuses across runs (minhash

@@ -68,18 +68,30 @@ object Curation extends QueryPack {
     * is the component's minimum node id. Exposed for the deep-path-graph
     * fixture test (CurationSpec). */
   private[graft] def connectedComponents(edgesIn: DataFrame, maxIter: Int = 40): DataFrame = {
+    val spark = edgesIn.sparkSession
     // canonical undirected edge list: (u < v), distinct
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v")).distinct()
+    // Materialize = cut the plan at an explicitly-persisted RDD (wrapped
+    // back as a LogicalRDD): same lineage truncation localCheckpoint
+    // gives (each round's plan would otherwise NEST the previous round's
+    // ~4×, so analysis cost grows exponentially), but with a REAL
+    // unpersist handle — Dataset.unpersist is a CacheManager no-op for
+    // checkpoint blocks, which silently accumulated O(rounds × |edges|)
+    // executor storage. Freeing the previous round as soon as the next is
+    // materialized keeps residency at O(|edges|). (On a real cluster:
+    // reliable checkpoint + the same explicit lifecycle.)
+    def materialize(df: DataFrame):
+        (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
     val nodes = edgesIn.select(col("src").as("doc_id"))
       .union(edgesIn.select(col("dst").as("doc_id"))).distinct().persist()
-    // localCheckpoint (eager) rather than persist: each round's plan would
-    // otherwise NEST the previous round's ~4 times, so analysis cost grows
-    // exponentially with rounds — checkpointing truncates the lineage to a
-    // materialized RDD every round (on a real cluster: reliable checkpoint).
-    var edges = canon(edgesIn.select(col("src").as("u"), col("dst").as("v")))
-      .localCheckpoint(true)
+    var (edges, edgesRdd) =
+      materialize(canon(edgesIn.select(col("src").as("u"), col("dst").as("v"))))
     nodes.count()
     var converged = false
     var iter = 0
@@ -89,24 +101,24 @@ object Curation extends QueryPack {
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val lmins = sym.groupBy("u")
         .agg(least(min(col("v")), col("u")).as("m"))
-      val ls = canon(sym.join(lmins, "u")
+      val (ls, lsRdd) = materialize(canon(sym.join(lmins, "u")
         .where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))).localCheckpoint(true)
+        .select(col("v").as("u"), col("m").as("v"))))
       // small-star: orient each edge toward its larger endpoint; from each
       // node u, relink u and all its (smaller) neighbors to m = min(Γ⁻(u))
       val oriented = ls.select(col("v").as("big"), col("u").as("small"))
       val smins = oriented.groupBy("big").agg(min(col("small")).as("m"))
-      val ss = canon(
+      val (ss, ssRdd) = materialize(canon(
         oriented.join(smins, "big").select(col("small").as("u"), col("m").as("v"))
-          .union(smins.select(col("big").as("u"), col("m").as("v"))))
-        .localCheckpoint(true)
+          .union(smins.select(col("big").as("u"), col("m").as("v")))))
       // fixpoint ⟺ the round changed nothing (set equality; both sides are
       // canonical+distinct so two anti-join counts decide it)
       val changed = ss.join(edges, Seq("u", "v"), "left_anti").count() +
         edges.join(ss, Seq("u", "v"), "left_anti").count()
-      ls.unpersist()
-      edges.unpersist()
+      lsRdd.unpersist(blocking = false)
+      edgesRdd.unpersist(blocking = false)
       edges = ss
+      edgesRdd = ssRdd
       converged = changed == 0
       iter += 1
     }
@@ -120,8 +132,17 @@ object Curation extends QueryPack {
     require(rootsAsChildren == 0 && multiParent == 0,
       s"connectedComponents fixpoint is not a star forest " +
         s"(roots-as-children=$rootsAsChildren, multi-parent=$multiParent)")
-    nodes.join(edges.select(col("v").as("doc_id"), col("u").as("parent")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("parent"), col("doc_id")).as("lbl"))
+    // materialize the labels, then release every intermediate this run
+    // pinned (nodes + the final edge snapshot): the one persisted copy
+    // that survives is the result itself, which the memoizing caller
+    // fronts with its own cache
+    val (result, _) = materialize(
+      nodes.join(edges.select(col("v").as("doc_id"), col("u").as("parent")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("parent"), col("doc_id")).as("lbl")))
+    nodes.unpersist(blocking = false)
+    edgesRdd.unpersist(blocking = false)
+    result
   }
 
   /** Connected components of the near-dup pair graph (q_dedup_near's

@@ -104,6 +104,12 @@ object LlmPipeline extends QueryPack {
     * exceed 2 × 32 (two md5 digests feed the slices). */
   private val MINHASH_SLICE = 8
   private val MINHASH_SALT = "graft:"
+  // two md5 digests feed the K slices; exceeding their 2×32 hex chars
+  // would silently WRAP `i % slicesPerHash` in minhashSigAggs and
+  // duplicate slices — a smaller effective hash family than the banding
+  // math assumes, with no visible failure (review r9)
+  require(MINHASH_K * MINHASH_SLICE <= 64,
+    s"MINHASH_K=$MINHASH_K × MINHASH_SLICE=$MINHASH_SLICE exceeds the 2×32 hex chars two md5s provide")
 
   /** The K min-slice aggregate expressions of the few-permutation MinHash
     * signature (see q_dedup_minhash). Slices i ∈ [0,4) come from
@@ -126,14 +132,21 @@ object LlmPipeline extends QueryPack {
     * the capped shingles, so it stays broadcastable at any corpus size.
     * Public for the bounded-pairs fixture test (LlmSpec). */
   def cappedShingles(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
-    val raw = docs
-      .withColumn("toks", toks(col("text")))
-      .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
-    val hot = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf)
-      .select("shingle")
+    val raw = rawShingles(docs, k)
+    val hot = shingleDfs(raw).where(col("df") > maxDf).select("shingle")
     raw.join(hot, Seq("shingle"), "left_anti")
   }
+
+  /** Exploded distinct (doc_id, shingle) rows, pre-cap. ONE definition
+    * shared with q_shingle_cap_report so the observability query can
+    * never drift from the universe the dedup family actually uses. */
+  private def rawShingles(docs: DataFrame, k: Int): DataFrame = docs
+    .withColumn("toks", toks(col("text")))
+    .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
+
+  /** Per-shingle document frequency — the cap's one df definition. */
+  private def shingleDfs(raw: DataFrame): DataFrame =
+    raw.groupBy("shingle").agg(count(lit(1)).as("df"))
 
   /** (doc_id, shingle) exploded distinct capped 3-shingles, persisted: every
     * dedup query reads this set 2–3 times (signatures, intersection,
@@ -576,10 +589,10 @@ object LlmPipeline extends QueryPack {
     // clusters; exact dedup runs first as the mitigation). One df agg +
     // one bounded semi-join — no pair join, corpus-linear.
     "q_shingle_cap_report" -> ((s, d) => {
-      val raw = t(s, d, "documents").repartition(col("doc_id"))
-        .withColumn("toks", toks(col("text")))
-        .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("shingle"))
-      val dfs = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+      // same rawShingles/shingleDfs derivation cappedShingles applies, so
+      // the report describes exactly the hot set the dedup family drops
+      val raw = rawShingles(t(s, d, "documents").repartition(col("doc_id")), 3)
+      val dfs = shingleDfs(raw)
       val hot = dfs.where(col("df") > MAX_SHINGLE_DF)
       val total = dfs.agg(count(lit(1)).as("n_shingles_distinct"))
       val hotAgg = hot.agg(count(lit(1)).as("n_shingles_capped"),

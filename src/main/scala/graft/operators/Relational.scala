@@ -25,7 +25,10 @@ object Relational extends QueryPack {
   private val dppMemo = scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
   private def dppFactPath(s: SparkSession, d: String): String =
     dppMemo.getOrElseUpdate((s, d), {
-      val path = s"/tmp/graft-dpp/${d.replaceAll("[^A-Za-z0-9.]", "_")}/orders_by_month"
+      // versioned + data-token'd like Tables.indexDir: a store built by
+      // older code or from since-regenerated data can never be reused
+      val path = s"/tmp/graft-dpp/v1/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        s"-${graft.Tables.dataToken(d)}/orders_by_month"
       // publishAtomic: a concurrent session on the same dataset either
       // wins the rename or reads the winner's complete store — never a
       // half-written directory (VERDICT r8 minor). repartition on the

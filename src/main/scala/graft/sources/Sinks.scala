@@ -32,41 +32,48 @@ object Sinks {
     * (the marker was written inside the temp before the rename). Debris
     * from a crashed pre-publish writer (dir present, no marker) is
     * removed before writing. */
+  private val publishMutex = scala.collection.concurrent.TrieMap[String, Object]()
+
   def publishAtomic(path: String)(write: String => Unit): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
       f.delete(); ()
     }
     val marker = Paths.get(path, "_SUCCESS")
     if (!Files.exists(marker)) {
+      // the expensive write runs OUTSIDE any lock — only the publish step
+      // below is serialized
       val tmp = s"$path.tmp.${java.util.UUID.randomUUID()}"
       try write(tmp)
       catch { case e: Throwable => deleteRec(new java.io.File(tmp)); throw e }
-      // the marker rides INSIDE the temp dir, so a successful rename
-      // publishes marker and data in one atomic step — "marker present"
-      // and "store complete" are indistinguishable to any reader
-      var published = false
-      var attempts = 0
-      while (!published && attempts < 3) {
-        attempts += 1
+      // Publish under a lock — a JVM-local mutex for same-process threads
+      // plus an OS file lock for cross-process sessions — so debris
+      // removal and the rename are one serialized step: a race loser can
+      // never delete a winner's just-published store (the naive
+      // check-then-delete had a TOCTOU window; review r9). The marker
+      // rides INSIDE the temp dir, so the rename publishes marker and
+      // data atomically — "marker present" ⟺ "store complete" for every
+      // (lock-free) reader.
+      Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+      publishMutex.getOrElseUpdate(path, new Object).synchronized {
+        val ch = java.nio.channels.FileChannel.open(Paths.get(s"$path.lock"),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
         try {
-          Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-          published = true
-        } catch {
-          // Linux raises the base FileSystemException ("Directory not
-          // empty") for an atomic rename onto an existing store, not the
-          // DirectoryNotEmptyException subtype — catch the family
-          case _: java.nio.file.FileSystemException =>
-            if (Files.exists(marker)) { // lost the race: keep the winner's
-              deleteRec(new java.io.File(tmp))
-              published = true
-            } else { // target exists WITHOUT marker ⟹ crashed-writer debris
-              deleteRec(new java.io.File(path))
+          val lock = ch.lock()
+          try {
+            if (Files.exists(marker)) {
+              deleteRec(new java.io.File(tmp)) // lost the race: keep the winner's
+            } else {
+              // target exists WITHOUT marker ⟹ crashed-writer debris
+              // (safe to remove: we hold the only publish right)
+              if (Files.exists(Paths.get(path))) deleteRec(new java.io.File(path))
+              try Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+              catch { case e: Throwable => deleteRec(new java.io.File(tmp)); throw e }
             }
-        }
+          } finally lock.release()
+        } finally ch.close()
       }
-      require(published, s"publishAtomic: could not publish $path after $attempts attempts")
     }
     path
   }

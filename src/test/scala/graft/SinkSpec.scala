@@ -50,8 +50,10 @@ class SinkSpec extends AnyFunSuite {
     assert(errors.isEmpty, s"concurrent publish threw: ${errors.peek()}")
     assert(new java.io.File(base, "_SUCCESS").exists(), "no _SUCCESS marker")
     assert(spark.read.parquet(base).count() == expected)
-    // losers cleaned up their temp siblings
+    // losers cleaned up their temp siblings (the publish lock file is the
+    // one legitimate survivor)
     val siblings = new java.io.File(base).getParentFile.listFiles.map(_.getName)
+      .filterNot(_ == "store.lock")
     assert(siblings.toSeq == Seq("store"), s"temp debris left behind: ${siblings.mkString(",")}")
     // a second call with a marker present must be a no-op (write not invoked)
     Sinks.publishAtomic(base)(_ => fail("write invoked despite _SUCCESS marker"))
@@ -65,7 +67,8 @@ class SinkSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     val idx = new java.io.File(Tables.indexDir(sf))
     assert(idx.isDirectory, s"no index dir at $idx")
-    val stages = idx.listFiles.map(_.getName).toSeq
+    // publish lock files are legitimate non-store siblings
+    val stages = idx.listFiles.filter(_.isDirectory).map(_.getName).toSeq
     assert(stages.exists(_.startsWith("minhash_sigs")), stages.mkString(","))
     assert(stages.exists(_.startsWith("corpus_hashes")), stages.mkString(","))
     stages.foreach { st =>
