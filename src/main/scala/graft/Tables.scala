@@ -172,9 +172,15 @@ object Tables {
   private[graft] def dataToken(d: String): String =
     tokenCache.getOrElseUpdate(d, {
       val files = Option(new java.io.File(d).listFiles).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .filter(f => f.isDirectory || f.getName.endsWith(".parquet"))
         .sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .map { f =>
+          // directory-shaped tables (the layout real datasets have) fold
+          // in as name:mtime — a rewrite bumps the directory mtime, which
+          // is enough to mint a new artifact path
+          if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
+          else s"${f.getName}/:${f.lastModified}"
+        }
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(files.mkString("|").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
