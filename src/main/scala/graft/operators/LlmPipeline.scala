@@ -281,10 +281,14 @@ object LlmPipeline extends QueryPack {
     // artifact).
     Tables.memoizedOnDisk(s, d,
       s"lsh_multi_${LSH_TABLES}x${LSH_TABLE_BITS}o$LSH_PLANES") {
-      lshMultiBucketsPlan(s, d)
+      lshMultiBucketsPlan(t(s, d, "embeddings"))
     }
 
-  private def lshMultiBucketsPlan(s: SparkSession, d: String): DataFrame = {
+  /** Bucket assignment for an arbitrary vector set — the hyperplanes are a
+    * pure function of the global plane id, so the SAME projection buckets
+    * the standing corpus (disk-backed above) and a fresh ingest batch
+    * (q_sim_ann_lsh_delta) identically. */
+  private def lshMultiBucketsPlan(e: DataFrame): DataFrame = {
     val tables = (0 until LSH_TABLES).map { tb =>
       val bucket = (0 until LSH_TABLE_BITS).map { j =>
         val plane = typedlit((1 to 64).map(planeValJvm(LSH_PLANES + tb * LSH_TABLE_BITS + j, _)))
@@ -294,8 +298,7 @@ object LlmPipeline extends QueryPack {
       }.reduce(_ + _)
       struct(lit(tb).as("tb"), bucket.as("bucket"))
     }
-    t(s, d, "embeddings")
-      .select(col("vec_id"), explode(array(tables: _*)).as("tbk"))
+    e.select(col("vec_id"), explode(array(tables: _*)).as("tbk"))
       .select(col("vec_id"), col("tbk.tb").as("tb"), col("tbk.bucket").as("bucket"))
   }
 
@@ -771,6 +774,36 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id", "rnk")
     }),
 
+    // Vector-ingest delta — completes the per-ingest trilogy (exact hash
+    // → q_dedup_incremental, text near-dup → q_dedup_minhash_delta,
+    // vector ANN → here): a new embedding batch (vec_id%10=7) finds its
+    // top-3 corpus neighbors by bucketing FRESH against the same
+    // deterministic hyperplanes and probing the PERSISTED multi-table
+    // LSH index for the standing corpus. Per ingest: O(batch buckets +
+    // collisions); the corpus is touched only through its narrow on-disk
+    // (vec_id, tb, bucket) index plus per-candidate vector lookups.
+    "q_sim_ann_lsh_delta" -> ((s, d) => {
+      val isBatch = col("vec_id") % 10 === 7
+      val corpus = lshMultiBuckets(s, d).where(!isBatch)
+      val batch = lshMultiBucketsPlan(t(s, d, "embeddings").where(isBatch))
+      val cands = batch.as("ba")
+        .join(maybeBroadcast(corpus.as("bb")), col("ba.tb") === col("bb.tb") &&
+          col("ba.bucket") === col("bb.bucket"))
+        .select(col("ba.vec_id").as("qid"), col("bb.vec_id").as("nid"))
+        .distinct()
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = cands
+        .join(maybeBroadcast(e.as("a")), col("qid") === col("a.vec_id"))
+        .join(maybeBroadcast(e.as("b")), col("nid") === col("b.vec_id"))
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
     // True IVF ANN: train a coarse quantizer (centroid per label cell,
     // dimension-wise mean via exact decimal sums — deterministic under any
     // partitioning), re-assign every vector to its nearest centroid
@@ -1203,6 +1236,39 @@ object LlmPipeline extends QueryPack {
   private val cosSql =
     "CAST(round(CAST(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS DECIMAL(38,6)), 4) AS DOUBLE)"
 
+  /** Multi-table LSH bucket CTEs (mirrors [[lshMultiBucketsPlan]]) —
+    * shared by the full self-join and the ingest-delta oracles. */
+  private val lshMultiBucketsCte: String =
+    s"""mplanes AS (
+       |  SELECT t.tb AS tb, j.j AS j, td.d AS d,
+       |   (('0x'||substr(md5(($LSH_PLANES + t.tb*$LSH_TABLE_BITS + j.j)||':'||td.d),1,15))::BIGINT % 1000)/500.0 - 1.0 AS v
+       |  FROM generate_series(0, ${LSH_TABLES - 1}) t(tb),
+       |       generate_series(0, ${LSH_TABLE_BITS - 1}) j(j),
+       |       generate_series(1, 64) td(d)),
+       |mcomps AS (
+       |  SELECT e.vec_id, pl.tb, pl.j,
+       |   sum(CAST(e.embedding[pl.d] AS DOUBLE) * pl.v) AS dot
+       |  FROM embeddings e JOIN mplanes pl ON true
+       |  GROUP BY 1, 2, 3),
+       |mbuckets AS (
+       |  SELECT vec_id, tb,
+       |   CAST(sum(CASE WHEN CAST(round(CAST(dot AS DECIMAL(38,6)), 4) AS DOUBLE) > 0
+       |            THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM mcomps GROUP BY 1, 2)""".stripMargin
+
+  /** Rerank tail over an `mcands(qid, nid)` candidate set: exact cosine,
+    * top-3 per query. */
+  private val lshCandRerankTailSql: String =
+    s"""SELECT vec_id, neighbor_id, cos, rnk FROM (
+       |  SELECT c.qid AS vec_id, c.nid AS neighbor_id, $cosSql AS cos,
+       |   CAST(row_number() OVER (PARTITION BY c.qid
+       |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
+       |  FROM mcands c
+       |  JOIN embeddings a ON c.qid = a.vec_id
+       |  JOIN embeddings b ON c.nid = b.vec_id)
+       |WHERE rnk <= 3
+       |ORDER BY vec_id, rnk""".stripMargin
+
   /** Shared IVF CTE chain: quantizer training, per-vector cell scoring,
     * and the ranked cell list (mirrors [[ivfCells]]). `assigned` is the
     * rank-1 cell; `probes` the top-NPROBE list. */
@@ -1391,35 +1457,20 @@ object LlmPipeline extends QueryPack {
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
     "q_sim_ann_lsh_multi" ->
-      s"""WITH mplanes AS (
-         |  SELECT t.tb AS tb, j.j AS j, td.d AS d,
-         |   (('0x'||substr(md5(($LSH_PLANES + t.tb*$LSH_TABLE_BITS + j.j)||':'||td.d),1,15))::BIGINT % 1000)/500.0 - 1.0 AS v
-         |  FROM generate_series(0, ${LSH_TABLES - 1}) t(tb),
-         |       generate_series(0, ${LSH_TABLE_BITS - 1}) j(j),
-         |       generate_series(1, 64) td(d)),
-         |mcomps AS (
-         |  SELECT e.vec_id, pl.tb, pl.j,
-         |   sum(CAST(e.embedding[pl.d] AS DOUBLE) * pl.v) AS dot
-         |  FROM embeddings e JOIN mplanes pl ON true
-         |  GROUP BY 1, 2, 3),
-         |mbuckets AS (
-         |  SELECT vec_id, tb,
-         |   CAST(sum(CASE WHEN CAST(round(CAST(dot AS DECIMAL(38,6)), 4) AS DOUBLE) > 0
-         |            THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM mcomps GROUP BY 1, 2),
+      s"""WITH $lshMultiBucketsCte,
          |mcands AS (
          |  SELECT DISTINCT ba.vec_id AS qid, bb.vec_id AS nid
          |  FROM mbuckets ba JOIN mbuckets bb
          |   ON ba.tb = bb.tb AND ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id)
-         |SELECT vec_id, neighbor_id, cos, rnk FROM (
-         |  SELECT c.qid AS vec_id, c.nid AS neighbor_id, $cosSql AS cos,
-         |   CAST(row_number() OVER (PARTITION BY c.qid
-         |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
-         |  FROM mcands c
-         |  JOIN embeddings a ON c.qid = a.vec_id
-         |  JOIN embeddings b ON c.nid = b.vec_id)
-         |WHERE rnk <= 3
-         |ORDER BY vec_id, rnk""".stripMargin,
+         |$lshCandRerankTailSql""".stripMargin,
+    "q_sim_ann_lsh_delta" ->
+      s"""WITH $lshMultiBucketsCte,
+         |mcands AS (
+         |  SELECT DISTINCT ba.vec_id AS qid, bb.vec_id AS nid
+         |  FROM mbuckets ba JOIN mbuckets bb
+         |   ON ba.tb = bb.tb AND ba.bucket = bb.bucket
+         |  WHERE ba.vec_id % 10 = 7 AND bb.vec_id % 10 <> 7)
+         |$lshCandRerankTailSql""".stripMargin,
     "q_sim_ann_ivf" ->
       s"""WITH $ivfCtesSql
          |SELECT vec_id, cell, neighbor_id, cos, rnk FROM (

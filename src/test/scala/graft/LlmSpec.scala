@@ -245,6 +245,18 @@ class LlmSpec extends AnyFunSuite {
     assert(delta.forall { case (a, b, _) => a % 10 == 7 && b % 10 != 7 })
   }
 
+  test("ANN ingest delta: batch-side queries, corpus-side neighbors only") {
+    val rows = q("q_sim_ann_lsh_delta").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 7, s"query ${r.getLong(0)} not batch-side")
+      assert(r.getLong(1) % 10 != 7, s"neighbor ${r.getLong(1)} is batch-side")
+      val rnk = r.getAs[Int]("rnk"); assert(rnk >= 1 && rnk <= 3)
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length, "duplicate pair survived DISTINCT")
+  }
+
   test("fingerprint is deterministic and total") {
     val a = q("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getString(1)))
     val b = q("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getString(1)))
