@@ -255,16 +255,19 @@ object LlmPipeline extends QueryPack {
     * (ADVICE r01): Spark folds the terms sequentially while DuckDB sums an
     * unordered GROUP BY, so an unrounded value within a few ulps of zero
     * could flip the bucket bit between engines. */
-  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
-    val bucket = (0 until LSH_PLANES).map { p =>
-      val plane = typedlit((1 to 64).map(planeValJvm(p, _)))
-      val dot = aggregate(zip_with(col("embedding"), plane, (x, v) => x * v),
-        lit(0.0), (acc, x) => acc + x)
-      when(r4(dot) > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
-    t(s, d, "embeddings")
-      .select(col("vec_id"), col("label"), bucket.as("bucket"))
-  }
+  private def lshBuckets(s: SparkSession, d: String): DataFrame =
+    // disk-backed like the multi-table index: the single-bucket and
+    // bit-flip-probe queries each read it from both join sides
+    Tables.memoizedOnDisk(s, d, s"lsh_single_o$LSH_PLANES") {
+      val bucket = (0 until LSH_PLANES).map { p =>
+        val plane = typedlit((1 to 64).map(planeValJvm(p, _)))
+        val dot = aggregate(zip_with(col("embedding"), plane, (x, v) => x * v),
+          lit(0.0), (acc, x) => acc + x)
+        when(r4(dot) > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), bucket.as("bucket"))
+    }
 
   /** One (vec_id, table, bucket) row per vector per LSH table: the
     * LSH_TABLES × LSH_TABLE_BITS hyperplanes are pure functions of the
