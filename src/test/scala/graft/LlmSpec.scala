@@ -245,6 +245,24 @@ class LlmSpec extends AnyFunSuite {
     assert(delta.forall { case (a, b, _) => a % 10 == 7 && b % 10 != 7 })
   }
 
+  test("IVF-PQ: valid output shape; ADC ranks true neighbors into the rerank set") {
+    val rows = q("q_sim_ann_ivfpq").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rnk = r.getAs[Int]("rnk"); assert(rnk >= 1 && rnk <= 3)
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    // the compressed path must not collapse: with ⌈√k⌉ probe cells and
+    // exact rerank of the ADC top-10, a healthy codebook keeps a large
+    // share of the same-candidate exact query's pairs (ivf_k probes the
+    // same cells with full-precision distances throughout)
+    val exact = q("q_sim_ann_ivf_k").select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = pairs.count(exact.contains).toDouble / exact.size
+    assert(overlap >= 0.5, s"ADC kept only ${overlap} of the exact probe-path pairs")
+  }
+
   test("ANN ingest delta: batch-side queries, corpus-side neighbors only") {
     val rows = q("q_sim_ann_lsh_delta").collect()
     assert(rows.nonEmpty)
