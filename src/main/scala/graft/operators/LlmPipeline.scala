@@ -69,6 +69,11 @@ object LlmPipeline extends QueryPack {
     * invariant in LlmSpec exact). */
   private val MAX_SHINGLE_DF = 50
 
+  /** Semantic-dedup similarity threshold (q_dedup_semantic). Calibrated to
+    * the synthetic embeddings, whose within-cell cosines top out ≈0.45 —
+    * real deployments run 0.95+; the operator shape is threshold-agnostic. */
+  private val SEM_TAU = 0.35
+
   // Broadcast policy: every O(#docs/#vectors)-growing derived table in
   // this family routes through Tables.maybeBroadcast (size-gated hint,
   // shuffled-join fallback — the round-3/4 `weak` marks); forced
@@ -744,6 +749,33 @@ object LlmPipeline extends QueryPack {
         .where(col("cos") >= 0.99)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // SemDeDup-style semantic dedup: the trained-k IVF assignment scopes
+    // the pairwise cosine comparison to WITHIN-CELL pairs, and a vector is
+    // dropped when a lower-id cell-mate sits above the similarity
+    // threshold (greedy min-id keeper — deterministic, single pass, no
+    // fixpoint). This is the 100 TB shape for embedding dedup: with
+    // k = ⌈√N⌉ balanced cells the pair volume is O(N^1.5), not O(N²), and
+    // it reuses the PERSISTED quantizer index — cross-cell near-dups are
+    // the accepted recall trade (same blind spot the SemDeDup recipe
+    // documents). q_dedup_embcos above is the label-blocked truth path;
+    // SEM_TAU is calibrated to this synthetic corpus (within-cell cosines
+    // top out ≈0.45; real deployments dial 0.95+). Every vector gets a
+    // verdict row, so downstream keeps/drops by a narrow semi-join.
+    "q_dedup_semantic" -> ((s, d) => {
+      val withCell = t(s, d, "embeddings")
+        .join(maybeBroadcast(ivfKAssign(s, d)), "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      val dup = withCell.as("a").join(maybeBroadcast(withCell.as("b")),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .where(r4(cosine(col("a.embedding"), col("b.embedding"))) >= SEM_TAU)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      withCell
+        .join(maybeBroadcast(dup.withColumn("hit", lit(true))), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("hit"), lit(false)).as("dropped"))
+        .orderBy("vec_id")
     }),
 
     // #44 brute-force top-5 cosine neighbors, blocked by label (IVF-style:
@@ -1583,6 +1615,18 @@ object LlmPipeline extends QueryPack {
          | ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $cosSql >= 0.99
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_dedup_semantic" ->
+      s"""WITH $ivfkCtesSql,
+         |sdup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM kassigned a JOIN kassigned b
+         |   ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${r4sql("""list_cosine_similarity(
+         |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE)))""")} >= $SEM_TAU)
+         |SELECT k.vec_id, k.cell, (s.vec_id IS NOT NULL) AS dropped
+         |FROM kassigned k LEFT JOIN sdup s ON k.vec_id = s.vec_id
+         |ORDER BY k.vec_id""".stripMargin,
     "q_sim_knn" ->
       s"""SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cosSql AS cos,
          | CAST(row_number() OVER (PARTITION BY a.vec_id

@@ -245,6 +245,27 @@ class LlmSpec extends AnyFunSuite {
     assert(delta.forall { case (a, b, _) => a % 10 == 7 && b % 10 != 7 })
   }
 
+  test("semantic dedup: kept set is pairwise below tau within every cell") {
+    val rows = q("q_dedup_semantic").collect()
+    val dropped = rows.filter(_.getAs[Boolean]("dropped")).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "tau calibration: nothing dropped at this sf")
+    assert(rows.length > dropped.size, "everything dropped — tau degenerate")
+    // the greedy min-id keeper guarantees no two KEPT cell-mates are >= tau:
+    // if kept x < kept y had cos >= tau, y would have been dropped by x.
+    val kept = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.filterNot(r => dropped(r.getLong(0))).toSeq),
+        rows.head.schema)
+      .select(col("vec_id"), col("cell"))
+    val e = Tables.t(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val withVec = kept.join(e, "vec_id")
+    val viol = withVec.as("a").join(withVec.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(graft.Tables.r4(org.apache.spark.sql.graftx.VectorExprs.cosineSim(
+        col("a.embedding"), col("b.embedding"))) >= 0.35)
+      .count()
+    assert(viol == 0, s"$viol kept within-cell pairs at/above tau")
+  }
+
   test("IVF-PQ: valid output shape; ADC ranks true neighbors into the rerank set") {
     val rows = q("q_sim_ann_ivfpq").collect()
     assert(rows.nonEmpty)
