@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training over the document corpus — the
+  * tokenizer-construction step of a training-data pipeline. No SNOWAV
+  * analog (SURVEY.md §0 [U] scheme); extends the §3B #45 text family.
+  *
+  * Scale shape (100 TB): the ONLY corpus-scale operation is the word-count
+  * `groupBy` in [[wordCounts]] — one map-side-combinable shuffle over the
+  * tokenized corpus. Every subsequent step (pair statistics, the merge
+  * loop) runs on the DISTINCT-WORD table weighted by frequency, which Zipf
+  * bounds far below corpus size (web text: ~10⁷–10⁸ distinct words vs
+  * ~10¹³ tokens), exactly how production distributed BPE trainers
+  * decompose the problem. Each merge iteration is one aggregation over
+  * that table plus a 1-row argmax brought to the driver — the merge
+  * DECISION is inherently sequential (merge i+1's statistics depend on
+  * merge i having been applied); the per-iteration work stays distributed.
+  *
+  * Conventions (mirrored exactly by the oracle SQL and the spec):
+  * - words = maximal `[a-z]+` runs of the lowercased text, length ≥ 2;
+  * - pair statistics count every adjacent occurrence (overlaps included:
+  *   "aaa" contributes (a,a) twice), ties broken by pair string ascending;
+  * - a merge applies left-to-right non-overlapping ("a a a" → ["aa","a"]).
+  */
+object Bpe {
+
+  /** Distinct words with frequencies — the one corpus-scale shuffle. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+
+  /** Character-split via substr over a sequence — avoids `split(w, "")`
+    * whose zero-width-match edge behavior differs across engines. */
+  def chars(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Initial symbol table: (w, sym: array<string> of chars, wc). */
+  def initVocab(docs: DataFrame): DataFrame =
+    wordCounts(docs).select(col("w"), chars(col("w")).as("sym"), col("wc"))
+
+  /** Frequency of every adjacent symbol pair, weighted by word count.
+    * Pair rendered as "left right" (space-joined; symbols are letter-only
+    * so the delimiter is unambiguous). */
+  def pairCounts(vocab: DataFrame): DataFrame = {
+    val n = size(col("sym"))
+    vocab
+      .select(explode(zip_with(slice(col("sym"), lit(1), n - 1),
+          slice(col("sym"), lit(2), n - 1),
+          (x, y) => concat_ws(" ", x, y))).as("pair"),
+        col("wc"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+  }
+
+  /** Merge adjacent (a, b) → a+b, left-to-right non-overlapping, as a fold
+    * over the symbol array: the accumulator's last element merges with the
+    * current one iff they are exactly (a, b) — a freshly merged symbol is
+    * the concatenation and can never re-match `a`, which yields the
+    * standard greedy semantics ("a a a" → ["aa", "a"]). */
+  def mergeAdjacent(sym: Column, a: String, b: String): Column =
+    aggregate(sym, typedLit(Seq.empty[String]),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Apply an ordered merge list to a symbol array (tokenize a word with a
+    * trained vocabulary). Builds one fold per merge — fine for bounded
+    * merge lists; a production tokenizer with thousands of merges applies
+    * them in rank batches with intermediate materialization. */
+  def applyMerges(sym: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(sym) { case (c, (a, b)) => mergeAdjacent(c, a, b) }
+
+  /** Train `nMerges` BPE merges. Deterministic: argmax by (count DESC,
+    * pair ASC). Stops early when no pair remains (fully merged corpus).
+    * Each iteration persists the rewritten vocabulary and unpersists the
+    * previous one — bounded executor storage; the 1-row `head` is the
+    * sequential merge decision, not a data collect. */
+  def train(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var vocab = initVocab(docs).persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((a, b))
+        val next = vocab
+          .select(col("w"), mergeAdjacent(col("sym"), a, b).as("sym"), col("wc"))
+          .persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+}

@@ -178,6 +178,19 @@ object TextMining extends QueryPack {
         .agg(count(lit(1)).as("n_bigrams"), r4(avg(col("nll"))).as("avg_nll"))
         .orderBy("doc_id")
     }),
+
+    // BPE merge statistics — the first decision of tokenizer training:
+    // adjacent character-pair frequencies over the DISTINCT-WORD table
+    // weighted by word count (the Zipf compression that makes distributed
+    // BPE feasible: the corpus-scale shuffle is the word groupBy; the
+    // pair explode runs over the vocabulary only). Top-1 here IS the first
+    // merge [[Bpe.train]] learns — asserted in BpeSpec; the full
+    // sequential merge loop lives in [[Bpe]] (scalatest-covered, a loop of
+    // queries can't be one oracle query).
+    "q_text_bpe_pairs" -> ((s, d) =>
+      Bpe.pairCounts(Bpe.initVocab(t(s, d, "documents")))
+        .select(col("pair"), col("cnt"))
+        .orderBy(desc("cnt"), col("pair")).limit(20)),
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -238,5 +251,18 @@ object TextMining extends QueryPack {
          |  ON string_split(bigram, ' ')[1] = u1.w1
          |CROSS JOIN vocab
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |wp AS (
+        |  SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i
+        |  FROM words)
+        |SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair,
+        | CAST(sum(wc) AS BIGINT) AS cnt
+        |FROM wp GROUP BY 1
+        |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
   )
 }
