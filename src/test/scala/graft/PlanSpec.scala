@@ -228,6 +228,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p) // persisted assign/probe artifacts
   }
 
+  test("q_sim_ann_ivfpq: shuffle-free ADC — broadcast nibble joins, no aggregation, map-side heaps") {
+    val p = plan("q_sim_ann_ivfpq").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the ADC distance is a projected column sum over the per-subspace
+    // joins, NOT an aggregation over exploded candidate rows: no agg is
+    // keyed by the (qid, nid) pair (the cached codes-pivot build lineage
+    // inside InMemoryRelation legitimately contains its own aggs), and
+    // top-10/top-3 both run through the partial/final heap plan
+    assert("HashAggregate\\(keys=\\[qid#\\d+L, nid#\\d+L".r.findFirstIn(p).isEmpty, p)
+    assert("\\+ sd_7".r.findFirstIn(p).isDefined, p) // the summed projection
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+  }
+
+  test("q_dedup_semantic: pair join scoped by the cached assignment, no cartesian") {
+    val p = plan("q_dedup_semantic").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p) // persisted quantizer index, not recomputed
+  }
+
+  test("q_text_bpe_pairs: one corpus-scale shuffle (word count), partial aggs throughout") {
+    val p = plan("q_text_bpe_pairs").split("== Initial Plan ==").head
+    // word counts and pair counts both partial-aggregate map-side; top-20
+    // is TakeOrderedAndProject, not a global sort
+    assert("partial_".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q_dedup_minhash_delta: no cartesian, candidate joins broadcast, index cached") {
     val p = plan("q_dedup_minhash_delta").split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct"), p)
