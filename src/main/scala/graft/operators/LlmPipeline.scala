@@ -519,6 +519,61 @@ object LlmPipeline extends QueryPack {
         .select(col("vec_id"), col("m"), col("c").as("code"))
     }
 
+  /** Codes pivoted WIDE — one row per corpus vector with its M nibble
+    * columns — so the ADC stage never multiplies candidate rows. */
+  private def pqCodesWide(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "pq_codes_wide") {
+      pqCodes(s, d).groupBy(col("vec_id").as("nid"))
+        .pivot("m", 0 until PQ_M)
+        .agg(first(col("code")))
+        .select(col("nid") +: (0 until PQ_M).map(m => col(s"$m").as(s"c_$m")): _*)
+    }
+
+  /** ADC distance table for a query set: one scalar per (query vector,
+    * subspace, code) — FAISS's per-query lookup table, relationally.
+    * M×K rows per query vector; query-set-bounded, so broadcastable in
+    * any serving/ingest regime (size-gated for the self-benchmark). */
+  private def pqDtablePlan(e: DataFrame, cb: DataFrame): DataFrame =
+    pqSubvectors(e)
+      .select(col("vec_id").as("qid"), col("m"), col("sub"))
+      .join(broadcast(cb), "m")
+      .select(col("qid"), col("m"), col("code"), sqDist(col("sub"), col("centroid")).as("sd"))
+
+  /** The shuffle-free ADC + exact-rerank tail shared by q_sim_ann_ivfpq
+    * and its ingest delta: per-subspace distance-table slices hash-join
+    * onto UNEXPANDED candidate (qid, nid) rows by (qid, nibble); the
+    * approximate distance is a column sum, not an aggregation (the
+    * exploded-candidate shuffle-agg form measured 1.9 s vs 1.4 s at
+    * sf0.1; naive per-candidate vector math was 14× worse again). Only
+    * the ADC top-10 touch full-precision vectors for the cosine rerank. */
+  private def pqAdcRerank(s: SparkSession, d: String,
+      cands: DataFrame, codesWide: DataFrame, dtable: DataFrame): DataFrame = {
+    val adc = (0 until PQ_M)
+      .foldLeft(cands.join(maybeBroadcast(codesWide), "nid")) { (acc, m) =>
+        acc.join(maybeBroadcast(
+            dtable.where(col("m") === m)
+              .select(col("qid"), col("code").as(s"c_$m"), col("sd").as(s"sd_$m"))),
+          Seq("qid", s"c_$m"))
+      }
+      .select(col("qid"), col("nid"),
+        r4((0 until PQ_M).map(m => col(s"sd_$m")).reduce(_ + _)).as("adist"))
+    val top10 = org.apache.spark.sql.graftx.TopK.topKPerKey(adc,
+        keyNames = Seq("qid"), orderBy = Seq("adist" -> true, "nid" -> true),
+        k = 10, rankName = "arnk")
+      .select("qid", "nid")
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val pairs = top10
+      .join(maybeBroadcast(e.as("ea")), col("qid") === col("ea.vec_id"))
+      .join(maybeBroadcast(e.as("eb")), col("nid") === col("eb.vec_id"))
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        r4(cosine(col("ea.embedding"), col("eb.embedding"))).as("cos"))
+    org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+        keyNames = Seq("vec_id"),
+        orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+        k = 3, rankName = "rnk")
+      .orderBy("vec_id", "rnk")
+  }
+
   def queries: Seq[(String, Fn)] = Seq(
     // #42 exact dedup by normalized content hash; keeper = min doc_id.
     "q_dedup_exact" -> ((s, d) =>
@@ -1026,53 +1081,47 @@ object LlmPipeline extends QueryPack {
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
       val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
-      // codes pivoted WIDE — one row per corpus vector with its M nibble
-      // columns — so the ADC stage below never multiplies candidate rows
-      val codesWide = cached(s, d, "pq_codes_wide") {
-        pqCodes(s, d).groupBy(col("vec_id").as("nid"))
-          .pivot("m", 0 until PQ_M)
-          .agg(first(col("code")))
-          .select(col("nid") +: (0 until PQ_M).map(m => col(s"$m").as(s"c_$m")): _*)
-      }
       val dtable = cached(s, d, "pq_dtable") {
-        pqSubvectors(t(s, d, "embeddings"))
-          .select(col("vec_id").as("qid"), col("m"), col("sub"))
-          .join(broadcast(cb), "m")
-          .select(col("qid"), col("m"), col("code"), sqDist(col("sub"), col("centroid")).as("sd"))
+        pqDtablePlan(t(s, d, "embeddings"), cb)
       }
-      // ADC without any shuffle: per-subspace distance-table slices
-      // (query-set-bounded: M×K scalar rows per query vector — tiny in
-      // any serving/ingest regime, size-gated with shuffle fallback for
-      // the all-pairs self-benchmark) hash-join onto the UNEXPANDED
-      // candidate rows by (qid, nibble); the approximate distance is a
-      // column sum, not an aggregation. The previous formulation exploded
-      // candidates ×M through a shuffle agg (1.9 s → 1.4 s at sf0.1 from
-      // this change; the naive per-candidate vector math was 14× worse
-      // than even the exploded form).
-      val adc = (0 until PQ_M)
-        .foldLeft(cands.join(maybeBroadcast(codesWide), "nid")) { (acc, m) =>
-          acc.join(maybeBroadcast(
-              dtable.where(col("m") === m)
-                .select(col("qid"), col("code").as(s"c_$m"), col("sd").as(s"sd_$m"))),
-            Seq("qid", s"c_$m"))
-        }
-        .select(col("qid"), col("nid"),
-          r4((0 until PQ_M).map(m => col(s"sd_$m")).reduce(_ + _)).as("adist"))
-      val top10 = org.apache.spark.sql.graftx.TopK.topKPerKey(adc,
-          keyNames = Seq("qid"), orderBy = Seq("adist" -> true, "nid" -> true),
-          k = 10, rankName = "arnk")
-        .select("qid", "nid")
-      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val pairs = top10
-        .join(maybeBroadcast(e.as("ea")), col("qid") === col("ea.vec_id"))
-        .join(maybeBroadcast(e.as("eb")), col("nid") === col("eb.vec_id"))
-        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
-          r4(cosine(col("ea.embedding"), col("eb.embedding"))).as("cos"))
-      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
-          keyNames = Seq("vec_id"),
-          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
-          k = 3, rankName = "rnk")
-        .orderBy("vec_id", "rnk")
+      pqAdcRerank(s, d, cands, pqCodesWide(s, d), dtable)
+    }),
+
+    // IVF-PQ ingest delta — the production property that makes PQ worth
+    // its training cost: codebooks and the corpus code index are FROZEN
+    // artifacts; a new embedding batch (vec_id%10=7) is encoded against
+    // them at ingest price. The batch computes its own probe cells and
+    // ADC distance table fresh (O(batch × M×K) scalars) and probes the
+    // PERSISTED corpus assignment + nibble index — the corpus's wide
+    // vectors are touched only for the ADC top-10 rerank, same as the
+    // LSH/minhash/exact-hash deltas in this family.
+    "q_sim_ann_ivfpq_delta" -> ((s, d) => {
+      val isBatch = col("vec_id") % 10 === 7
+      val e = t(s, d, "embeddings")
+      val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
+      // batch probe list against the frozen coarse quantizer: np = ⌈√k⌉,
+      // k bounded by the centroid artifact itself (a √N-row table)
+      val cents = ivfKCentroids(s, d)
+      val np = math.ceil(math.sqrt(cents.count().toDouble)).toInt
+      // manual dot/norm form (not the float-typed cosine_sim expression):
+      // centroids are double arrays — same shape as ivfKScored
+      val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
+        lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+      val scored = e.where(isBatch).crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
+      val probes = org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
+          k = np, rankName = "arnk")
+        .select(col("vec_id"), col("cell"))
+      val cands = probes.as("a")
+        .join(maybeBroadcast(ivfKAssign(s, d).where(!isBatch).as("b")),
+          col("a.cell") === col("b.cell"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      pqAdcRerank(s, d, cands,
+        pqCodesWide(s, d).where(!(col("nid") % 10 === 7)),
+        pqDtablePlan(e.where(isBatch), cb))
     }),
 
     // End-to-end training-data pipeline — the composition a real corpus
@@ -1560,6 +1609,36 @@ object LlmPipeline extends QueryPack {
        |  SELECT vec_id, m, c AS code FROM psdE
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY sd ASC, c ASC) = 1)""".stripMargin
 
+  /** ADC + exact-rerank oracle tail (mirrors [[pqAdcRerank]]): expects a
+    * `pqcands(qid, nid)` CTE in scope; per-subspace code distances, their
+    * rounded sum, ADC top-10, exact cosine top-3. */
+  private val pqAdcTailSql: String =
+    s""",subd AS (
+       |  SELECT c.qid, c.nid, k.m,
+       |   CAST(round(CAST(sum(power(es.sub[i.i] - cb.centroid[i.i], 2)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS sd
+       |  FROM pqcands c
+       |  JOIN pcodes k ON c.nid = k.vec_id
+       |  JOIN pcb cb ON cb.m = k.m AND cb.c = k.code
+       |  JOIN esub es ON es.vec_id = c.qid AND es.m = k.m,
+       |  generate_series(1, $PQ_SUBDIM) i(i)
+       |  GROUP BY c.qid, c.nid, k.m),
+       |adc AS (
+       |  SELECT qid, nid,
+       |   CAST(round(CAST(sum(sd) AS DECIMAL(38,6)), 4) AS DOUBLE) AS adist
+       |  FROM subd GROUP BY qid, nid),
+       |top10 AS (
+       |  SELECT qid, nid FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) <= 10)
+       |SELECT vec_id, neighbor_id, cos, rnk FROM (
+       |  SELECT t.qid AS vec_id, t.nid AS neighbor_id, $cosSql AS cos,
+       |   CAST(row_number() OVER (PARTITION BY t.qid
+       |     ORDER BY $cosSql DESC, t.nid ASC) AS INT) AS rnk
+       |  FROM top10 t
+       |  JOIN embeddings a ON t.qid = a.vec_id
+       |  JOIN embeddings b ON t.nid = b.vec_id)
+       |WHERE rnk <= 3
+       |ORDER BY vec_id, rnk""".stripMargin
+
   def oracle: Seq[(String, String)] = Seq(
     "q_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keeper,
@@ -1741,32 +1820,17 @@ object LlmPipeline extends QueryPack {
          |pqcands AS (
          |  SELECT a.vec_id AS qid, b.vec_id AS nid
          |  FROM kprobes a JOIN kassigned b
-         |   ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-         |subd AS (
-         |  SELECT c.qid, c.nid, k.m,
-         |   CAST(round(CAST(sum(power(es.sub[i.i] - cb.centroid[i.i], 2)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS sd
-         |  FROM pqcands c
-         |  JOIN pcodes k ON c.nid = k.vec_id
-         |  JOIN pcb cb ON cb.m = k.m AND cb.c = k.code
-         |  JOIN esub es ON es.vec_id = c.qid AND es.m = k.m,
-         |  generate_series(1, $PQ_SUBDIM) i(i)
-         |  GROUP BY c.qid, c.nid, k.m),
-         |adc AS (
-         |  SELECT qid, nid,
-         |   CAST(round(CAST(sum(sd) AS DECIMAL(38,6)), 4) AS DOUBLE) AS adist
-         |  FROM subd GROUP BY qid, nid),
-         |top10 AS (
-         |  SELECT qid, nid FROM adc
-         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) <= 10)
-         |SELECT vec_id, neighbor_id, cos, rnk FROM (
-         |  SELECT t.qid AS vec_id, t.nid AS neighbor_id, $cosSql AS cos,
-         |   CAST(row_number() OVER (PARTITION BY t.qid
-         |     ORDER BY $cosSql DESC, t.nid ASC) AS INT) AS rnk
-         |  FROM top10 t
-         |  JOIN embeddings a ON t.qid = a.vec_id
-         |  JOIN embeddings b ON t.nid = b.vec_id)
-         |WHERE rnk <= 3
-         |ORDER BY vec_id, rnk""".stripMargin,
+         |   ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |$pqAdcTailSql""".stripMargin,
+    "q_sim_ann_ivfpq_delta" ->
+      s"""WITH $ivfkCtesSql,
+         |$pqCtesSql,
+         |pqcands AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM kprobes a JOIN kassigned b
+         |   ON a.cell = b.cell
+         |  WHERE a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7)
+         |$pqAdcTailSql""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH keep AS (
         |  SELECT doc_id, lang, text, n_chars FROM (

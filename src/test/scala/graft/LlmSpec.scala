@@ -284,6 +284,15 @@ class LlmSpec extends AnyFunSuite {
     assert(overlap >= 0.5, s"ADC kept only ${overlap} of the exact probe-path pairs")
   }
 
+  test("IVF-PQ ingest delta: batch-side queries, corpus-side neighbors, frozen codebooks") {
+    val rows = q("q_sim_ann_ivfpq_delta")
+      .select("vec_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, _) => a % 10 == 7 && b % 10 != 7 })
+    assert(rows.forall { case (_, _, r) => r >= 1 && r <= 3 })
+  }
+
   test("ANN ingest delta: batch-side queries, corpus-side neighbors only") {
     val rows = q("q_sim_ann_lsh_delta").collect()
     assert(rows.nonEmpty)
