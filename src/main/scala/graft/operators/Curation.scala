@@ -343,6 +343,30 @@ object Curation extends QueryPack {
         .orderBy("cluster_id")
     }),
 
+    // Quality-budget curve: docs and token mass per quality decile with
+    // top-down cumulative totals — the threshold sweep a data team runs
+    // to pick its quality cutoff ("how many tokens survive at q ≥ x?").
+    // One map-side-combinable agg collapses the corpus to ≤10 bin rows;
+    // the unpartitioned cumulative window is bounded by the bin count,
+    // never the corpus. Quality is r4-rounded BEFORE binning so the
+    // decile edges are decided on identical 4dp doubles in both engines.
+    "q_quality_budget" -> ((s, d) => {
+      val tk = LlmPipeline.toks(col("text"))
+      val binned = t(s, d, "documents")
+        .withColumn("toks", tk)
+        .withColumn("q", r4(least(lit(1.0), col("n_chars") / 200.0) *
+          (size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks")))))
+        .withColumn("bin", least(floor(col("q") * 10), lit(9L)).cast(LongType))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast(LongType)).as("n_tokens"))
+      val w = Window.orderBy(col("bin").desc)
+      binned
+        .withColumn("cum_docs", sum(col("n_docs")).over(w))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .orderBy("bin")
+    }),
+
     // Corpus health report: the per-(source, lang) dashboard a data team
     // reads before a training run — volume, token mass, exact-dup rate,
     // mean quality. ONE pass over the corpus (every measure is map-side
@@ -555,6 +579,21 @@ object Curation extends QueryPack {
          |  FROM lbl l JOIN q USING (doc_id))
          |SELECT cluster_id, doc_id, quality, n_members
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "q_quality_budget" ->
+      """WITH q AS (
+        |  SELECT CAST(round(CAST(least(1.0, n_chars/200.0)
+        |    * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |       / len(string_split(text,' '))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS q,
+        |   len(string_split(text,' ')) AS ntok
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(CAST(floor(q*10) AS BIGINT), 9) AS bin,
+        |   count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |  FROM q GROUP BY 1)
+        |SELECT bin, n_docs, n_tokens,
+        | CAST(sum(n_docs) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_docs,
+        | CAST(sum(n_tokens) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_tokens
+        |FROM b ORDER BY bin""".stripMargin,
     "q_corpus_report" ->
       """SELECT source, lang, count(*) AS n_docs,
         | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,

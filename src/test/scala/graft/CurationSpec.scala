@@ -115,4 +115,18 @@ class CurationSpec extends AnyFunSuite {
     val frac = rows.filter(_.getString(0) == "train").map(_.getLong(2)).sum.toDouble / total
     assert(frac > 0.75 && frac < 1.0, s"train fraction $frac")
   }
+
+  test("q_quality_budget: bins cover the corpus, cumulatives are top-down running totals") {
+    val rows = q("q_quality_budget").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._2).sum == Tables.t(spark, sf, "documents").count())
+    // the lowest bin's cumulative sees everything; each cumulative equals
+    // the suffix sum of the bins at-or-above it (rows come back bin-ASC)
+    val sorted = rows.sortBy(_._1)
+    sorted.zipWithIndex.foreach { case ((_, _, _, cd, ct), i) =>
+      assert(cd == sorted.drop(i).map(_._2).sum)
+      assert(ct == sorted.drop(i).map(_._3).sum)
+    }
+  }
 }
