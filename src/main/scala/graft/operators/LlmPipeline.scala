@@ -279,7 +279,7 @@ object LlmPipeline extends QueryPack {
     * global plane id (offset past the single-table query's planes), so —
     * like [[lshBuckets]] — bucket assignment is a single narrow
     * projection plus an explode: zero joins, zero shuffles. */
-  private def lshMultiBuckets(s: SparkSession, d: String): DataFrame =
+  private[graft] def lshMultiBuckets(s: SparkSession, d: String): DataFrame =
     // disk-backed: the candidate self-join reads BOTH sides of this narrow
     // (vec_id, tb, bucket) index — uncached, each side would recompute the
     // LSH_TABLES × LSH_TABLE_BITS hyperplane dot products. This small-int
@@ -294,9 +294,13 @@ object LlmPipeline extends QueryPack {
 
   /** Bucket assignment for an arbitrary vector set — the hyperplanes are a
     * pure function of the global plane id, so the SAME projection buckets
-    * the standing corpus (disk-backed above) and a fresh ingest batch
-    * (q_sim_ann_lsh_delta) identically. */
-  private def lshMultiBucketsPlan(e: DataFrame): DataFrame = {
+    * the standing corpus (disk-backed above), a fresh ingest batch
+    * (q_sim_ann_lsh_delta), and a streaming micro-batch
+    * (Streams.annAgainstIndex) identically. `keep` carries payload
+    * columns through the explode (the streaming path keeps the query
+    * embedding — a stream cannot join back to itself to refetch it); the
+    * index build keeps nothing so the persisted artifact stays narrow. */
+  private[graft] def lshMultiBucketsPlan(e: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val tables = (0 until LSH_TABLES).map { tb =>
       val bucket = (0 until LSH_TABLE_BITS).map { j =>
         val plane = typedlit((1 to 64).map(planeValJvm(LSH_PLANES + tb * LSH_TABLE_BITS + j, _)))
@@ -306,8 +310,9 @@ object LlmPipeline extends QueryPack {
       }.reduce(_ + _)
       struct(lit(tb).as("tb"), bucket.as("bucket"))
     }
-    e.select(col("vec_id"), explode(array(tables: _*)).as("tbk"))
-      .select(col("vec_id"), col("tbk.tb").as("tb"), col("tbk.bucket").as("bucket"))
+    val kept = keep.map(col)
+    e.select(col("vec_id") +: kept :+ explode(array(tables: _*)).as("tbk"): _*)
+      .select(col("vec_id") +: kept :+ col("tbk.tb").as("tb") :+ col("tbk.bucket").as("bucket"): _*)
   }
 
   /** IVF coarse-quantizer training: centroid per label cell as

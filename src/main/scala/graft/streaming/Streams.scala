@@ -145,6 +145,32 @@ object Streams {
       .withColumn("is_novel", col("in_corpus").isNull)
       .drop("in_corpus")
 
+  /** Stream-static ANN probe — the streaming face of the vector-ingest
+    * delta (q_sim_ann_ivfpq_delta / q_sim_ann_lsh_delta): each incoming
+    * embedding micro-batch buckets FRESH against the deterministic
+    * hyperplanes (a pure projection, valid on a streaming frame; the
+    * query embedding rides the projection because a stream cannot join
+    * back to itself), probes the PERSISTED multi-table LSH index, and
+    * scores candidates by exact cosine against the static corpus
+    * vectors. Entirely STATELESS — no watermark, no state store: the
+    * on-disk index is the state. A pair colliding in several tables
+    * emits once per table (distinct would be a stateful aggregation);
+    * downstream ranking/thresholding dedups per its own policy. */
+  def annAgainstIndex(batch: DataFrame, corpusIndex: DataFrame,
+      corpusVectors: DataFrame): DataFrame =
+    graft.operators.LlmPipeline.lshMultiBucketsPlan(batch, keep = Seq("embedding"))
+      .as("ba")
+      .join(corpusIndex.as("bb"),
+        col("ba.tb") === col("bb.tb") && col("ba.bucket") === col("bb.bucket") &&
+          col("ba.vec_id") =!= col("bb.vec_id"))
+      .select(col("ba.vec_id").as("vec_id"), col("ba.embedding").as("qe"),
+        col("bb.vec_id").as("neighbor_id"), col("ba.tb").as("tb"))
+      .join(corpusVectors.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne")), "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"), col("tb"),
+        graft.Tables.r4(org.apache.spark.sql.graftx.VectorExprs.cosineSim(
+          col("qe"), col("ne"))).as("cos"))
+
   /** Running per-user totals via custom state (mapGroupsWithState): state =
     * (event count, value sum) per user, carried across micro-batches in the
     * state store. The arbitrary-stateful-processing surface the built-in

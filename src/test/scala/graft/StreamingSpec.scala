@@ -120,6 +120,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-static ANN probe against the persisted LSH index matches the batch formulation") {
+    // materialize (or reuse) the disk-backed multi-table LSH index
+    val corpusIndex = graft.operators.LlmPipeline.lshMultiBuckets(spark, sf)
+      .where(col("vec_id") % 10 =!= 7)
+    val corpusVectors = Tables.t(spark, sf, "embeddings")
+      .where(col("vec_id") % 10 =!= 7).select("vec_id", "embedding")
+    val batch = Tables.t(spark, sf, "embeddings").where(col("vec_id") % 10 === 7)
+      .select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-vecstream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val qy = Streams.annAgainstIndex(stream, corpusIndex, corpusVectors)
+      .writeStream.format("memory").queryName("annprobe")
+      .outputMode("append").option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination(120000)
+    val got = spark.table("annprobe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, n, _, _) => q % 10 == 7 && n % 10 != 7 })
+    // row-identical to the same operator run as a plain batch plan
+    val want = Streams.annAgainstIndex(spark.read.parquet(dir), corpusIndex, corpusVectors)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.sorted.sameElements(want.sorted))
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-state").toString
