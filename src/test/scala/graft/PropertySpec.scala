@@ -196,4 +196,31 @@ class PropertySpec extends AnyFunSuite {
         assert(once.dropDuplicates("text").count() == once.count())
       }
   }
+
+  test("BPE merge fold == plain-Scala greedy non-overlapping reference on random symbols") {
+    import spark.implicits._
+    // reference: left-to-right, merge (a,b) when last kept symbol is `a`
+    // and the next is `b`, never re-matching a freshly merged symbol
+    def ref(sym: Seq[String], a: String, b: String): Seq[String] =
+      sym.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b)
+          acc.init :+ (a + b)
+        else acc :+ x
+      }
+    // adversarial alphabet: runs like a,a,a and pairs straddling merges
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      s <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba"))
+      p <- Gen.oneOf(("a", "a"), ("a", "b"), ("b", "a"), ("ab", "a"), ("a", "ab"))
+    } yield (s, p)
+    val cases = samples(gen, 120)
+    cases.groupBy(_._2).foreach { case ((a, b), group) =>
+      val df = group.map(_._1).zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "sym")
+      val got = df.select(col("i"), graft.operators.Bpe.mergeAdjacent(col("sym"), a, b).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      group.map(_._1).zipWithIndex.foreach { case (s, i) =>
+        assert(got(i) == ref(s, a, b), s"$s merge ($a,$b): got ${got(i)}")
+      }
+    }
+  }
 }
