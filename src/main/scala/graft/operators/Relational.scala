@@ -22,6 +22,11 @@ object Relational extends QueryPack {
     * (session, dataset) via Sinks.writePartitioned) — the fact-store shape
     * q_join_dpp reads so dynamic partition pruning has partitions to
     * prune. ~80 month partitions over the synthetic date range. */
+  /** q_join_asof_tol tolerance (seconds): one day — matches ~35% of
+    * purchases on the synthetic event stream (3% at one hour; the dial,
+    * not the value, is the operator). */
+  private val ASOF_TOL_S = 86400L
+
   private val dppMemo = scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
   private def dppFactPath(s: SparkSession, d: String): String =
     dppMemo.getOrElseUpdate((s, d), {
@@ -207,6 +212,31 @@ object Relational extends QueryPack {
         .withColumn("prior_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
         .where(col("is_p") === 1)
         .select("event_id", "user_id", "ts", "prior_view_ts")
+        .orderBy("event_id")
+    }),
+
+    // As-of join with TOLERANCE (pandas merge_asof(tolerance=…) / kdb wj
+    // semantics): match the nearest prior view only if it is within one
+    // day of the purchase, else null. Same single-shuffle union+window
+    // shape as q_join_asof — the nearest prior row is THE only candidate,
+    // so tolerance is a post-window null-out, not a range join: no extra
+    // exchange, no pair blowup, scale identical to the untoleranced form.
+    "q_join_asof_tol" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(null).cast("timestamp").as("view_ts"), lit(1).as("is_p"))
+      val v = ev.where(col("event_type") === "view")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+          col("ts").as("view_ts"), lit(0).as("is_p"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.unionByName(v)
+        .withColumn("nearest", last(col("view_ts"), ignoreNulls = true).over(w))
+        .where(col("is_p") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("ts").cast("long") - col("nearest").cast("long") <= ASOF_TOL_S,
+            col("nearest")).as("prior_view_ts"))
         .orderBy("event_id")
     }),
 
@@ -487,6 +517,14 @@ object Relational extends QueryPack {
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |     v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view')
         |SELECT p.event_id, p.user_id, p.ts, v.view_ts AS prior_view_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_tol" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts,
+        | CASE WHEN date_diff('second', v.view_ts, p.ts) <= 86400
+        |      THEN v.view_ts END AS prior_view_ts
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
         |ORDER BY p.event_id""".stripMargin,
     "q_join_cross_pairs" ->
