@@ -452,6 +452,28 @@ object LlmPipeline extends QueryPack {
         .select(col("vec_id"), col("cell"))
     }
 
+  /** Rounded cosine of an arbitrary vector set against the frozen
+    * trained-k centroids — the ingest-side scoring plan (manual dot/norm:
+    * centroids are double arrays, embeddings float). The SAME expression
+    * shape as [[ivfKScored]], so a fresh batch ranks cells identically to
+    * the corpus-build pass. */
+  private def ivfKScorePlan(e: DataFrame, cents: DataFrame): DataFrame = {
+    val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
+  }
+
+  /** Top-`k` cells for an arbitrary vector set against the frozen
+    * quantizer (k = 1 → rank-1 assignment; k = nprobe → probe list). */
+  private def ivfKCellsFor(e: DataFrame, cents: DataFrame, k: Int): DataFrame =
+    org.apache.spark.sql.graftx.TopK.topKPerKey(ivfKScorePlan(e, cents),
+        keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
+        k = k, rankName = "arnk")
+      .select(col("vec_id"), col("cell"))
+
   /** Product-quantization geometry: [[PQ_M]] subspaces of [[PQ_SUBDIM]]
     * dims, [[PQ_K]] codes per subspace — a vector compresses to 8 nibble
     * codes (4 bytes vs 256), and approximate distances are sums of
@@ -838,6 +860,32 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // Semantic-dedup ingest delta: each batch vector (vec_id%10=7) is
+    // assigned its cell FRESH against the frozen quantizer and dropped iff
+    // ANY corpus cell-mate sits at/above SEM_TAU — corpus always wins (no
+    // id ordering: the standing corpus is the keeper set by definition).
+    // Per ingest: O(batch × cell size) comparisons against the PERSISTED
+    // assignment index; batch-internal duplicates are q_dedup_semantic's
+    // job on the next full pass (documented ingest trade).
+    "q_dedup_semantic_delta" -> ((s, d) => {
+      val isBatch = col("vec_id") % 10 === 7
+      val e = t(s, d, "embeddings")
+      val batch = ivfKCellsFor(e.where(isBatch), ivfKCentroids(s, d), 1)
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      val corpus = t(s, d, "embeddings")
+        .join(maybeBroadcast(ivfKAssign(s, d).where(!isBatch)), "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      val dup = batch.as("a").join(maybeBroadcast(corpus.as("b")),
+          col("a.cell") === col("b.cell"))
+        .where(r4(cosine(col("a.embedding"), col("b.embedding"))) >= SEM_TAU)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+      batch
+        .join(maybeBroadcast(dup.withColumn("hit", lit(true))), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("hit"), lit(false)).as("dropped"))
+        .orderBy("vec_id")
+    }),
+
     // #44 brute-force top-5 cosine neighbors, blocked by label (IVF-style:
     // label = coarse cell, probe within cell). Top-k via the custom
     // TopKPerKey plan: the candidate pairs are generated map-side by the
@@ -1108,18 +1156,7 @@ object LlmPipeline extends QueryPack {
       // k bounded by the centroid artifact itself (a √N-row table)
       val cents = ivfKCentroids(s, d)
       val np = math.ceil(math.sqrt(cents.count().toDouble)).toInt
-      // manual dot/norm form (not the float-typed cosine_sim expression):
-      // centroids are double arrays — same shape as ivfKScored
-      val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
-        lit(0.0), (acc, x) => acc + x)
-      val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
-      val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
-      val scored = e.where(isBatch).crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
-      val probes = org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
-          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
-          k = np, rankName = "arnk")
-        .select(col("vec_id"), col("cell"))
+      val probes = ivfKCellsFor(e.where(isBatch), cents, np)
       val cands = probes.as("a")
         .join(maybeBroadcast(ivfKAssign(s, d).where(!isBatch).as("b")),
           col("a.cell") === col("b.cell"))
@@ -1730,6 +1767,19 @@ object LlmPipeline extends QueryPack {
          |      list_transform(b.embedding, x -> CAST(x AS DOUBLE)))""")} >= $SEM_TAU)
          |SELECT k.vec_id, k.cell, (s.vec_id IS NOT NULL) AS dropped
          |FROM kassigned k LEFT JOIN sdup s ON k.vec_id = s.vec_id
+         |ORDER BY k.vec_id""".stripMargin,
+    "q_dedup_semantic_delta" ->
+      s"""WITH $ivfkCtesSql,
+         |bq AS (SELECT vec_id, embedding, cell FROM kassigned WHERE vec_id % 10 = 7),
+         |sdup AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM bq a JOIN kassigned b
+         |   ON a.cell = b.cell AND b.vec_id % 10 <> 7
+         |  WHERE ${r4sql("""list_cosine_similarity(
+         |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE)))""")} >= $SEM_TAU)
+         |SELECT k.vec_id, k.cell, (s.vec_id IS NOT NULL) AS dropped
+         |FROM bq k LEFT JOIN sdup s ON k.vec_id = s.vec_id
          |ORDER BY k.vec_id""".stripMargin,
     "q_sim_knn" ->
       s"""SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cosSql AS cos,

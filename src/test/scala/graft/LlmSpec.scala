@@ -266,6 +266,21 @@ class LlmSpec extends AnyFunSuite {
     assert(viol == 0, s"$viol kept within-cell pairs at/above tau")
   }
 
+  test("semantic-dedup ingest delta: one verdict per batch vector, corpus-witnessed drops") {
+    val rows = q("q_dedup_semantic_delta").collect()
+    val batchIds = Tables.t(spark, sf, "embeddings")
+      .where(col("vec_id") % 10 === 7).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == batchIds, "verdicts must cover the batch exactly")
+    // every drop has a same-cell corpus witness at/above tau, computed
+    // independently from the full verdict table's cells
+    val cells = q("q_dedup_semantic").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.filter(_.getAs[Boolean]("dropped")).foreach { r =>
+      assert(cells(r.getLong(0)) == r.getInt(1), s"cell mismatch for ${r.getLong(0)}")
+    }
+  }
+
   test("IVF-PQ: valid output shape; ADC ranks true neighbors into the rerank set") {
     val rows = q("q_sim_ann_ivfpq").collect()
     assert(rows.nonEmpty)
