@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("int_dot"),
       new ExpressionInfo(classOf[IntDotProductExpr].getName, "int_dot"),
       (exprs: Seq[Expression]) => IntDotProductExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain_str"),
+      new ExpressionInfo(classOf[BloomMightContainStr].getName, "bloom_might_contain_str"),
+      (exprs: Seq[Expression]) => BloomMightContainStr(exprs.head, exprs(1))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     // optimizer rewrite: row_number() <= k filter pattern → TopKPerKey, so
     // the idiomatic window form still gets the map-side-heap physical plan
