@@ -66,7 +66,54 @@ object TextMining extends QueryPack {
         .groupBy("tok").agg(count(lit(1)).as("c"))
     }
 
+  /** BM25 parameters (Robertson's defaults) and the fixed retrieval
+    * query. The +1 idf variant (`ln(1 + (N−df+0.5)/(df+0.5))`) keeps
+    * scores positive for terms in >half the corpus — which in this
+    * synthetic 30-word vocabulary is every term. */
+  private val BM25_K1 = 1.2
+  private val BM25_B = 0.75
+  private val BM25_TERMS = Seq("vector", "stream", "hash")
+
   def queries: Seq[(String, Fn)] = Seq(
+
+    // BM25 retrieval: rank the corpus against a fixed term query — the
+    // lexical-retrieval step a curation pipeline runs to pull eval-set
+    // neighbors or topic slices out of a 100 TB corpus.
+    //
+    // Plan shape: ZERO corpus shuffles. Pass 1 projects per-doc term
+    // frequencies (size(filter(tk, _ == term)) — narrow, codegen'd) and
+    // collapses to ONE stats row (N, Σdl, per-term df) that broadcasts
+    // back; pass 2 recomputes the projection, scores with pure
+    // arithmetic, and TakeOrderedAndProject keeps the top 20 — the only
+    // exchange is the top-k gather. An exploded (doc,term) formulation
+    // would shuffle a posting list the size of the corpus.
+    "q_text_bm25" -> ((s, d) => {
+      def tfdoc(df: DataFrame): DataFrame = {
+        val tk = LlmPipeline.toks(col("text"))
+        df.select(
+          col("doc_id") +: size(tk).cast(LongType).as("dl") +:
+            BM25_TERMS.zipWithIndex.map { case (term, i) =>
+              size(filter(tk, x => x === term)).cast(LongType).as(s"tf$i")
+            }: _*)
+      }
+      val docs = tfdoc(t(s, d, "documents"))
+      // 1-row corpus stats: forced broadcast is safe at any scale
+      val statCols = sum(col("dl")).as("sum_dl") +:
+        BM25_TERMS.indices.map(i => count_if(col(s"tf$i") > 0).as(s"df$i"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), statCols: _*)
+      val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+      val score = BM25_TERMS.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+        val tf = col(s"tf$i").cast(DoubleType)
+        idf * (tf * (BM25_K1 + 1)) /
+          (tf + lit(BM25_K1) * (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / avgdl))
+      }.reduce(_ + _)
+      tfdoc(t(s, d, "documents")).crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl").as("n_tokens"), r4(score).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    }),
 
     // Overlapping fixed-width character windows with provenance offsets —
     // the doc→chunk step every embedding/retrieval pipeline runs. Window i
@@ -194,6 +241,28 @@ object TextMining extends QueryPack {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_text_bm25" -> {
+      val tfCols = BM25_TERMS.zipWithIndex.map { case (term, i) =>
+        s"CAST(len(list_filter(string_split(text,' '), x -> x = '$term')) AS BIGINT) AS tf$i"
+      }.mkString(",\n        |   ")
+      val dfCols = BM25_TERMS.indices.map(i =>
+        s"count(*) FILTER (WHERE tf$i > 0) AS df$i").mkString(", ")
+      val scoreSql = BM25_TERMS.indices.map { i =>
+        s"(ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${BM25_K1 + 1})) " +
+          s"/ (tf$i + $BM25_K1 * (${1 - BM25_B} + $BM25_B * dl / " +
+          "(CAST(sum_dl AS DOUBLE) / n_docs)))"
+      }.mkString(" + ")
+      s"""WITH tf AS (
+        |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+        |   $tfCols
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfCols
+        |  FROM tf)
+        |SELECT doc_id, dl AS n_tokens, ${r4sql(scoreSql)} AS bm25
+        |FROM tf CROSS JOIN stats
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
     "q_text_chunk" ->
       s"""SELECT doc_id, CAST(i AS INT) AS chunk_id,
          | CAST(i * $STRIDE AS BIGINT) AS chunk_start,

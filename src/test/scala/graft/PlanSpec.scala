@@ -383,4 +383,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_agg_hash")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
   }
+
+  test("q_text_bm25 never shuffles the corpus: broadcast stats + direct top-k") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is not TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastExchange"), s"1-row stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // the only row exchange is the 1-row stats gather — never a
+    // hash-partitioned corpus shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus rows crossed a hash-partitioned exchange:\n$p")
+  }
 }
