@@ -23,6 +23,7 @@ object SparkEntry {
     operators.TextMining,
     operators.Vectors,
     operators.Streaming,
+    operators.Layout,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

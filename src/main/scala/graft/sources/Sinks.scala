@@ -22,6 +22,30 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Z-order-clustered write: cluster `df` on the Morton interleave of
+    * two numeric dimensions so per-file min/max footer statistics stay
+    * tight on BOTH dims — multi-dimensional file skipping, where a
+    * single-key sort bounds one dim and spans the domain on the other
+    * (the envelope math is q_layout_zorder's report). repartitionByRange
+    * samples z boundaries, so files stay balanced under skewed z
+    * distributions — the production counterpart of the report query's
+    * deterministic equal-width buckets; `sortWithinPartitions` tightens
+    * envelopes within each file and keeps parquet row-group stats
+    * monotone for range readers.
+    *
+    * `xNorm`/`yNorm` must already be normalized to [0, 2^16) grid cells
+    * (see [[graft.operators.Layout]] — bounds from a 1-row broadcast
+    * min/max aggregate); the z computation itself is narrow bit
+    * arithmetic, so the only exchange is the range partition the write
+    * needs anyway. */
+  def writeZOrdered(df: DataFrame, xNorm: org.apache.spark.sql.Column,
+      yNorm: org.apache.spark.sql.Column, path: String, numFiles: Int): Unit =
+    df.withColumn("__z", graft.operators.Layout.morton(xNorm, yNorm))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Build-once / publish-atomically for derived local stores shared
     * across sessions (e.g. the /tmp DPP fact store): a reader must never
     * see a half-written directory. If `path` lacks a `_SUCCESS` marker,
