@@ -115,6 +115,33 @@ object Streaming extends QueryPack {
           r4(col("zraw")).as("z"))
         .orderBy("user_id", "event_id")
     }),
+
+    // Batch twin of Streams.attributed — the stream-stream interval join
+    // (purchases × views of the same user within the prior hour), rolled
+    // up per user. The join is equi on user_id plus an event-time bound:
+    // ONE shuffle on the user key; the time predicate evaluates inside
+    // the join, which is exactly what lets the streaming run evict state
+    // once the watermark passes (StreamingSpec proves the streaming plan
+    // row-count-identical on finite input). LEFT join so purchases with
+    // no qualifying view still count toward n_purchases.
+    "q_stream_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          tsec(col("ts")).as("pt"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), tsec(col("ts")).as("vt"))
+      val pairs = p.join(v,
+        p("user_id") === v("user_id") &&
+          v("vt") >= p("pt") - 3600 && v("vt") <= p("pt"), "left")
+        .select(p("user_id"), col("p_id"), col("vt"))
+      pairs.groupBy("user_id", "p_id").agg(count(col("vt")).as("n_views"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          count_if(col("n_views") > 0).as("n_attributed"),
+          sum(col("n_views")).as("n_view_pairs"))
+        .orderBy("user_id")
+    }),
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -172,5 +199,21 @@ object Streaming extends QueryPack {
         |WHERE n_prior >= 10
         |  AND CAST(round(CAST(zraw AS DECIMAL(38,6)), 4) AS DOUBLE) >= 2.0
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_stream_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS vt
+        |  FROM events WHERE event_type = 'view'),
+        |pp AS (
+        |  SELECT p.user_id, p.p_id, count(v.vt) AS n_views
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |    AND v.vt >= p.pt - 3600 AND v.vt <= p.pt
+        |  GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_purchases,
+        | count(*) FILTER (WHERE n_views > 0) AS n_attributed,
+        | CAST(sum(n_views) AS BIGINT) AS n_view_pairs
+        |FROM pp GROUP BY 1 ORDER BY user_id""".stripMargin,
   )
 }
