@@ -49,6 +49,13 @@ object LlmPipeline extends QueryPack {
   /** Cells probed per query vector in multi-probe IVF (q_sim_ann_ivf_mp). */
   private val NPROBE = 3
 
+  /** q_index_drift staleness threshold: a trained-k cell whose one-step
+    * Lloyd residual (1 − cosine of frozen centroid vs current member
+    * mean) exceeds this is flagged for retraining. 0.04 sits mid-range
+    * on the near-uniform synthetic embeddings (sf0.001 residuals span
+    * 0–0.085), so the report exercises both outcomes. */
+  private val DRIFT_TAU = 0.04
+
   /** Denylist pattern for q_text_redact — word-boundary alternation, valid
     * under both Java regex (Spark) and RE2 (DuckDB) with identical
     * semantics for ASCII word chars. */
@@ -1113,6 +1120,39 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id", "rnk")
     }),
 
+    // Index-lifecycle drift monitor — the retrain trigger that closes the
+    // build → persist → delta-ingest loop. Per trained-k cell: how far
+    // would ONE more Lloyd step move the frozen centroid, given the
+    // corpus and the PERSISTED rank-1 assignment (drift = 1 − cosine of
+    // frozen centroid vs current member mean)? A cell is stale when it
+    // drifted past threshold or lost every member (dead cell). Reads
+    // only the two disk artifacts + embeddings; the member-mean agg is
+    // the same decimal-mean shape as training, map-side combinable, k×64
+    // result rows at any corpus size.
+    "q_index_drift" -> ((s, d) => {
+      val cents = ivfKCentroids(s, d)
+      val assign = ivfKAssign(s, d)
+      val comp = t(s, d, "embeddings").join(assign, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"),
+          count(lit(1)).as("nm"))
+      val meansNow = comp.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          f => f.getField("m")).as("mean_now"),
+          max(col("nm")).as("nm"))
+      val dot = aggregate(zip_with(col("centroid"), col("mean_now"), (x, v) => x * v),
+        lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(col("mean_now"), lit(0.0), (acc, x) => acc + x * x))
+      cents.join(meansNow, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("nm"), lit(0L)).as("n_members"),
+          r4(lit(1.0) - dot / (na * nb)).as("drift"))
+        .withColumn("stale",
+          col("n_members") === 0 || col("drift") > DRIFT_TAU)
+        .orderBy("cell")
+    }),
+
     // IVF-PQ with ADC scoring — the standard large-scale vector-search
     // composition: the trained-k IVF narrows candidates (⌈√k⌉ probe
     // cells), then PRODUCT-QUANTIZED distances rank them — each database
@@ -1869,6 +1909,23 @@ object LlmPipeline extends QueryPack {
          |   ON a.cell = b.cell AND a.vec_id <> b.vec_id)
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
+    "q_index_drift" ->
+      s"""WITH $ivfkCtesSql,
+         |newcomp AS (
+         |  SELECT a.cell, t.d AS dim,
+         |   CAST(sum(CAST(e.embedding[t.d] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m,
+         |   count(*) AS nm
+         |  FROM embeddings e JOIN kassigned a USING (vec_id), generate_series(1, 64) t(d)
+         |  GROUP BY a.cell, t.d),
+         |newmean AS (
+         |  SELECT cell, list(m ORDER BY dim) AS mean_now, max(nm) AS n_members
+         |  FROM newcomp GROUP BY cell)
+         |SELECT c.cell, COALESCE(n.n_members, 0) AS n_members,
+         | ${r4sql("1.0 - list_cosine_similarity(c.centroid, n.mean_now)")} AS drift,
+         | (COALESCE(n.n_members, 0) = 0 OR
+         |  ${r4sql("1.0 - list_cosine_similarity(c.centroid, n.mean_now)")} > $DRIFT_TAU) AS stale
+         |FROM kcent c LEFT JOIN newmean n USING (cell)
+         |ORDER BY c.cell""".stripMargin,
     "q_sim_ann_ivfpq" ->
       s"""WITH $ivfkCtesSql,
          |$pqCtesSql,

@@ -142,6 +142,57 @@ object Streaming extends QueryPack {
           sum(col("n_views")).as("n_view_pairs"))
         .orderBy("user_id")
     }),
+
+    // Ordered funnel over event history: first view, first click AFTER
+    // that view, first purchase AFTER that click — order matters, so
+    // each stage is a conditional min over the previous stage's
+    // timestamp. Per-user stage aggregates are tiny (≤1 row/user), so
+    // the stage joins broadcast; the corpus-side work is three
+    // map-side-combinable conditional mins. Final 3-row summary with
+    // step-to-step conversion (the 3-row window is not a corpus sort).
+    "q_event_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), tsec(col("ts")).as("et"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("et")).as("t1"))
+      val c = ev.join(maybeBroadcast(v), "user_id")
+        .where(col("event_type") === "click" && col("et") >= col("t1"))
+        .groupBy("user_id").agg(min(col("et")).as("t2"))
+      val p = ev.join(maybeBroadcast(c), "user_id")
+        .where(col("event_type") === "purchase" && col("et") >= col("t2"))
+        .groupBy("user_id").agg(min(col("et")).as("t3"))
+      val steps = v.agg(count(lit(1)).as("n")).select(lit(1).as("step"), lit("view").as("stage"), col("n"))
+        .unionAll(c.agg(count(lit(1)).as("n")).select(lit(2).as("step"), lit("click").as("stage"), col("n")))
+        .unionAll(p.agg(count(lit(1)).as("n")).select(lit(3).as("step"), lit("purchase").as("stage"), col("n")))
+      val w = Window.orderBy("step") // 3 rows — not a corpus sort
+      steps
+        .withColumn("conv",
+          r4(col("n").cast("double") / first(col("n")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .orderBy("step")
+    }),
+
+    // Cohort retention: users grouped by first-seen week, activity
+    // counted per (cohort, week offset). Week ids are integer epoch-week
+    // arithmetic (engine-portable — calendar week truncation differs
+    // across engines). Per-user firsts and the distinct (user, week)
+    // activity set shuffle once each on user_id; the retention matrix is
+    // weeks² rows.
+    "q_event_retention" -> ((s, d) => {
+      val wk = (c: org.apache.spark.sql.Column) =>
+        floor(c.cast("double") / 604800.0).cast("long")
+      val ev = t(s, d, "events").select(col("user_id"), tsec(col("ts")).as("et"))
+      val firsts = ev.groupBy("user_id").agg(wk(min(col("et"))).as("cohort_wk"))
+      val active = ev.select(col("user_id"), wk(col("et")).as("wk")).distinct()
+      val sizes = firsts.groupBy("cohort_wk").agg(count(lit(1)).as("n_cohort"))
+      active.join(maybeBroadcast(firsts), "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active")) // (user, wk) pre-distinct → count = users
+        .join(maybeBroadcast(sizes), "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          r4(col("n_active").cast("double") / col("n_cohort")).as("retention"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -215,5 +266,44 @@ object Streaming extends QueryPack {
         | count(*) FILTER (WHERE n_views > 0) AS n_attributed,
         | CAST(sum(n_views) AS BIGINT) AS n_view_pairs
         |FROM pp GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_event_funnel" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et
+         |  FROM events),
+         |v AS (SELECT user_id, min(et) AS t1 FROM ev
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT ev.user_id, min(et) AS t2 FROM ev JOIN v USING (user_id)
+         |      WHERE event_type = 'click' AND et >= t1 GROUP BY 1),
+         |p AS (SELECT ev.user_id, min(et) AS t3 FROM ev JOIN c USING (user_id)
+         |      WHERE event_type = 'purchase' AND et >= t2 GROUP BY 1),
+         |steps AS (
+         |  SELECT 1 AS step, 'view' AS stage, count(*) AS n FROM v
+         |  UNION ALL
+         |  SELECT 2, 'click', count(*) FROM c
+         |  UNION ALL
+         |  SELECT 3, 'purchase', count(*) FROM p)
+         |SELECT step, stage, n,
+         | ${r4sql("CAST(n AS DOUBLE) / first_value(n) OVER " +
+                   "(ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS conv
+         |FROM steps ORDER BY step""".stripMargin,
+    "q_event_retention" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS et FROM events),
+         |firsts AS (
+         |  SELECT user_id,
+         |   CAST(floor(min(et) / 604800.0) AS BIGINT) AS cohort_wk
+         |  FROM ev GROUP BY 1),
+         |active AS (
+         |  SELECT DISTINCT user_id, CAST(floor(et / 604800.0) AS BIGINT) AS wk
+         |  FROM ev),
+         |sizes AS (SELECT cohort_wk, count(*) AS n_cohort FROM firsts GROUP BY 1),
+         |m AS (
+         |  SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset, count(*) AS n_active
+         |  FROM active a JOIN firsts f USING (user_id)
+         |  GROUP BY 1, 2)
+         |SELECT m.cohort_wk, m.week_offset, m.n_active,
+         | ${r4sql("CAST(m.n_active AS DOUBLE) / s.n_cohort")} AS retention
+         |FROM m JOIN sizes s USING (cohort_wk)
+         |ORDER BY cohort_wk, week_offset""".stripMargin,
   )
 }
