@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Vectors,
     operators.Streaming,
     operators.Layout,
+    operators.Profiling,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-profiling operators — the schema/quality census a pipeline runs
+  * before trusting a new 100 TB delivery (DuckDB ships this as SUMMARIZE;
+  * SNOWAV has no analog, SURVEY.md §0 [U] scheme).
+  *
+  * Scale notes (100 TB):
+  * - q_profile_table runs ONE single-column aggregate PER PROFILED COLUMN
+  *   and unions the 1-row results. That is deliberate: each pass's scan
+  *   prunes to exactly one column (columnar I/O reads 1/11th of the
+  *   table), and the union of 1-row aggregates is free — whereas the
+  *   one-pass multi-distinct formulation plans an Expand (row
+  *   multiplication × #distinct-aggs over ALL columns at once). Exact
+  *   distinct per column is kept for oracle parity; the 100 TB dial is
+  *   swapping `countDistinct` for `approx_count_distinct` per column —
+  *   same plan shape, no shuffle of distinct values.
+  * - q_profile_corr is one aggregate computing every pairwise co-moment
+  *   in a single pass (map-side combinable), unpivoted to the pair list.
+  */
+object Profiling extends QueryPack {
+
+  /** Numeric columns profiled for correlation (ordered pairs a < b). */
+  private val CORR_COLS = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def queries: Seq[(String, Fn)] = Seq(
+
+    // Per-column census over lineitem: rows, nulls, exact distinct, and
+    // type-split min/max (numeric columns report num bounds, string
+    // columns string bounds — no cross-type casts, whose string
+    // rendering differs between engines).
+    "q_profile_table" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def num(name: String): DataFrame = li.agg(
+        lit(name).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count_if(col(name).isNull).as("n_nulls"),
+        countDistinct(col(name)).as("n_distinct"),
+        min(col(name)).cast(DoubleType).as("min_num"),
+        max(col(name)).cast(DoubleType).as("max_num"),
+        lit(null).cast(StringType).as("min_str"),
+        lit(null).cast(StringType).as("max_str"))
+      def str(name: String): DataFrame = li.agg(
+        lit(name).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count_if(col(name).isNull).as("n_nulls"),
+        countDistinct(col(name)).as("n_distinct"),
+        lit(null).cast(DoubleType).as("min_num"),
+        lit(null).cast(DoubleType).as("max_num"),
+        min(col(name)).as("min_str"),
+        max(col(name)).as("max_str"))
+      Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+          str("l_returnflag"), str("l_linestatus"))
+        .reduce(_ unionAll _)
+        .orderBy("col_name")
+    }),
+
+    // Pairwise Pearson correlation matrix (upper triangle) over the
+    // numeric measures — ONE aggregate pass computes all 6 co-moments,
+    // then a literal-driven unpivot emits the pair rows.
+    "q_profile_corr" -> ((s, d) => {
+      val pairs = for {
+        i <- CORR_COLS.indices; j <- CORR_COLS.indices if i < j
+      } yield (CORR_COLS(i), CORR_COLS(j))
+      val aggs = pairs.map { case (a, b) => r4(corr(col(a), col(b))).as(s"${a}__$b") }
+      val one = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stacked = pairs.map { case (a, b) =>
+        s"'$a', '$b', `${a}__$b`"
+      }.mkString(", ")
+      one.select(expr(
+          s"stack(${pairs.size}, $stacked) AS (col_a, col_b, pearson_r)"))
+        .orderBy("col_a", "col_b")
+    }),
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_profile_table" -> {
+      def num(name: String) =
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+           | count(*) FILTER (WHERE $name IS NULL) AS n_nulls,
+           | count(DISTINCT $name) AS n_distinct,
+           | CAST(min($name) AS DOUBLE) AS min_num,
+           | CAST(max($name) AS DOUBLE) AS max_num,
+           | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      def str(name: String) =
+        s"""SELECT '$name', count(*),
+           | count(*) FILTER (WHERE $name IS NULL),
+           | count(DISTINCT $name),
+           | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           | min($name), max($name)
+           |FROM lineitem""".stripMargin
+      Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+          str("l_returnflag"), str("l_linestatus"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q_profile_corr" -> {
+      val pairs = for {
+        i <- CORR_COLS.indices; j <- CORR_COLS.indices if i < j
+      } yield (CORR_COLS(i), CORR_COLS(j))
+      val rows = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, ${r4sql(s"corr($a, $b)")} AS pearson_r FROM lineitem"
+      }
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+  )
+}

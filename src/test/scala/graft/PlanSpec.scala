@@ -394,4 +394,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"corpus rows crossed a hash-partitioned exchange:\n$p")
   }
+
+  test("q_profile_table: every census pass scans exactly its one column") {
+    val p = plan("q_profile_table")
+    // per-column union strategy: each scan's ReadSchema is single-column
+    // (columnar I/O reads 1/11th of the table per pass), never the
+    // full-width row
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double>"), p)
+    assert(p.contains("ReadSchema: struct<l_returnflag:string>"), p)
+    assert(!p.contains("l_shipdate"), s"unprofiled column read:\n$p")
+  }
 }

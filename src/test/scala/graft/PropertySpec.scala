@@ -223,4 +223,32 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Morton interleave matches the bitwise reference and is a bijection") {
+    import spark.implicits._
+    // plain-Scala reference: bit i of x → bit 2i, bit i of y → bit 2i+1
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((x >> i & 1L) << (2 * i)) | ((y >> i & 1L) << (2 * i + 1))
+      }
+    val gen = for {
+      x <- Gen.oneOf(Gen.choose(0L, 65535L), Gen.oneOf(0L, 1L, 65534L, 65535L))
+      y <- Gen.oneOf(Gen.choose(0L, 65535L), Gen.oneOf(0L, 1L, 65534L, 65535L))
+    } yield (x, y)
+    val pts = samples(gen, 300).distinct
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Layout.morton(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y), s"morton($x,$y)")
+    }
+    // bijectivity on the sample (and trivially: ref is invertible)
+    assert(got.values.toSeq.distinct.size == pts.size, "z collision")
+    // locality sanity: quadrant = top bit pair
+    pts.foreach { case (x, y) =>
+      val quad = ((y >> 15 & 1L) << 1) | (x >> 15 & 1L)
+      assert((got((x, y)) >> 30) == quad, s"quadrant of ($x,$y)")
+    }
+  }
 }
