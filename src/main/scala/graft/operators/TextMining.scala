@@ -66,6 +66,21 @@ object TextMining extends QueryPack {
         .groupBy("tok").agg(count(lit(1)).as("c"))
     }
 
+  /** Merge-list size for the persisted BPE tokenizer artifact. */
+  private val BPE_MERGES = 10
+
+  /** Trained BPE merges, persisted like every index artifact: the
+    * sequential training loop ([[Bpe.train]]) runs ONCE per corpus and
+    * its (rank, a, b) rows publish to parquet; later sessions load them
+    * back. The `collect()` is a bounded artifact load — BPE_MERGES rows
+    * — not a data collect. */
+  private def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    Tables.memoizedOnDisk(s, d, s"bpe_merges_n$BPE_MERGES") {
+      import s.implicits._
+      Bpe.train(t(s, d, "documents"), BPE_MERGES).zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }.toDF("rank", "a", "b")
+    }.orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** BM25 parameters (Robertson's defaults) and the fixed retrieval
     * query. The +1 idf variant (`ln(1 + (N−df+0.5)/(df+0.5))`) keeps
     * scores positive for terms in >half the corpus — which in this
@@ -113,6 +128,24 @@ object TextMining extends QueryPack {
         .select(col("doc_id"), col("dl").as("n_tokens"), r4(score).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)
+    }),
+
+    // Tokenize the corpus vocabulary with the TRAINED merge list — the
+    // apply side of the BPE trainer, against the persisted tokenizer
+    // artifact. Work runs over the Zipf-bounded distinct-word table
+    // (same decomposition as training); per-doc token streams are this
+    // joined back to words, so the corpus-scale cost is one broadcast
+    // join. Rows-only driver check BY DESIGN: the sequential trainer is
+    // not single-query SQL — its statistics are oracle-pinned via
+    // q_text_bpe_pairs and its semantics via BpeSpec (losslessness,
+    // left-to-right convention, determinism).
+    "q_text_bpe_encode" -> ((s, d) => {
+      val merges = trainedMerges(s, d)
+      Bpe.initVocab(t(s, d, "documents"))
+        .select(col("w"), Bpe.applyMerges(col("sym"), merges).as("sym"), col("wc"))
+        .select(col("w"), col("wc").as("n_occurrences"),
+          size(col("sym")).as("n_pieces"), array_join(col("sym"), " ").as("pieces"))
+        .orderBy(desc("n_occurrences"), col("w")).limit(30)
     }),
 
     // Overlapping fixed-width character windows with provenance offsets —

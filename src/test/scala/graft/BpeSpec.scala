@@ -41,6 +41,19 @@ class BpeSpec extends AnyFunSuite {
     assert(leftover == 0, s"$leftover learned pairs still adjacent")
   }
 
+  test("q_text_bpe_encode pieces reconstruct their words; merges actually applied") {
+    val rows = SparkEntry.queries("q_text_bpe_encode")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (w, n, pieces) = (r.getString(0), r.getInt(2), r.getString(3))
+      assert(pieces.replace(" ", "") == w, s"pieces of '$w' don't reconstruct it")
+      assert(pieces.split(" ").length == n)
+    }
+    // the trained merges must have fused something in the top words
+    assert(rows.exists(r => r.getString(3).split(" ").exists(_.length > 1)),
+      "no multi-char piece in the top-30 — merge list not applied")
+  }
+
   test("left-to-right non-overlapping merge convention; segmentation is lossless") {
     val tripleA = Bpe.mergeAdjacent(typedLit(Seq("a", "a", "a")), "a", "a")
     assert(spark.range(1).select(tripleA).collect()(0).getSeq[String](0) == Seq("aa", "a"))

@@ -14,9 +14,13 @@ class QueryPackSpec extends AnyFunSuite {
     "q_dedup_near", "q_dedup_minhash", "q_dedup_simhash")
 
   /** Queries intentionally absent from oracleSql (engine-specific values). */
-  // sketch family: bounds asserted in scalatest instead of a hash oracle
+  // sketch family: bounds asserted in scalatest instead of a hash oracle;
+  // q_text_bpe_encode applies the SEQUENTIAL trainer's merge list (not
+  // single-query SQL) — statistics oracle-pinned via q_text_bpe_pairs,
+  // semantics via BpeSpec (losslessness, convention, determinism)
   private val noOracle =
-    Set("q_agg_approx_distinct", "q_agg_approx_percentile", "q_text_heavyhitters")
+    Set("q_agg_approx_distinct", "q_agg_approx_percentile", "q_text_heavyhitters",
+      "q_text_bpe_encode")
 
   test("oracle keys ⊆ query keys, and only justified omissions") {
     val q = SparkEntry.queries.keySet
