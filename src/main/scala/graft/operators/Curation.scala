@@ -178,7 +178,7 @@ object Curation extends QueryPack {
     * the eval-suite universe stays a few MB of broadcast bits at any
     * corpus size. */
   private def benchBloomBytes(s: SparkSession, d: String): Array[Byte] =
-    Tables.memoizedOnDisk(s, d, "decontam_bloom_fpp02") {
+    Tables.memoizedOnDisk(s, d, s"decontam_bloom_m${BENCH_MOD}_k5_fpp02") {
       import s.implicits._
       val bench = sh5Shingles(s, d).where(col("doc_id") % BENCH_MOD === 0)
         .select("shingle").distinct()

@@ -55,6 +55,28 @@ object Layout extends QueryPack {
   private[graft] def morton(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
+  /** Normalize two dimensions of `df` onto the [0, 2^16) grid: bounds
+    * from a 1-row broadcast min/max aggregate; the integer dim divides
+    * by (range + 1) for a half-open cell, the double dim by a range
+    * widened 1e-7 relatively (so max lands strictly inside the top
+    * cell), floored at 1e-9 so a CONSTANT column grades to cell 0
+    * instead of 0/0 = NaN → null. ONE owner for the grid contract —
+    * the layout query, its oracle mirror, and the writeZOrdered sink
+    * spec all ride this definition. */
+  private[graft] def gridNormalized(df: DataFrame, id: String,
+      xc: String, yc: String): DataFrame = {
+    val bounds = df.agg(
+      min(col(xc)).as("x_min"), max(col(xc)).as("x_max"),
+      min(col(yc)).as("y_min"), max(col(yc)).as("y_max"))
+    val side = lit((1L << GRID_BITS).toDouble)
+    val xN = floor((col(xc) - col("x_min")).cast(DoubleType) * side /
+      (col("x_max") - col("x_min") + 1).cast(DoubleType)).cast(LongType)
+    val yN = floor((col(yc) - col("y_min")) * side /
+      greatest((col("y_max") - col("y_min")) * 1.0000001, lit(1e-9))).cast(LongType)
+    df.crossJoin(broadcast(bounds))
+      .select(col(id), xN.as("xg"), yN.as("yg"))
+  }
+
   /** Oracle-side mirror of [[spread]]/[[morton]] as SQL text. */
   private def spreadSql(v: String): String = {
     val s1 = s"((($v) | (($v) << 8)) & 16711935)"
@@ -73,20 +95,8 @@ object Layout extends QueryPack {
     // the fixed query box intersects the envelope — the bucket would be
     // READ. Sum(box_hit) over the two layouts is the pruning story.
     "q_layout_zorder" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      val bounds = orders.agg(
-        min(col("o_custkey")).as("x_min"), max(col("o_custkey")).as("x_max"),
-        min(col("o_totalprice")).as("y_min"), max(col("o_totalprice")).as("y_max"))
-      val side = lit((1L << GRID_BITS).toDouble)
-      // half-open normalization to [0, 2^16): (v−min)/(max−min+1) for the
-      // integer dim; the double dim divides by a width widened by 1 ulp-
-      // scale epsilon so max lands strictly inside the top cell
-      val xN = floor((col("o_custkey") - col("x_min")).cast(DoubleType) * side /
-        (col("x_max") - col("x_min") + 1).cast(DoubleType)).cast(LongType)
-      val yN = floor((col("o_totalprice") - col("y_min")) * side /
-        ((col("y_max") - col("y_min")) * 1.0000001)).cast(LongType)
-      val graded = orders.crossJoin(broadcast(bounds))
-        .select(col("o_orderkey"), xN.as("xg"), yN.as("yg"))
+      val graded = gridNormalized(t(s, d, "orders"),
+          "o_orderkey", "o_custkey", "o_totalprice")
         .withColumn("z", morton(col("xg"), col("yg")))
       val zBucket = shiftright(col("z"), 2 * GRID_BITS - N_BUCKET_BITS)
       val xBucket = shiftright(col("xg"), GRID_BITS - N_BUCKET_BITS)
@@ -116,7 +126,7 @@ object Layout extends QueryPack {
          |   CAST(floor(CAST(o_custkey - x_min AS DOUBLE) * 65536.0
          |     / CAST(x_max - x_min + 1 AS DOUBLE)) AS BIGINT) AS xg,
          |   CAST(floor((o_totalprice - y_min) * 65536.0
-         |     / ((y_max - y_min) * 1.0000001)) AS BIGINT) AS yg
+         |     / greatest((y_max - y_min) * 1.0000001, 1e-9)) AS BIGINT) AS yg
          |  FROM orders CROSS JOIN bounds),
          |z AS (SELECT *, $z AS zval FROM graded),
          |env AS (

@@ -166,9 +166,8 @@ object Streaming extends QueryPack {
         .unionAll(p.agg(count(lit(1)).as("n")).select(lit(3).as("step"), lit("purchase").as("stage"), col("n")))
       val w = Window.orderBy("step") // 3 rows — not a corpus sort
       steps
-        .withColumn("conv",
-          r4(col("n").cast("double") / first(col("n")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .withColumn("conv", // step-to-step: n / previous stage's n (step 1 → 1.0)
+          r4(col("n").cast("double") / coalesce(lag(col("n"), 1).over(w), col("n"))))
         .orderBy("step")
     }),
 
@@ -283,8 +282,7 @@ object Streaming extends QueryPack {
          |  UNION ALL
          |  SELECT 3, 'purchase', count(*) FROM p)
          |SELECT step, stage, n,
-         | ${r4sql("CAST(n AS DOUBLE) / first_value(n) OVER " +
-                   "(ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS conv
+         | ${r4sql("CAST(n AS DOUBLE) / coalesce(lag(n) OVER (ORDER BY step), n)")} AS conv
          |FROM steps ORDER BY step""".stripMargin,
     "q_event_retention" ->
       s"""WITH ev AS (

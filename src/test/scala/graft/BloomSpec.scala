@@ -40,7 +40,7 @@ class BloomSpec extends AnyFunSuite {
       .select(BloomExprs.bloomMightContain(bytes, col("s")).as("m"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
     assert(viaCol(0) == true && viaCol(2) == null)
-    val viaSql = Seq(Some("a"), Some("zzz"), None).toDF("s")
+    Seq(Some("a"), Some("zzz"), None).toDF("s")
       .createOrReplaceTempView("bloom_probe_fixture")
     val rows = spark.sql(
       "SELECT bloom_might_contain_str(X'" +
@@ -59,15 +59,16 @@ class BloomSpec extends AnyFunSuite {
   test("the bloom probe sits below the confirm join in the physical plan") {
     val df = SparkEntry.queries("q_decontaminate_bloom")(spark, TestSpark.SF)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    // final plan only — AQE appends an "== Initial Plan ==" section that
+    // re-prints every operator
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     val probeAt = p.indexOf("bloom_might_contain_str")
     assert(probeAt >= 0, s"bloom probe missing from the plan:\n$p")
-    // the confirm join must appear ABOVE (before, in toString preorder)
-    // the probe filter — the prefilter runs in the scan stage. First
-    // occurrences only: AQE appends an "== Initial Plan ==" section that
-    // re-prints every operator.
-    val joinAt = p.indexOf("HashJoin")
-    assert(joinAt >= 0 && joinAt < probeAt,
-      s"probe does not sit below the confirm join:\n$p")
+    // EVERY join must appear above (before, in toString preorder) the
+    // probe filter: the prefilter sits in the scan stage under the
+    // confirm join, never hoisted above it
+    val lastJoinAt = p.lastIndexOf("HashJoin")
+    assert(lastJoinAt >= 0 && lastJoinAt < probeAt,
+      s"probe does not sit below every join:\n$p")
   }
 }

@@ -311,17 +311,11 @@ class SinkSpec extends AnyFunSuite {
   }
 
   test("z-ordered write bounds BOTH dims per file; single-key sort does not") {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
-    val orders = Tables.t(spark, sf, "orders")
-    val bounds = orders.agg(
-      min(col("o_custkey")).as("x_min"), max(col("o_custkey")).as("x_max"),
-      min(col("o_totalprice")).as("y_min"), max(col("o_totalprice")).as("y_max"))
-    val xN = floor((col("o_custkey") - col("x_min")).cast(DoubleType) * 65536.0 /
-      (col("x_max") - col("x_min") + 1).cast(DoubleType)).cast(LongType)
-    val yN = floor((col("o_totalprice") - col("y_min")) * 65536.0 /
-      ((col("y_max") - col("y_min")) * 1.0000001)).cast(LongType)
-    val graded = orders.crossJoin(broadcast(bounds))
-      .select(col("o_orderkey"), xN.as("xg"), yN.as("yg"))
+    import org.apache.spark.sql.types.DoubleType
+    // the one grid contract: the same normalization the layout query and
+    // the writeZOrdered caller use
+    val graded = graft.operators.Layout.gridNormalized(
+      Tables.t(spark, sf, "orders"), "o_orderkey", "o_custkey", "o_totalprice")
 
     def spanSums(dir: String): (Double, Double) = {
       // per-file envelopes from the actual written files — what parquet
@@ -350,6 +344,7 @@ class SinkSpec extends AnyFunSuite {
     assert(zx + zy < lx + ly,
       s"z-order total envelope not tighter: z=${zx + zy} linear=${lx + ly}")
     // and the write round-trips the rows intact
-    assert(spark.read.parquet(zDir).count() == orders.count())
+    assert(spark.read.parquet(zDir).count() ==
+      Tables.t(spark, sf, "orders").count())
   }
 }
