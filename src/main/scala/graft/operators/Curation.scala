@@ -38,6 +38,9 @@ object Curation extends QueryPack {
     * for "this doc is in an eval suite", mirrored verbatim in the oracle. */
   private val BENCH_MOD = 97
 
+  /** Sample size for q_sample_weighted. */
+  private val SAMPLE_K = 200
+
   /** All (non-distinct) bigrams of an already-materialized tokens column —
     * unlike [[LlmPipeline.shingles]] this keeps duplicates, because
     * repetition scoring needs the full multiset. */
@@ -245,6 +248,26 @@ object Curation extends QueryPack {
         .agg(count(lit(1)).as("n_total"), count_if(keep).as("n_sampled"))
         .withColumn("rate_real", r4(col("n_sampled") / col("n_total")))
         .orderBy("lang")
+    }),
+
+    // Priority-sampling (Efraimidis–Spirakis A-ES) weighted sampling
+    // WITHOUT replacement: each doc draws key = ln(u)/w from a
+    // deterministic per-doc uniform u (md5 bucket, reproducible across
+    // engines/cluster sizes/reruns) and weight w = n_chars; the K largest
+    // keys are the sample — inclusion probability ∝ weight, single pass.
+    // Fully data-parallel: the key is a per-row projection and selection
+    // is ONE TakeOrderedAndProject (map-side partial top-K per partition;
+    // ~K rows cross to the final at any corpus size — no corpus shuffle).
+    // The key is pre-rounded (4dp on the ×1e6 scale) with a doc_id
+    // tiebreak so the cut line is engine-portable.
+    "q_sample_weighted" -> ((s, d) => {
+      val u = (h60(col("doc_id").cast(StringType)) % 1000000 + 0.5) / 1000000.0
+      val key = r4(log(u) * 1000000.0 / col("n_chars"))
+      t(s, d, "documents")
+        .where(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), key.as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(SAMPLE_K)
     }),
 
     // Within-doc repetition scoring (Gopher-style quality rule): the
@@ -517,6 +540,12 @@ object Curation extends QueryPack {
          |SELECT h.doc_id, h.n_hits, n.n_shingles,
          | ${r4sql("CAST(h.n_hits AS DOUBLE) / n.n_shingles")} AS contam_frac
          |FROM hits h JOIN nsh n USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars,
+         | ${r4sql("ln((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1000000 + 0.5)" +
+                   " / 1000000.0) * 1000000.0 / n_chars")} AS es_key
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY es_key DESC, doc_id LIMIT $SAMPLE_K""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT lang, n_total, n_sampled,
          | ${r4sql("CAST(n_sampled AS DOUBLE) / n_total")} AS rate_real

@@ -171,6 +171,25 @@ object Streaming extends QueryPack {
         .orderBy("step")
     }),
 
+    // First-order Markov transition matrix over each user's event stream:
+    // (state → next state) hop counts and the per-state transition
+    // probability — the model a sessionization / next-event-prediction
+    // pipeline fits from raw events. One shuffle (the per-user window);
+    // the matrix itself is |event types|² rows, so the probability
+    // normalization window runs over a handful of aggregate rows.
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val hops = t(s, d, "events")
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .where(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      hops
+        .withColumn("p", r4(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type"))))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Cohort retention: users grouped by first-seen week, activity
     // counted per (cohort, week offset). Week ids are integer epoch-week
     // arithmetic (engine-portable — calendar week truncation differs
@@ -284,6 +303,16 @@ object Streaming extends QueryPack {
          |SELECT step, stage, n,
          | ${r4sql("CAST(n AS DOUBLE) / coalesce(lag(n) OVER (ORDER BY step), n)")} AS conv
          |FROM steps ORDER BY step""".stripMargin,
+    "q_event_transitions" ->
+      s"""WITH hops AS (
+         |  SELECT event_type AS from_type,
+         |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |m AS (SELECT from_type, to_type, count(*) AS n
+         |      FROM hops WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, n,
+         | ${r4sql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)")} AS p
+         |FROM m ORDER BY from_type, to_type""".stripMargin,
     "q_event_retention" ->
       s"""WITH ev AS (
          |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS et FROM events),

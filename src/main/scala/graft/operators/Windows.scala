@@ -4,6 +4,7 @@ import graft.{QueryPack, Tables}
 import graft.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
 
 /** Window functions — SURVEY.md §3B #27–31. Upstream analogs: plotorder
   * ranking, image_change / collect-`difference` day deltas, cumulative SWI,
@@ -97,6 +98,36 @@ object Windows extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // SCD Type-2 dimension build via gaps-and-islands: collapse each
+    // customer's consecutive same-status order runs into validity
+    // intervals [valid_from, valid_to) with a current-interval flag — the
+    // slowly-changing-dimension construction a warehouse load derives from
+    // an event/order history. ONE shuffle on o_custkey serves all three
+    // window passes (change flag → island id → interval close; same
+    // partition key, Catalyst reuses the exchange), and the interval close
+    // runs over the already-collapsed runs (≤ #status changes per
+    // customer), not the raw history.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val runs = t(s, d, "orders")
+        .withColumn("chg",
+          when(lag(col("o_orderstatus"), 1).over(w) === col("o_orderstatus"), 0)
+            .otherwise(1))
+        .withColumn("island", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(LongType))
+        .groupBy("o_custkey", "island", "o_orderstatus")
+        .agg(min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_orders"))
+      val iv = Window.partitionBy("o_custkey").orderBy("island")
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(iv))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("o_custkey", "island", "o_orderstatus", "valid_from",
+          "valid_to", "n_orders", "is_current")
+        .orderBy("o_custkey", "island")
+    }),
+
     // #31 arg-max per group with a unique struct tiebreak (max_by over a
     // non-unique key alone is nondeterministic). Analog: peak-SWE date.
     "q_argmax" -> ((s, d) =>
@@ -159,6 +190,28 @@ object Windows extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_scd2" ->
+      """WITH isl AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus,
+        |   CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM (
+        |    SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |     CASE WHEN lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |       ORDER BY o_orderdate, o_orderkey) = o_orderstatus
+        |      THEN 0 ELSE 1 END AS chg
+        |    FROM orders)),
+        |runs AS (
+        |  SELECT o_custkey, island, o_orderstatus,
+        |   min(o_orderdate) AS valid_from, count(*) AS n_orders
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT o_custkey, island, o_orderstatus, valid_from,
+        | lead(valid_from) OVER w AS valid_to, n_orders,
+        | (lead(valid_from) OVER w IS NULL) AS is_current
+        |FROM runs
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY island)
+        |ORDER BY o_custkey, island""".stripMargin,
     "q_argmax" ->
       """SELECT o_custkey, o_orderkey AS top_order,
         | CAST(round(CAST(top_price AS DECIMAL(38,6)), 4) AS DOUBLE) AS top_price

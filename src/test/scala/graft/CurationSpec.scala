@@ -129,4 +129,35 @@ class CurationSpec extends AnyFunSuite {
       assert(ct == sorted.drop(i).map(_._3).sum)
     }
   }
+
+  test("q_sample_weighted: exact top-K by the ES key (plain-Scala reference), zero shuffles") {
+    val df = q("q_sample_weighted")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"weighted sampling must not shuffle:\n$p")
+
+    // independent reference: same formula from raw bytes up (MessageDigest
+    // md5 ↔ Spark md5; BigDecimal two-step half-up ↔ Tables.r4)
+    def esKey(docId: Long, nChars: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val b = java.lang.Long.parseLong(hex, 16) % 1000000
+      val raw = math.log((b + 0.5) / 1000000.0) * 1000000.0 / nChars
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val corpus = Tables.t(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    val expect = corpus.map { case (id, n) => (id, esKey(id, n)) }
+      .sortBy { case (id, k) => (-k, id) }.take(200).toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == expect)
+    // weighting works: long docs are overrepresented vs a uniform draw
+    val meanAll = corpus.map(_._2).sum.toDouble / corpus.length
+    val meanSampled = got.map(x => corpus.toMap.apply(x._1)).sum.toDouble / got.length
+    assert(meanSampled > meanAll,
+      s"length-weighted sample mean $meanSampled !> corpus mean $meanAll")
+  }
 }

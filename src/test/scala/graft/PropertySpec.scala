@@ -251,4 +251,56 @@ class PropertySpec extends AnyFunSuite {
       assert((got((x, y)) >> 30) == quad, s"quadrant of ($x,$y)")
     }
   }
+
+  test("q_scd2 intervals == a plain-Scala run-length fold of each customer's history") {
+    val got = SparkEntry.queries("q_scd2")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    import java.time.{LocalDateTime, ZoneOffset}
+    val hist = graft.Tables.t(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[LocalDateTime](2), r.getString(3)))
+      .groupBy(_._1)
+    assert(got.keySet == hist.keySet)
+    hist.foreach { case (ck, os) =>
+      // reference: sort by (date, orderkey), fold consecutive same-status
+      // runs into (status, firstDate, n)
+      val sorted = os.sortBy(o =>
+        (o._3.toEpochSecond(ZoneOffset.UTC), o._3.getNano, o._2)).toList
+      val runs = sorted.foldLeft(List.empty[(String, LocalDateTime, Long)]) {
+        case ((st, from, n) :: tl, o) if st == o._4 => (st, from, n + 1) :: tl
+        case (acc, o) => (o._4, o._3, 1L) :: acc
+      }.reverse
+      val rows = got(ck).sortBy(_.getLong(1))
+      assert(rows.map(_.getLong(1)).toSeq == (1L to runs.length), s"cust $ck island ids")
+      rows.zip(runs).foreach { case (r, (st, from, n)) =>
+        assert(r.getString(2) == st && r.getAs[LocalDateTime](3) == from && r.getLong(5) == n,
+          s"cust $ck run mismatch")
+      }
+      // intervals tile: valid_to(i) = valid_from(i+1); exactly one current
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[LocalDateTime](4) == b.getAs[LocalDateTime](3), s"cust $ck gap")
+          assert(a.getString(2) != b.getString(2), s"cust $ck unmerged run")
+        case _ =>
+      }
+      assert(rows.init.forall(!_.getBoolean(6)) && rows.last.getBoolean(6))
+      assert(rows.last.isNullAt(4))
+    }
+  }
+
+  test("q_event_transitions conserves hops and normalizes per-state probabilities") {
+    val m = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
+    val ev = graft.Tables.t(spark, sf, "events")
+    val total = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    // each user's k events contribute exactly k-1 hops
+    assert(m.map(_.getLong(2)).sum == total - users,
+      s"hops ${m.map(_.getLong(2)).sum} != $total - $users")
+    m.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val psum = rs.map(_.getDouble(3)).sum
+      // each p is 4dp-rounded → tolerance half-ulp per row
+      assert(math.abs(psum - 1.0) <= 0.5e-4 * rs.length + 1e-9,
+        s"P(·|$from) sums to $psum")
+    }
+  }
 }
