@@ -60,6 +60,45 @@ object Profiling extends QueryPack {
         .orderBy("col_name")
     }),
 
+    // Declarative data-quality constraint suite (Deequ-style): each check
+    // reduces to a fraction-conforming metric compared against a 1.0
+    // threshold — completeness, key uniqueness, referential integrity,
+    // value domain, numeric range. ONE aggregate pass per table (a single
+    // distinct-agg keeps the plan Expand-free) plus one broadcast
+    // anti-join for RI; verdict rows are a stack over the 1-row
+    // aggregates. unique_l_orderkey is a deliberately violated constraint
+    // (lineitem has multiple lines per order) so both verdicts appear.
+    "q_dq_checks" -> ((s, d) => {
+      val liA = t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        count_if(col("l_shipdate").isNotNull).as("n_ship"),
+        countDistinct(col("l_orderkey")).as("nd_ok"),
+        count_if(col("l_returnflag").isin("A", "N", "R")).as("n_flag"),
+        count_if(col("l_discount") >= 0 && col("l_discount") <= 0.1).as("n_disc"))
+      val ord = t(s, d, "orders")
+      val orA = ord.agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("nd"))
+      // customer keys are a dimension — broadcast anti-join, no shuffle
+      val riA = ord.join(broadcast(t(s, d, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_viol"))
+      val liRows = liA.select(expr(
+        """stack(4,
+          | 'complete_l_shipdate', CAST(n_ship AS DOUBLE) / n,
+          | 'unique_l_orderkey',   CAST(nd_ok AS DOUBLE) / n,
+          | 'domain_l_returnflag', CAST(n_flag AS DOUBLE) / n,
+          | 'range_l_discount',    CAST(n_disc AS DOUBLE) / n
+          |) AS (check_name, metric)""".stripMargin))
+      val orRows = orA.crossJoin(riA).select(expr(
+        """stack(2,
+          | 'unique_o_orderkey',  CAST(nd AS DOUBLE) / n,
+          | 'ri_orders_customer', 1.0 - CAST(n_viol AS DOUBLE) / n
+          |) AS (check_name, metric)""".stripMargin))
+      liRows.unionAll(orRows)
+        .select(col("check_name"), r4(col("metric")).as("metric"),
+          lit(1.0).as("threshold"), (r4(col("metric")) >= 1.0).as("pass"))
+        .orderBy("check_name")
+    }),
+
     // Pairwise Pearson correlation matrix (upper triangle) over the
     // numeric measures — ONE aggregate pass computes all 6 co-moments,
     // then a literal-driven unpivot emits the pair rows.
@@ -99,6 +138,27 @@ object Profiling extends QueryPack {
           str("l_returnflag"), str("l_linestatus"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "q_dq_checks" ->
+      s"""WITH li AS (
+         |  SELECT count(*) AS n,
+         |   count(*) FILTER (WHERE l_shipdate IS NOT NULL) AS n_ship,
+         |   count(DISTINCT l_orderkey) AS nd_ok,
+         |   count(*) FILTER (WHERE l_returnflag IN ('A','N','R')) AS n_flag,
+         |   count(*) FILTER (WHERE l_discount >= 0 AND l_discount <= 0.1) AS n_disc
+         |  FROM lineitem),
+         |ord AS (SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd FROM orders),
+         |ri AS (SELECT count(*) AS n_viol FROM orders o
+         |       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+         |m AS (
+         |  SELECT 'complete_l_shipdate' AS check_name, CAST(n_ship AS DOUBLE)/n AS metric FROM li
+         |  UNION ALL SELECT 'unique_l_orderkey',   CAST(nd_ok AS DOUBLE)/n FROM li
+         |  UNION ALL SELECT 'domain_l_returnflag', CAST(n_flag AS DOUBLE)/n FROM li
+         |  UNION ALL SELECT 'range_l_discount',    CAST(n_disc AS DOUBLE)/n FROM li
+         |  UNION ALL SELECT 'unique_o_orderkey',   CAST(nd AS DOUBLE)/n FROM ord
+         |  UNION ALL SELECT 'ri_orders_customer',  1.0 - CAST(n_viol AS DOUBLE)/(SELECT n FROM ord) FROM ri)
+         |SELECT check_name, ${r4sql("metric")} AS metric,
+         | 1.0 AS threshold, (${r4sql("metric")} >= 1.0) AS pass
+         |FROM m ORDER BY check_name""".stripMargin,
     "q_profile_corr" -> {
       val pairs = for {
         i <- CORR_COLS.indices; j <- CORR_COLS.indices if i < j

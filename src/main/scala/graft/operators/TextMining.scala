@@ -271,7 +271,45 @@ object TextMining extends QueryPack {
       Bpe.pairCounts(Bpe.initVocab(t(s, d, "documents")))
         .select(col("pair"), col("cnt"))
         .orderBy(desc("cnt"), col("pair")).limit(20)),
+
+    // Fuzzy self-join via FastSS deletion-neighborhood blocking: two
+    // names match when levenshtein ≤ 1. Every string emits its len+1
+    // single-deletion variants plus itself — LINEAR ×(len+2) blowup — and
+    // candidates are pairs sharing a variant key, versus the quadratic
+    // all-pairs scan the oracle runs. Recall is exact: a substitution
+    // pair shares the variant deleting the differing position, an
+    // insert/delete pair shares the shorter string itself. Sharing a
+    // variant bounds true distance at 2, so the exact levenshtein ≤ 1
+    // confirm on the (already narrow) candidates restores precision.
+    // The %10 universe cap exists ONLY to keep the oracle's O(n²) side
+    // tractable at bench scale — the blocked plan needs no cap.
+    "q_join_fuzzy" -> ((s, d) =>
+      fuzzySelfJoin(t(s, d, "customer").where(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("k"), col("c_name").as("nm")))
+        .orderBy("k_a", "k_b")),
   )
+
+  /** Edit-distance-≤1 self-join over `names(k, nm)` via FastSS deletion-
+    * neighborhood blocking. Recall is exact: a substitution pair shares
+    * the variant deleting the differing position; an insert/delete pair
+    * shares the shorter string itself. Sharing a variant bounds true
+    * distance at 2, so the exact levenshtein confirm on the (already
+    * narrow, blocked) candidates restores precision with no recall loss. */
+  private[graft] def fuzzySelfJoin(names: DataFrame): DataFrame = {
+    // array_distinct BEFORE the explode: repeated chars emit duplicate
+    // variants, and deduping inside the row array costs nothing, while a
+    // post-explode distinct would be a corpus-scale shuffle
+    val vars = names.select(col("k"), col("nm"), explode(expr(
+        "array_distinct(transform(sequence(0, length(nm)), " +
+        "i -> concat(substring(nm, 1, i), substring(nm, i+2))))")).as("v"))
+    val cand = vars.as("a").join(vars.as("b"),
+        col("a.v") === col("b.v") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("k_a"), col("a.nm").as("nm_a"),
+        col("b.k").as("k_b"), col("b.nm").as("nm_b"))
+      .distinct()
+    cand.where(levenshtein(col("nm_a"), col("nm_b")) <= 1)
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")))
+  }
 
   def oracle: Seq[(String, String)] = Seq(
     "q_text_bm25" -> {
@@ -366,5 +404,14 @@ object TextMining extends QueryPack {
         | CAST(sum(wc) AS BIGINT) AS cnt
         |FROM wp GROUP BY 1
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    // deliberately the naive quadratic formulation — the ground truth the
+    // blocked plan must reproduce exactly
+    "q_join_fuzzy" ->
+      """WITH u AS (
+        |  SELECT c_custkey AS k, c_name AS nm FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT a.k AS k_a, a.nm AS nm_a, b.k AS k_b, b.nm AS nm_b,
+        | CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        |FROM u a JOIN u b ON a.k < b.k AND levenshtein(a.nm, b.nm) <= 1
+        |ORDER BY k_a, k_b""".stripMargin,
   )
 }

@@ -288,6 +288,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_dq_checks verdicts: the planted violation fails, clean constraints pass") {
+    val rows = SparkEntry.queries("q_dq_checks")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(rows.size == 6)
+    rows.foreach { case (name, (metric, pass)) =>
+      assert(pass == (metric >= 1.0), s"$name verdict inconsistent with metric")
+      assert(metric >= 0.0 && metric <= 1.0, s"$name metric $metric out of [0,1]")
+    }
+    // lineitem has multiple lines per order — planted failure
+    assert(!rows("unique_l_orderkey")._2)
+    // the synthetic tables are clean on everything else
+    Seq("complete_l_shipdate", "unique_o_orderkey", "ri_orders_customer",
+      "domain_l_returnflag", "range_l_discount")
+      .foreach(n => assert(rows(n)._2, s"$n should pass on the fixture"))
+  }
+
   test("q_event_transitions conserves hops and normalizes per-state probabilities") {
     val m = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
     val ev = graft.Tables.t(spark, sf, "events")

@@ -183,4 +183,29 @@ class TextMiningSpec extends AnyFunSuite {
     }
     cont.values.foreach(c => assert(c >= 0.9 && c <= 1.0))
   }
+
+  test("fuzzySelfJoin == naive all-pairs levenshtein on random variable-length strings") {
+    import spark.implicits._
+    // small alphabet + short lengths → dense distance-1 neighborhoods,
+    // INCLUDING insert/delete pairs (different lengths), which the
+    // fixed-length customer fixture cannot produce
+    val rnd = new scala.util.Random(7)
+    val names = (0L until 120L)
+      .map(i => (i, (1 to (1 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+      .toDF("k", "nm")
+    val blocked = graft.operators.TextMining.fuzzySelfJoin(names)
+      .select("k_a", "k_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val naive = names.as("a").crossJoin(names.as("b"))
+      .where(col("a.k") < col("b.k") &&
+        levenshtein(col("a.nm"), col("b.nm")) <= 1)
+      .select(col("a.k"), col("b.k"), levenshtein(col("a.nm"), col("b.nm")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(naive.nonEmpty && naive.exists(_._3 == 1), "fixture produced no fuzzy pairs")
+    assert(blocked == naive)
+    // and the production plan blocks on an equi-key — no quadratic operator
+    val p = SparkEntry.queries("q_join_fuzzy")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
