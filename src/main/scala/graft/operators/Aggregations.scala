@@ -258,7 +258,44 @@ object Aggregations extends QueryPack {
           count_if(col("value") > 500).as("n_gt500"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
+
+    // Incremental materialized-view maintenance: the historical rollup is
+    // a PERSISTED artifact (aggregated once, reread thereafter); each
+    // refresh aggregates ONLY the delta partition (filter pushed to the
+    // scan) and merges via the aggregates' own combine algebra —
+    // sum+sum, min/min, max/max over DECIMAL partials, avg recomposed at
+    // the end. At 100 TB the refresh cost is O(delta), not O(corpus),
+    // and the merge is exact (decimal partials), not approximately
+    // re-averaged. The oracle recomputes from the full table — merged
+    // MUST equal recomputed.
+    "q_agg_incremental" -> ((s, d) => {
+      val split = lit(AGG_SPLIT).cast("timestamp")
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DEC)).as("sum_price"),
+            min(col("o_orderdate")).as("first_order"),
+            max(col("o_orderdate")).as("last_order"))
+      val base = Tables.memoizedOnDisk(s, d, s"agg_base_orders_pre${AGG_SPLIT.take(4)}") {
+        rollup(t(s, d, "orders").where(col("o_orderdate") < split))
+      }
+      val delta = rollup(t(s, d, "orders").where(col("o_orderdate") >= split))
+      base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_price")).as("sp"),
+          min(col("first_order")).as("first_order"),
+          max(col("last_order")).as("last_order"))
+        .select(col("o_orderpriority"), col("n"),
+          col("sp").cast("double").as("sum_price"),
+          r4(col("sp").cast("double") / col("n")).as("avg_price"),
+          col("first_order"), col("last_order"))
+        .orderBy("o_orderpriority")
+    }),
   )
+
+  /** Base/delta boundary for q_agg_incremental (orders span 1995–2001). */
+  private val AGG_SPLIT = "2000-01-01"
 
   private val gsSelect =
     """ coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
@@ -361,6 +398,13 @@ object Aggregations extends QueryPack {
         | count(*) FILTER (WHERE value > 500) AS n_gt500,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // full-table recompute — the incremental merge must equal it exactly
+    "q_agg_incremental" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+         | ${r4sql("CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)")} AS avg_price,
+         | min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,

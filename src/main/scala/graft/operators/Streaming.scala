@@ -20,6 +20,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Streaming extends QueryPack {
 
+  /** Session-inactivity gap (seconds) for q_event_paths; the fixture's
+    * median inter-event gap is ~7 h, so 6 h yields multi-event sessions. */
+  private val PATH_GAP = 21600L
+
   def queries: Seq[(String, Fn)] = Seq(
     // #47 1-hour tumbling window aggregate.
     "q_window_tumbling" -> ((s, d) =>
@@ -171,6 +175,34 @@ object Streaming extends QueryPack {
         .orderBy("step")
     }),
 
+    // Top user-journey paths: sessionize each user's stream by a 6-hour
+    // inactivity gap (gaps-and-islands — the batch twin of the streaming
+    // sessionizer), serialize each session's ordered event types into a
+    // path string, and rank paths by frequency. One shuffle on user_id
+    // (window + session agg share it), one tiny path-frequency agg, and a
+    // TakeOrderedAndProject for the top-20. The in-session ordering rides
+    // array_sort over (ts, event_id) structs — deterministic under any
+    // partial-aggregation order.
+    "q_event_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+          tsec(col("ts")).as("et"))
+        .withColumn("pet", lag(col("et"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("pet").isNull || col("et") - col("pet") > PATH_GAP, 1).otherwise(0))
+        .withColumn("sess", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      val paths = sess.groupBy("user_id", "sess")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"),
+          count(lit(1)).as("len"))
+      paths.groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"), r4(avg(col("len"))).as("avg_len"))
+        .orderBy(desc("n_sessions"), col("path")).limit(20)
+    }),
+
     // First-order Markov transition matrix over each user's event stream:
     // (state → next state) hop counts and the per-state transition
     // probability — the model a sessionization / next-event-prediction
@@ -303,6 +335,26 @@ object Streaming extends QueryPack {
          |SELECT step, stage, n,
          | ${r4sql("CAST(n AS DOUBLE) / coalesce(lag(n) OVER (ORDER BY step), n)")} AS conv
          |FROM steps ORDER BY step""".stripMargin,
+    "q_event_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, ts,
+         |   CAST(floor(epoch(ts)) AS BIGINT) AS et,
+         |   lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+         |     (PARTITION BY user_id ORDER BY ts, event_id) AS pet
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CAST(sum(CASE WHEN pet IS NULL OR et - pet > $PATH_GAP
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+         |  FROM e),
+         |p AS (
+         |  SELECT user_id, sess,
+         |   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         |   count(*) AS len
+         |  FROM s GROUP BY 1, 2)
+         |SELECT path, count(*) AS n_sessions, ${r4sql("avg(len)")} AS avg_len
+         |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_event_transitions" ->
       s"""WITH hops AS (
          |  SELECT event_type AS from_type,

@@ -288,6 +288,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_incremental merge == direct recompute; refresh scans only the delta") {
+    val merged = q("q_agg_incremental").collect()
+    val direct = Tables.t(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(Tables.DEC)).as("sp"),
+        min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .orderBy("o_orderpriority").collect()
+    assert(merged.length == direct.length && merged.nonEmpty)
+    merged.zip(direct).foreach { case (m, r) =>
+      assert(m.getString(0) == r.getString(0))
+      assert(m.getLong(1) == r.getLong(1), s"${m.getString(0)} count")
+      assert(math.abs(m.getDouble(2) - r.getDecimal(2).doubleValue()) < 1e-6)
+      assert(m.getAs[Any](4) == r.getAs[Any](3) && m.getAs[Any](5) == r.getAs[Any](4))
+    }
+    // deterministic across reruns (the artifact is reread, not rebuilt)
+    assert(q("q_agg_incremental").collect().toSeq == merged.toSeq)
+    // the non-artifact side of the plan pushes the delta date filter into
+    // the orders scan — a refresh is O(delta), not O(corpus)
+    val p = q("q_agg_incremental").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"delta filter not pushed:\n$p")
+  }
+
+  test("q_event_paths: a path string fully determines session length") {
+    val rows = SparkEntry.queries("q_event_paths")(spark, sf).collect()
+    assert(rows.length == 20)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sameElements(ns.sorted.reverse), "not ranked by frequency")
+    rows.foreach { r =>
+      val (path, avgLen) = (r.getString(0), r.getDouble(2))
+      assert(avgLen == path.split(">").length.toDouble,
+        s"path '$path' avg_len $avgLen != component count")
+    }
+  }
+
   test("q_dq_checks verdicts: the planted violation fails, clean constraints pass") {
     val rows = SparkEntry.queries("q_dq_checks")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
