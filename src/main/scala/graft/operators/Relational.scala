@@ -348,6 +348,30 @@ object Relational extends QueryPack {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)),
 
+    // 2-D skyline (Pareto frontier): parts minimizing (price, size) under
+    // strict dominance. Composed from existing ops instead of the naive
+    // quadratic anti-join the oracle runs: a per-price min-size aggregate
+    // kills within-price domination, then a strict-prefix running min
+    // over the price-sorted FRONTIER CANDIDATES (|distinct prices| rows —
+    // already reduced by the group-by; for an unbounded price domain
+    // you'd bin prices first, the z-order grid pattern) kills cross-price
+    // domination, and a semi-join restores the surviving part rows.
+    // Linear + one small sorted pass vs the oracle's O(n²).
+    "q_skyline" -> ((s, d) => {
+      val parts = t(s, d, "part").where(col("p_partkey") % 5 === 0)
+      val g = parts.groupBy(col("p_retailprice"))
+        .agg(min(col("p_size")).as("min_size"))
+      val w = Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = g
+        .withColumn("pm", min(col("min_size")).over(w))
+        .where(col("pm").isNull || col("pm") > col("min_size"))
+        .select(col("p_retailprice"), col("min_size").as("p_size"))
+      parts.join(maybeBroadcast(frontier), Seq("p_retailprice", "p_size"))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    }),
+
     // #34 UNION ALL + DISTINCT. Analog: multi-run-dir concat.
     "q_union" -> ((s, d) =>
       t(s, d, "customer").select(col("c_nationkey").cast("int").as("k"))
@@ -554,6 +578,16 @@ object Relational extends QueryPack {
         |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    // deliberately the naive quadratic anti-join — the ground truth the
+    // composed (agg + prefix-min window + semi-join) plan must reproduce
+    "q_skyline" ->
+      """WITH u AS (SELECT * FROM part WHERE p_partkey % 5 = 0)
+        |SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM u a
+        |WHERE NOT EXISTS (SELECT 1 FROM u b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
     "q_sample_hash" ->
       """SELECT o_orderpriority, count(*) AS n_sampled,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price

@@ -324,6 +324,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_skyline == quadratic dominance filter on random points (ties + duplicates)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // small domains → price ties, size ties, duplicate frontier points
+    val pts = samples(for {
+      price <- Gen.choose(0, 30).map(_ / 2.0)
+      size <- Gen.choose(0, 30)
+    } yield (price, size), 400).zipWithIndex
+      .map { case ((p, sz), i) => (i.toLong * 5, s"part$i", p, sz) } // %5 keeps all
+    val dir = Files.createTempDirectory("graft-skyline").toString
+    pts.toDF("p_partkey", "p_name", "p_retailprice", "p_size")
+      .write.parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q_skyline")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val ref = pts.filter { case (_, _, p, sz) =>
+      !pts.exists { case (_, _, p2, sz2) =>
+        p2 <= p && sz2 <= sz && (p2 < p || sz2 < sz)
+      }
+    }.map(_._1).toSet
+    assert(ref.nonEmpty && got == ref,
+      s"missing=${ref -- got} extra=${got -- ref}")
+  }
+
   test("q_dq_checks verdicts: the planted violation fails, clean constraints pass") {
     val rows = SparkEntry.queries("q_dq_checks")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
