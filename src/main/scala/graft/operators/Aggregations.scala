@@ -259,6 +259,31 @@ object Aggregations extends QueryPack {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Robust outlier detection via median absolute deviation: per group,
+    // med = median(x), MAD = median(|x − med|), and a row is flagged when
+    // the Iglewicz–Hoaglin modified z-score 0.6745·(x−med)/MAD exceeds a
+    // threshold. Two percentile aggregates over ≤|group| rows each plus
+    // TWO broadcast joins of a ≤|groups|-row stats table — three linear
+    // passes, no corpus shuffle beyond the group aggs. Both medians are
+    // pre-rounded so the derived |x − med| multiset (and so the second
+    // percentile) is bit-identical across engines. The 1.2 threshold is
+    // fixture-calibrated: the synthetic values are uniform, which has NO
+    // 3.5-sigma tail — the operator shape, not the constant, is the point.
+    "q_agg_mad" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(r4(percentile(col("value"), lit(0.5))).as("med"))
+      val mad = ev.join(broadcast(med), "event_type") // ≤ |event types| rows
+        .groupBy("event_type", "med")
+        .agg(r4(percentile(abs(col("value") - col("med")), lit(0.5))).as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .withColumn("robust_z", r4(lit(0.6745) * (col("value") - col("med")) / col("mad")))
+        .where(abs(col("robust_z")) > MAD_Z)
+        .select(col("event_id"), col("event_type"), r4(col("value")).as("value"),
+          col("robust_z"))
+        .orderBy("event_id")
+    }),
+
     // Incremental materialized-view maintenance: the historical rollup is
     // a PERSISTED artifact (aggregated once, reread thereafter); each
     // refresh aggregates ONLY the delta partition (filter pushed to the
@@ -296,6 +321,9 @@ object Aggregations extends QueryPack {
 
   /** Base/delta boundary for q_agg_incremental (orders span 1995–2001). */
   private val AGG_SPLIT = "2000-01-01"
+
+  /** Modified-z threshold for q_agg_mad (see the query's scale note). */
+  private val MAD_Z = 1.2
 
   private val gsSelect =
     """ coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
@@ -398,6 +426,21 @@ object Aggregations extends QueryPack {
         | count(*) FILTER (WHERE value > 500) AS n_gt500,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_mad" ->
+      s"""WITH med AS (
+         |  SELECT event_type,
+         |   ${r4sql("quantile_cont(value, 0.5)")} AS med
+         |  FROM events GROUP BY 1),
+         |mad AS (
+         |  SELECT e.event_type, m.med,
+         |   ${r4sql("quantile_cont(abs(e.value - m.med), 0.5)")} AS mad
+         |  FROM events e JOIN med m USING (event_type) GROUP BY 1, 2),
+         |z AS (
+         |  SELECT e.event_id, e.event_type, e.value,
+         |   ${r4sql("0.6745 * (e.value - s.med) / s.mad")} AS robust_z
+         |  FROM events e JOIN mad s USING (event_type))
+         |SELECT event_id, event_type, ${r4sql("value")} AS value, robust_z
+         |FROM z WHERE abs(robust_z) > $MAD_Z ORDER BY event_id""".stripMargin,
     // full-table recompute — the incremental merge must equal it exactly
     "q_agg_incremental" ->
       s"""SELECT o_orderpriority, count(*) AS n,

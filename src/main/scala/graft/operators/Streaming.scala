@@ -175,6 +175,30 @@ object Streaming extends QueryPack {
         .orderBy("step")
     }),
 
+    // Trailing-7-day distinct active users per day — the scalable rewrite
+    // of the naive per-day COUNT(DISTINCT) over a range self-join (which
+    // rescans 7× per report day and keeps a distinct set per day): each
+    // (user, active-day) fact CONTRIBUTES to the 7 report days it covers
+    // (a bounded ×7 sequence-explode), one distinct pass dedups multiple
+    // active days inside a window, and a plain count per report day
+    // finishes — linear in activity, mergeable, no distinct state per
+    // day. Report days past the data's horizon are cut by a 1-row max.
+    "q_window_rolling_distinct" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"), tsec(col("ts")).as("et"))
+        .select(col("user_id"), expr("et div 86400").as("day"))
+        .distinct()
+      val maxd = act.agg(max(col("day")).as("maxd"))
+      act.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("rday"))
+        .distinct()
+        .crossJoin(broadcast(maxd))
+        .where(col("rday") <= col("maxd"))
+        .groupBy("rday").agg(count(lit(1)).as("active_7d"))
+        .select(col("rday").as("day"), col("active_7d"))
+        .orderBy("day")
+    }),
+
     // Top user-journey paths: sessionize each user's stream by a 6-hour
     // inactivity gap (gaps-and-islands — the batch twin of the streaming
     // sessionizer), serialize each session's ordered event types into a
@@ -335,6 +359,17 @@ object Streaming extends QueryPack {
          |SELECT step, stage, n,
          | ${r4sql("CAST(n AS DOUBLE) / coalesce(lag(n) OVER (ORDER BY step), n)")} AS conv
          |FROM steps ORDER BY step""".stripMargin,
+    "q_window_rolling_distinct" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS maxd FROM act),
+        |offs AS (SELECT unnest(generate_series(0, 6)) AS o),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + o AS rday FROM act CROSS JOIN offs)
+        |SELECT rday AS day, count(*) AS active_7d
+        |FROM contrib CROSS JOIN mx WHERE rday <= maxd
+        |GROUP BY rday ORDER BY day""".stripMargin,
     "q_event_paths" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, event_type, ts,

@@ -324,6 +324,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_mad flags exactly the rows the plain-Scala modified z-score flags") {
+    def median(xs: Seq[Double]): Double = { // interpolated, = percentile(0.5)
+      val s = xs.sorted; val p = (s.length - 1) * 0.5
+      val (lo, hi) = (s(p.toInt), s(math.ceil(p).toInt))
+      val m = lo + (hi - lo) * (p - p.toInt)
+      BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val stats = ev.groupBy(_._2).map { case (ty, rs) =>
+      val med = median(rs.map(_._3).toSeq)
+      ty -> (med, median(rs.map(r => math.abs(r._3 - med)).toSeq))
+    }
+    val expect = ev.filter { case (_, ty, v) =>
+      val (med, mad) = stats(ty)
+      math.abs(0.6745 * (v - med) / mad) > 1.2
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q_agg_mad")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.size < ev.length, "flagging is non-trivial")
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("q_window_rolling_distinct == brute-force trailing-window recount") {
+    val act = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "CAST(ts AS LONG) div 86400 AS day").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (minD, maxD) = (act.map(_._2).min, act.map(_._2).max)
+    val expect = (minD to maxD).map { d =>
+      d -> act.filter(a => a._2 >= d - 6 && a._2 <= d).map(_._1).distinct.length.toLong
+    }.toMap
+    val got = SparkEntry.queries("q_window_rolling_distinct")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the query reports every day that has a contributing window, min..max
+    assert(got == expect.filter(_._2 > 0))
+  }
+
   test("q_window_ewma == the sequential recursion it rewrites (plain-Scala fold)") {
     val got = SparkEntry.queries("q_window_ewma")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
