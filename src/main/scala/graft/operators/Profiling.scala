@@ -28,6 +28,9 @@ object Profiling extends QueryPack {
   /** Numeric columns profiled for correlation (ordered pairs a < b). */
   private val CORR_COLS = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** q_dq_kanon threshold (see the query's calibration note). */
+  private val KANON_K = 8
+
   def queries: Seq[(String, Fn)] = Seq(
 
     // Per-column census over lineitem: rows, nulls, exact distinct, and
@@ -99,6 +102,24 @@ object Profiling extends QueryPack {
         .orderBy("check_name")
     }),
 
+    // k-anonymity audit over a quasi-identifier tuple: a record is
+    // re-identifiable when its (segment, nation) equivalence class holds
+    // fewer than K members. ONE hash aggregate (map-side combinable) over
+    // the quasi-id, a risky flag per class, and the dataset's k-anonymity
+    // (the min class size) broadcast onto every row from a 1-row
+    // aggregate. K=8 is fixture-calibrated so the driver's sf0.01 gate
+    // sees both verdicts.
+    "q_dq_kanon" -> ((s, d) => {
+      val classes = t(s, d, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"))
+      val kAnon = classes.agg(min(col("n")).as("k_anonymity"))
+      classes.crossJoin(broadcast(kAnon))
+        .select(col("c_mktsegment"), col("c_nationkey"), col("n"),
+          (col("n") < KANON_K).as("risky"), col("k_anonymity"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
     // Pairwise Pearson correlation matrix (upper triangle) over the
     // numeric measures — ONE aggregate pass computes all 6 co-moments,
     // then a literal-driven unpivot emits the pair rows.
@@ -159,6 +180,14 @@ object Profiling extends QueryPack {
          |SELECT check_name, ${r4sql("metric")} AS metric,
          | 1.0 AS threshold, (${r4sql("metric")} >= 1.0) AS pass
          |FROM m ORDER BY check_name""".stripMargin,
+    "q_dq_kanon" ->
+      s"""WITH classes AS (
+         |  SELECT c_mktsegment, c_nationkey, count(*) AS n
+         |  FROM customer GROUP BY 1, 2),
+         |ka AS (SELECT min(n) AS k_anonymity FROM classes)
+         |SELECT c_mktsegment, c_nationkey, n, (n < $KANON_K) AS risky, k_anonymity
+         |FROM classes CROSS JOIN ka
+         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
     "q_profile_corr" -> {
       val pairs = for {
         i <- CORR_COLS.indices; j <- CORR_COLS.indices if i < j

@@ -35,6 +35,9 @@ object TextMining extends QueryPack {
 
   /** Chunk window (chars) and stride: 50-char overlap between windows. */
   private val CHUNK = 200
+
+  /** Feature-hashing dimensionality (q_feature_hash). */
+  private val FH_DIM = 64
   private val STRIDE = 150
 
   /** Collocation support floor: bigrams rarer than this carry no stable
@@ -272,6 +275,27 @@ object TextMining extends QueryPack {
         .select(col("pair"), col("cnt"))
         .orderBy(desc("cnt"), col("pair")).limit(20)),
 
+    // Hashing-trick featurization: each token lands in a fixed
+    // FH_DIM-bucket sparse vector via the portable 60-bit md5 hash —
+    // dimensionality is corpus-independent (no vocabulary build, no OOV
+    // path), the standard feature-engineering step before a linear model
+    // or a bucketed neighbor probe. Both aggregates are map-side
+    // combinable and nothing scales with vocabulary size; the sparse
+    // vector is serialized "bucket:count" (sorted in-row) because raw
+    // arrays can't cross the oracle bridge.
+    "q_feature_hash" -> ((s, d) => {
+      val buck = t(s, d, "documents")
+        .select(col("doc_id"), explode(LlmPipeline.toks(col("text"))).as("tok"))
+        .select(col("doc_id"), (h60(col("tok")) % FH_DIM).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      buck.groupBy("doc_id")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("b"), col("c")))),
+            x => concat_ws(":", x.getField("b"), x.getField("c"))), " ").as("features"),
+          count(lit(1)).as("n_dims"))
+        .orderBy("doc_id")
+    }),
+
     // Fuzzy self-join via FastSS deletion-neighborhood blocking: two
     // names match when levenshtein ≤ 1. Every string emits its len+1
     // single-deletion variants plus itself — LINEAR ×(len+2) blowup — and
@@ -404,6 +428,16 @@ object TextMining extends QueryPack {
         | CAST(sum(wc) AS BIGINT) AS cnt
         |FROM wp GROUP BY 1
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q_feature_hash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |bc AS (
+         |  SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT % $FH_DIM AS b,
+         |   count(*) AS c
+         |  FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, string_agg(b || ':' || c, ' ' ORDER BY b) AS features,
+         | count(*) AS n_dims
+         |FROM bc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // deliberately the naive quadratic formulation — the ground truth the
     // blocked plan must reproduce exactly
     "q_join_fuzzy" ->

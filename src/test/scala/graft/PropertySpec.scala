@@ -324,6 +324,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_dq_kanon: class sizes partition the table; k_anonymity is the floor") {
+    val rows = SparkEntry.queries("q_dq_kanon")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    val total = graft.Tables.t(spark, sf, "customer").count()
+    assert(rows.map(_._3).sum == total, "classes must partition the table")
+    val kmin = rows.map(_._3).min
+    rows.foreach { case (seg, nat, n, risky, k) =>
+      assert(k == kmin, s"($seg,$nat) k_anonymity $k != floor $kmin")
+      assert(risky == (n < 8), s"($seg,$nat) verdict")
+    }
+  }
+
+  test("q_feature_hash: bucket counts conserve tokens; buckets stay in range") {
+    val rows = SparkEntry.queries("q_feature_hash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tokCounts = graft.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(rows.length == tokCounts.size)
+    rows.foreach { case (id, feat, nDims) =>
+      val kv = feat.split(" ").map { f =>
+        val Array(b, c) = f.split(":"); (b.toLong, c.toLong)
+      }
+      assert(kv.length.toLong == nDims)
+      assert(kv.map(_._1).distinct.length == kv.length, s"doc $id dup buckets")
+      assert(kv.forall(p => p._1 >= 0 && p._1 < 64), s"doc $id bucket range")
+      assert(kv.sameElements(kv.sortBy(_._1)), s"doc $id not sorted")
+      assert(kv.map(_._2).sum == tokCounts(id), s"doc $id token conservation")
+    }
+  }
+
   test("q_agg_mad flags exactly the rows the plain-Scala modified z-score flags") {
     def median(xs: Seq[Double]): Double = { // interpolated, = percentile(0.5)
       val s = xs.sorted; val p = (s.length - 1) * 0.5
