@@ -317,7 +317,89 @@ object Aggregations extends QueryPack {
           col("first_order"), col("last_order"))
         .orderBy("o_orderpriority")
     }),
+
+    // Market-basket association rules with a-priori pruning: baskets are
+    // orders, items are parts. Items below the support floor are removed
+    // BEFORE pair generation (an infrequent item can never be in a
+    // frequent pair), so the within-basket self-join — the only
+    // superlinear step — runs over pruned baskets and its blowup is
+    // bounded by max basket size, never corpus size. The frequent-item
+    // list and the 1-row basket total ride broadcasts; everything else is
+    // a map-side-combinable count. The oracle runs the identical
+    // apriori CTE chain.
+    "q_assoc_rules" -> ((s, d) => {
+      val b = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+        .distinct()
+      val freq = b.groupBy("pkey").agg(count(lit(1)).as("n_item"))
+        .where(col("n_item") >= ASSOC_MIN_SUP)
+      val fb = b.join(maybeBroadcast(freq), Seq("pkey"))
+      val nBaskets = b.agg(countDistinct(col("okey")).as("n_baskets"))
+      fb.as("a")
+        .join(fb.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+        .groupBy(col("a.pkey").as("part_a"), col("b.pkey").as("part_b"),
+          col("a.n_item").as("n_a"), col("b.n_item").as("n_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= ASSOC_MIN_SUP)
+        .crossJoin(broadcast(nBaskets)) // 1-row aggregate
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          r4(col("n_ab").cast("double") / col("n_baskets")).as("support"),
+          r4(col("n_ab").cast("double") / col("n_a")).as("conf_a_b"),
+          r4(col("n_ab").cast("double") / col("n_b")).as("conf_b_a"),
+          r4(col("n_ab").cast("double") * col("n_baskets") /
+            (col("n_a") * col("n_b"))).as("lift"))
+        .orderBy(desc("n_ab"), col("part_a"), col("part_b"))
+    }),
+
+    // Welch two-sample t-test per nation: BUILDING vs MACHINERY customers'
+    // order totals. ONE joint aggregate pass computes both groups'
+    // (n, Σx, Σx²) as exact decimal partials — map-side combinable, no
+    // Expand — then a conditional pivot folds the two segment rows into
+    // one nation row and the t statistic and Welch–Satterthwaite df are
+    // pure arithmetic on identical doubles (deterministic IEEE ops on
+    // deterministic inputs, the q_agg_stats playbook). Nations lacking
+    // two samples on either side are excluded (t undefined).
+    "q_stats_ttest" -> ((s, d) => {
+      val x = col("o_totalprice")
+      val seg = t(s, d, "orders")
+        .join(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment").isin(TT_SEG_A, TT_SEG_B))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(DEC)).cast("double").as("sx"),
+          sum((x * x).cast(DEC)).cast("double").as("sxx"))
+      def side(tag: String, c: String) =
+        max(when(col("c_mktsegment") === tag, col(c))).as(s"${c}_${tag.take(1)}")
+      val wide = seg.groupBy("c_nationkey")
+        .agg(side(TT_SEG_A, "n"), side(TT_SEG_A, "sx"), side(TT_SEG_A, "sxx"),
+          side(TT_SEG_B, "n"), side(TT_SEG_B, "sx"), side(TT_SEG_B, "sxx"))
+        .where(col("n_B") > 1 && col("n_M") > 1)
+      def m(t: String) = col(s"sx_$t") / col(s"n_$t")
+      def v(t: String) = (col(s"n_$t") * col(s"sxx_$t") - col(s"sx_$t") * col(s"sx_$t")) /
+        (col(s"n_$t") * (col(s"n_$t") - 1))
+      val se2 = v("B") / col("n_B") + v("M") / col("n_M")
+      wide.select(col("c_nationkey"), col("n_B").as("n_a"), col("n_M").as("n_b"),
+          r4(m("B")).as("mean_a"), r4(m("M")).as("mean_b"),
+          r4((m("B") - m("M")) / sqrt(se2)).as("t_stat"),
+          r4(se2 * se2 / (
+            (v("B") / col("n_B")) * (v("B") / col("n_B")) / (col("n_B") - 1) +
+            (v("M") / col("n_M")) * (v("M") / col("n_M")) / (col("n_M") - 1)))
+            .as("df_welch"))
+        .orderBy("c_nationkey")
+    }),
   )
+
+  /** Support floor (baskets) for q_assoc_rules — fixture-calibrated so
+    * sf0.01 yields a stable frequent-pair set (63 pairs at n_ab ≥ 3). */
+  private val ASSOC_MIN_SUP = 3
+
+  /** q_stats_ttest segment pair (distinct first letters — the pivot
+    * suffixes `_B`/`_M` derive from them). */
+  private val TT_SEG_A = "BUILDING"
+  private val TT_SEG_B = "MACHINERY"
 
   /** Base/delta boundary for q_agg_incremental (orders span 1995–2001). */
   private val AGG_SPLIT = "2000-01-01"
@@ -458,5 +540,50 @@ object Aggregations extends QueryPack {
         |UNION ALL
         |SELECT l_returnflag, 'disc' AS measure, disc AS value FROM wide
         |ORDER BY l_returnflag, measure""".stripMargin,
+    "q_assoc_rules" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+         |f AS (SELECT pkey, count(*) AS n_item FROM b GROUP BY 1
+         |      HAVING count(*) >= $ASSOC_MIN_SUP),
+         |fb AS (SELECT b.okey, b.pkey, f.n_item FROM b JOIN f USING (pkey)),
+         |tot AS (SELECT count(DISTINCT okey) AS n_baskets FROM b),
+         |p AS (
+         |  SELECT a.pkey AS part_a, c.pkey AS part_b,
+         |   a.n_item AS n_a, c.n_item AS n_b, count(*) AS n_ab
+         |  FROM fb a JOIN fb c ON a.okey = c.okey AND a.pkey < c.pkey
+         |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $ASSOC_MIN_SUP)
+         |SELECT part_a, part_b, n_ab, n_a, n_b,
+         | ${r4sql("CAST(n_ab AS DOUBLE) / n_baskets")} AS support,
+         | ${r4sql("CAST(n_ab AS DOUBLE) / n_a")} AS conf_a_b,
+         | ${r4sql("CAST(n_ab AS DOUBLE) / n_b")} AS conf_b_a,
+         | ${r4sql("CAST(n_ab AS DOUBLE) * n_baskets / (n_a * n_b)")} AS lift
+         |FROM p CROSS JOIN tot
+         |ORDER BY n_ab DESC, part_a, part_b""".stripMargin,
+    "q_stats_ttest" ->
+      s"""WITH seg AS (
+         |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+         |   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |   CAST(sum(CAST(o_totalprice*o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment IN ('$TT_SEG_A', '$TT_SEG_B')
+         |  GROUP BY 1, 2),
+         |wide AS (
+         |  SELECT c_nationkey,
+         |   max(CASE WHEN c_mktsegment = '$TT_SEG_A' THEN n END) AS n_a,
+         |   max(CASE WHEN c_mktsegment = '$TT_SEG_A' THEN sx END) AS sx_a,
+         |   max(CASE WHEN c_mktsegment = '$TT_SEG_A' THEN sxx END) AS sxx_a,
+         |   max(CASE WHEN c_mktsegment = '$TT_SEG_B' THEN n END) AS n_b,
+         |   max(CASE WHEN c_mktsegment = '$TT_SEG_B' THEN sx END) AS sx_b,
+         |   max(CASE WHEN c_mktsegment = '$TT_SEG_B' THEN sxx END) AS sxx_b
+         |  FROM seg GROUP BY 1),
+         |d AS (
+         |  SELECT c_nationkey, n_a, n_b, sx_a / n_a AS m_a, sx_b / n_b AS m_b,
+         |   (n_a*sxx_a - sx_a*sx_a) / (n_a*(n_a-1)) / n_a AS vn_a,
+         |   (n_b*sxx_b - sx_b*sx_b) / (n_b*(n_b-1)) / n_b AS vn_b
+         |  FROM wide WHERE n_a > 1 AND n_b > 1)
+         |SELECT c_nationkey, n_a, n_b,
+         | ${r4sql("m_a")} AS mean_a, ${r4sql("m_b")} AS mean_b,
+         | ${r4sql("(m_a - m_b) / sqrt(vn_a + vn_b)")} AS t_stat,
+         | ${r4sql("(vn_a + vn_b)*(vn_a + vn_b) / (vn_a*vn_a/(n_a-1) + vn_b*vn_b/(n_b-1))")} AS df_welch
+         |FROM d ORDER BY c_nationkey""".stripMargin,
   )
 }

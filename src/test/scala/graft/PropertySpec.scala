@@ -355,6 +355,66 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_assoc_rules matches a brute-force basket recount (support/conf/lift)") {
+    val baskets = graft.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = baskets.map(_._1).distinct.length
+    val itemN = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = baskets.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairN.filter { case ((a, b), n) =>
+      n >= 3 && itemN(a) >= 3 && itemN(b) >= 3
+    }
+    val rows = q("q_assoc_rules").collect()
+    assert(rows.length == expected.size, "frequent-pair set size")
+    def r4d(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    rows.foreach { r =>
+      val (a, b, nab) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(expected((a, b)) == nab, s"pair ($a,$b) count")
+      assert(r.getLong(3) == itemN(a) && r.getLong(4) == itemN(b), s"item counts ($a,$b)")
+      assert(r4d(r.getDouble(5)) == r4d(nab.toDouble / nBaskets), s"support ($a,$b)")
+      assert(r4d(r.getDouble(6)) == r4d(nab.toDouble / itemN(a)), s"conf ($a,$b)")
+      assert(r4d(r.getDouble(8)) == r4d(nab.toDouble * nBaskets / (itemN(a) * itemN(b))),
+        s"lift ($a,$b)")
+    }
+  }
+
+  test("q_stats_ttest agrees with a plain-Scala Welch computation per nation") {
+    val raw = graft.Tables.t(spark, sf, "orders")
+      .join(graft.Tables.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select("c_nationkey", "c_mktsegment", "o_totalprice").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    def stats(xs: Seq[Double]) = {
+      // mirror the query: exact decimal Σx, Σx² then double arithmetic
+      val sx = xs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val sxx = xs.map(x => BigDecimal(x * x).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val n = xs.length
+      (n, sx / n, (n * sxx - sx * sx) / (n.toLong * (n - 1)) / n)
+    }
+    val rows = q("q_stats_ttest").collect()
+    val byNation = raw.groupBy(_._1)
+    val eligible = byNation.filter { case (_, g) =>
+      g.count(_._2 == "BUILDING") > 1 && g.count(_._2 == "MACHINERY") > 1
+    }
+    assert(rows.length == eligible.size, "eligible nation count")
+    rows.foreach { r =>
+      val g = byNation(r.getInt(0))
+      val (na, ma, vna) = stats(g.filter(_._2 == "BUILDING").map(_._3).toSeq)
+      val (nb, mb, vnb) = stats(g.filter(_._2 == "MACHINERY").map(_._3).toSeq)
+      val t = (ma - mb) / math.sqrt(vna + vnb)
+      val df = (vna + vnb) * (vna + vnb) / (vna * vna / (na - 1) + vnb * vnb / (nb - 1))
+      assert(r.getLong(1) == na && r.getLong(2) == nb, s"nation ${r.getInt(0)} sizes")
+      assert(math.abs(r.getDouble(5) - t) < 1e-3, s"nation ${r.getInt(0)} t: ${r.getDouble(5)} vs $t")
+      assert(math.abs(r.getDouble(6) - df) < 1e-3, s"nation ${r.getInt(0)} df: ${r.getDouble(6)} vs $df")
+    }
+  }
+
   test("q_agg_mad flags exactly the rows the plain-Scala modified z-score flags") {
     def median(xs: Seq[Double]): Double = { // interpolated, = percentile(0.5)
       val s = xs.sorted; val p = (s.length - 1) * 0.5
