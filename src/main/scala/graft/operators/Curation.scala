@@ -471,7 +471,60 @@ object Curation extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
         .orderBy("split", "source")
     }),
+
+    // Weighted PageRank over the nation trade graph (customer nation →
+    // supplier nation, edge weight = lineitem count), PR_ITERS damped
+    // iterations from a uniform start. The iterative dataflow is the
+    // scale pattern: the edge list is built ONCE (the only corpus-scale
+    // shuffles — fact join + edge aggregate — are memoized), each
+    // iteration is rank ⋈ edges + one groupBy(dst) whose per-term
+    // contribution is cast to DECIMAL(38,18) so the sum is exact and
+    // order-independent — double addition across engines/partitionings
+    // would drift, and PageRank COMPOUNDS iteration error. Ranks stay
+    // keyed by node (maybeBroadcast: node count ≪ edge count at any
+    // scale, but nothing relies on it). Dangling mass is not
+    // redistributed (every fixture nation has out-edges; documented
+    // simplification, as in the original formulation).
+    "q_graph_pagerank" -> ((s, d) => {
+      val edges = Tables.memoized(s, d, "pagerank_nation_edges") {
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(maybeBroadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(maybeBroadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .withColumn("wout", sum("w").over(Window.partitionBy("src")))
+      }
+      val nodes = t(s, d, "nation").select(col("n_nationkey").as("node"))
+      val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+      val d18 = DecimalType(38, 18)
+      var ranks = nodes.crossJoin(broadcast(nN)) // 1-row aggregate
+        .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"), col("n_nodes"))
+      for (_ <- 1 to PR_ITERS) {
+        val contrib = maybeBroadcast(ranks)
+          .join(edges, col("node") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum((col("r") * col("w") / col("wout")).cast(d18)).as("c"))
+        ranks = ranks.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(1.0) - lit(PR_DAMP)) / col("n_nodes") +
+              lit(PR_DAMP) * coalesce(col("c").cast(DoubleType), lit(0.0)) as "r",
+            col("n_nodes"))
+      }
+      ranks.select(col("node").as("n_nationkey"), r4(col("r")).as("pagerank"))
+        .orderBy("n_nationkey")
+    }),
   )
+
+  /** PageRank dials (q_graph_pagerank): damping and unrolled iteration
+    * count — the oracle unrolls the same PR_ITERS CTE stages. */
+  private val PR_DAMP = 0.85
+  private val PR_ITERS = 3
 
   private val shingles5Sql =
     """CASE WHEN len(string_split(text,' ')) >= 5 THEN
@@ -696,5 +749,35 @@ object Curation extends QueryPack {
         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         | source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM b GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    // every constant is CAST(... AS DOUBLE) so each engine runs the same
+    // IEEE op sequence; contribution sums ride exact DECIMAL(38,18)
+    "q_graph_pagerank" -> {
+      val iters = (1 to PR_ITERS).map { i =>
+        val p = s"r${i - 1}"
+        s"""r$i AS (
+           |  SELECT n.node,
+           |   (CAST(1.0 AS DOUBLE) - CAST($PR_DAMP AS DOUBLE)) / n.n_nodes +
+           |    CAST($PR_DAMP AS DOUBLE) * coalesce(CAST(c.c AS DOUBLE), CAST(0.0 AS DOUBLE)) AS r,
+           |   n.n_nodes
+           |  FROM $p n
+           |  LEFT JOIN (SELECT ew.dst, sum(CAST($p.r * ew.w / ew.wout AS DECIMAL(38,18))) AS c
+           |             FROM $p JOIN ew ON $p.node = ew.src GROUP BY 1) c
+           |  ON n.node = c.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wout FROM e),
+         |nn AS (SELECT count(*) AS n_nodes FROM nation),
+         |r0 AS (SELECT n_nationkey AS node, CAST(1.0 AS DOUBLE) / nn.n_nodes AS r, nn.n_nodes
+         |       FROM nation CROSS JOIN nn),
+         |$iters
+         |SELECT node AS n_nationkey, ${r4sql("r")} AS pagerank
+         |FROM r$PR_ITERS ORDER BY n_nationkey""".stripMargin
+    },
   )
 }

@@ -120,6 +120,41 @@ object Profiling extends QueryPack {
         .orderBy("c_mktsegment", "c_nationkey")
     }),
 
+    // Snapshot reconciliation: diff two table versions by row
+    // fingerprint. Each side collapses to (key, md5-of-normalized-row)
+    // IN THE SCAN PROJECTION — the full-outer shuffle ships 8-byte keys
+    // plus 32-byte hashes, never row payloads, which is what makes a
+    // 100 TB diff feasible (changed payloads are then fetched by
+    // semi-join on the emitted keys). Versions are carved
+    // deterministically from `orders` by md5 bucket: bucket 2 is absent
+    // from A (so it surfaces as added), bucket 0 absent from B
+    // (removed), bucket 1 repriced in B (changed). Doubles enter the
+    // fingerprint through DECIMAL(18,2) — double→string rendering is
+    // NOT engine-portable, decimal rendering is.
+    "q_table_diff" -> ((s, d) => {
+      val bucket = pmod(h60(col("o_orderkey").cast("string")), lit(10))
+      def fingerprint(price: Column) = md5(concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_orderstatus"),
+        col("o_orderpriority"), price.cast(DecimalType(18, 2)).cast("string")))
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice"), bucket.as("bk"))
+      val verA = base.where(col("bk") =!= 2)
+        .select(col("o_orderkey"), fingerprint(col("o_totalprice")).as("fp_a"))
+      val verB = base.where(col("bk") =!= 0)
+        .select(col("o_orderkey"),
+          fingerprint(when(col("bk") === 1, col("o_totalprice") * 1.05)
+            .otherwise(col("o_totalprice"))).as("fp_b"))
+      verA.join(verB, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          when(col("fp_b").isNull, "removed")
+            .when(col("fp_a").isNull, "added")
+            .when(col("fp_a") =!= col("fp_b"), "changed")
+            .otherwise("unchanged").as("status"))
+        .where(col("status") =!= "unchanged")
+        .orderBy("o_orderkey")
+    }),
+
     // Pairwise Pearson correlation matrix (upper triangle) over the
     // numeric measures — ONE aggregate pass computes all 6 co-moments,
     // then a literal-driven unpivot emits the pair rows.
@@ -188,6 +223,28 @@ object Profiling extends QueryPack {
          |SELECT c_mktsegment, c_nationkey, n, (n < $KANON_K) AS risky, k_anonymity
          |FROM classes CROSS JOIN ka
          |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q_table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+        |   ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT % 10 AS bk
+        |  FROM orders),
+        |va AS (
+        |  SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)||'|'||o_orderstatus||'|'||
+        |   o_orderpriority||'|'||CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS fp_a
+        |  FROM base WHERE bk <> 2),
+        |vb AS (
+        |  SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)||'|'||o_orderstatus||'|'||
+        |   o_orderpriority||'|'||CAST(CAST(
+        |     CASE WHEN bk = 1 THEN o_totalprice * CAST(1.05 AS DOUBLE) ELSE o_totalprice END
+        |   AS DECIMAL(18,2)) AS VARCHAR)) AS fp_b
+        |  FROM base WHERE bk <> 0),
+        |d AS (
+        |  SELECT o_orderkey,
+        |   CASE WHEN fp_b IS NULL THEN 'removed' WHEN fp_a IS NULL THEN 'added'
+        |        WHEN fp_a <> fp_b THEN 'changed' ELSE 'unchanged' END AS status
+        |  FROM va FULL OUTER JOIN vb USING (o_orderkey))
+        |SELECT o_orderkey, status FROM d WHERE status <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
     "q_profile_corr" -> {
       val pairs = for {
         i <- CORR_COLS.indices; j <- CORR_COLS.indices if i < j

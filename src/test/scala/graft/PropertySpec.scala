@@ -415,6 +415,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_table_diff statuses match a plain-Scala bucket recount (all three present)") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val orders = graft.Tables.t(spark, sf, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val expected = orders.flatMap { k =>
+      java.lang.Long.parseLong(md5hex(k.toString).take(15), 16) % 10 match {
+        case 0 => Some(k -> "removed")
+        case 1 => Some(k -> "changed") // repriced in B; fp must differ
+        case 2 => Some(k -> "added")
+        case _ => None                 // identical fingerprint both sides
+      }
+    }.toMap
+    val rows = q("q_table_diff").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == expected)
+    assert(Set("added", "removed", "changed").subsetOf(rows.values.toSet))
+  }
+
+  test("q_graph_pagerank matches a plain-Scala power iteration; mass is conserved") {
+    val rows = q("q_graph_pagerank").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // mirror the edge build from raw tables
+    def kv(tn: String, a: String, b: String) = graft.Tables.t(spark, sf, tn)
+      .select(a, b).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custNation = graft.Tables.t(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val suppNation = graft.Tables.t(spark, sf, "supplier")
+      .select("s_suppkey", "s_nationkey").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val orderCust = kv("orders", "o_orderkey", "o_custkey")
+    val edges = graft.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (custNation(orderCust(r.getLong(0))), suppNation(r.getLong(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val wout = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = graft.Tables.t(spark, sf, "nation")
+      .select("n_nationkey").collect().map(_.getInt(0)).sorted
+    val n = nodes.length
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.toSeq
+        .map { case ((s0, d0), w) => d0 -> BigDecimal(r(s0) * w / wout(s0))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+      r = nodes.map(nd => nd -> ((1.0 - 0.85) / n + 0.85 * contrib.getOrElse(nd, 0.0))).toMap
+    }
+    assert(rows.keySet == nodes.toSet)
+    nodes.foreach { nd =>
+      assert(math.abs(rows(nd) - r(nd)) < 1e-3, s"node $nd: ${rows(nd)} vs ${r(nd)}")
+    }
+    // every fixture nation has out-edges, so no dangling leak: Σr = 1
+    assert(math.abs(rows.values.sum - 1.0) < 1e-2)
+  }
+
   test("q_agg_mad flags exactly the rows the plain-Scala modified z-score flags") {
     def median(xs: Seq[Double]): Double = { // interpolated, = percentile(0.5)
       val s = xs.sorted; val p = (s.length - 1) * 0.5
