@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryPack, Tables}
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -120,6 +121,39 @@ object Profiling extends QueryPack {
         .orderBy("c_mktsegment", "c_nationkey")
     }),
 
+    // Chi-square independence test over the (market segment × order
+    // priority) contingency table. ONE corpus aggregate builds the cell
+    // counts; margins are window sums over the |R×C| aggregate rows
+    // (25 here — windows over aggregates, never over the corpus).
+    // Expected counts and cell contributions are deterministic IEEE
+    // arithmetic on exact integer margins; the chi2 total rides a
+    // DECIMAL(38,18) sum so cell order can't drift it, and lands on
+    // every row from a 1-row broadcast (the q_dq_kanon shape).
+    "q_stats_chi2" -> ((s, d) => {
+      val cells = t(s, d, "orders")
+        .join(maybeBroadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("observed"))
+      val withE = cells
+        .withColumn("rt", sum("observed").over(Window.partitionBy("seg")))
+        .withColumn("ct", sum("observed").over(Window.partitionBy("prio")))
+        .withColumn("n", sum("observed").over(Window.partitionBy()))
+        .withColumn("expected", (col("rt") * col("ct")).cast(DoubleType) / col("n"))
+        .withColumn("contrib",
+          (col("observed") - col("expected")) * (col("observed") - col("expected")) /
+            col("expected"))
+      val total = withE.agg(
+        sum(col("contrib").cast(DecimalType(38, 18))).cast(DoubleType).as("chi2"),
+        ((countDistinct(col("seg")) - 1) * (countDistinct(col("prio")) - 1)).as("df"))
+      withE.crossJoin(broadcast(total)) // 1-row aggregate
+        .select(col("seg"), col("prio"), col("observed"),
+          r4(col("expected")).as("expected"), r4(col("contrib")).as("contrib"),
+          r4(col("chi2")).as("chi2"), col("df"))
+        .orderBy("seg", "prio")
+    }),
+
     // Snapshot reconciliation: diff two table versions by row
     // fingerprint. Each side collapses to (key, md5-of-normalized-row)
     // IN THE SCAN PROJECTION — the full-outer shuffle ships 8-byte keys
@@ -223,6 +257,28 @@ object Profiling extends QueryPack {
          |SELECT c_mktsegment, c_nationkey, n, (n < $KANON_K) AS risky, k_anonymity
          |FROM classes CROSS JOIN ka
          |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q_stats_chi2" ->
+      s"""WITH cells AS (
+         |  SELECT c_mktsegment AS seg, o_orderpriority AS prio, count(*) AS observed
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT seg, prio, observed,
+         |   sum(observed) OVER (PARTITION BY seg) AS rt,
+         |   sum(observed) OVER (PARTITION BY prio) AS ct,
+         |   sum(observed) OVER () AS n
+         |  FROM cells),
+         |c2 AS (
+         |  SELECT seg, prio, observed, expected,
+         |   (observed - expected)*(observed - expected)/expected AS contrib
+         |  FROM (SELECT *, CAST(rt*ct AS DOUBLE)/n AS expected FROM m)),
+         |tot AS (
+         |  SELECT CAST(sum(CAST(contrib AS DECIMAL(38,18))) AS DOUBLE) AS chi2,
+         |   (count(DISTINCT seg)-1)*(count(DISTINCT prio)-1) AS df
+         |  FROM c2)
+         |SELECT seg, prio, observed, ${r4sql("expected")} AS expected,
+         | ${r4sql("contrib")} AS contrib, ${r4sql("chi2")} AS chi2, df
+         |FROM c2 CROSS JOIN tot ORDER BY seg, prio""".stripMargin,
     "q_table_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,

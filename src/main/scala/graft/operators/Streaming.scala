@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.Tables._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -267,7 +268,43 @@ object Streaming extends QueryPack {
           r4(col("n_active").cast("double") / col("n_cohort")).as("retention"))
         .orderBy("cohort_wk", "week_offset")
     }),
+
+    // CDC latest-wins merge: the event stream is a changelog keyed by
+    // user (op: 'error' = delete tombstone, anything else = upsert).
+    // Base state (latest record before the cut) and the delta batch
+    // (latest record after it) each collapse via one per-key top-1 —
+    // the row_number plan the injected rule rewrites to TopKPerKey, so
+    // only ≤1 row/key/partition reaches either shuffle — then merge is
+    // ONE full-outer join on the key: delta wins where present,
+    // surviving tombstones drop the key. The oracle recomputes
+    // latest-wins over the FULL history — the O(delta) merge must equal
+    // the O(corpus) recompute exactly, the same contract as
+    // q_agg_incremental but for the non-commutative last-write-wins
+    // algebra.
+    "q_cdc_merge" -> ((s, d) => {
+      val cut = lit(CDC_CUT).cast("timestamp")
+      def latest(df: DataFrame, p: String) = df
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as(s"${p}_event_id"),
+          col("event_type").as(s"${p}_type"), col("value").as(s"${p}_value"))
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val base = latest(ev.where(col("ts") < cut), "b")
+      val delta = latest(ev.where(col("ts") >= cut), "d")
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("d_event_id"), col("b_event_id")).as("last_event_id"),
+          coalesce(col("d_type"), col("b_type")).as("last_type"),
+          r4(coalesce(col("d_value"), col("b_value"))).as("last_value"))
+        .where(col("last_type") =!= "error") // tombstone: key deleted
+        .orderBy("user_id")
+    }),
   )
+
+  /** Base/delta boundary for q_cdc_merge (events span Jan 2024). */
+  private val CDC_CUT = "2024-01-20 00:00:00"
 
   def oracle: Seq[(String, String)] = Seq(
     "q_window_tumbling" ->
@@ -419,5 +456,14 @@ object Streaming extends QueryPack {
          | ${r4sql("CAST(m.n_active AS DOUBLE) / s.n_cohort")} AS retention
          |FROM m JOIN sizes s USING (cohort_wk)
          |ORDER BY cohort_wk, week_offset""".stripMargin,
+    // full-history latest-wins recompute — the O(delta) merge must equal it
+    "q_cdc_merge" ->
+      s"""WITH l AS (
+         |  SELECT user_id, event_id AS last_event_id, event_type AS last_type, value,
+         |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |SELECT user_id, last_event_id, last_type, ${r4sql("value")} AS last_value
+         |FROM l WHERE rn = 1 AND last_type <> 'error'
+         |ORDER BY user_id""".stripMargin,
   )
 }

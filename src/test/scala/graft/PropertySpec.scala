@@ -468,6 +468,52 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(rows.values.sum - 1.0) < 1e-2)
   }
 
+  test("q_cdc_merge equals a plain-Scala full-history latest-wins fold") {
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3), r.getDouble(4)))
+    val expected = ev.groupBy(_._1).view.mapValues(_.maxBy(e => (e._2, e._3))).toMap
+      .filter(_._2._4 != "error")
+    val rows = q("q_cdc_merge").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.keySet == expected.keySet, "surviving key set")
+    expected.foreach { case (u, e) =>
+      assert(rows(u) == (e._3, e._4), s"user $u latest record")
+    }
+    // at least one tombstoned user must exist for the test to bite
+    assert(ev.groupBy(_._1).exists(_._2.maxBy(e => (e._2, e._3))._4 == "error"))
+  }
+
+  test("q_stats_chi2 matches a plain-Scala contingency computation") {
+    val raw = graft.Tables.t(spark, sf, "orders")
+      .join(graft.Tables.t(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = raw.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = raw.length
+    val contribs = cells.map { case ((s0, p0), o) =>
+      val e = (rt(s0) * ct(p0)).toDouble / n
+      (s0, p0) -> (o, e, (o - e) * (o - e) / e)
+    }
+    val chi2 = contribs.values.map(c => BigDecimal(c._3)
+      .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val dfExp = (rt.size - 1) * (ct.size - 1)
+    val rows = q("q_stats_chi2").collect()
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (o, e, c) = contribs(key)
+      assert(r.getLong(2) == o, s"$key observed")
+      assert(math.abs(r.getDouble(3) - e) < 1e-3, s"$key expected")
+      assert(math.abs(r.getDouble(4) - c) < 1e-3, s"$key contrib")
+      assert(math.abs(r.getDouble(5) - chi2) < 1e-3, s"$key chi2")
+      assert(r.getLong(6) == dfExp, s"$key df")
+    }
+  }
+
   test("q_agg_mad flags exactly the rows the plain-Scala modified z-score flags") {
     def median(xs: Seq[Double]): Double = { // interpolated, = percentile(0.5)
       val s = xs.sorted; val p = (s.length - 1) * 0.5
