@@ -121,6 +121,58 @@ object Profiling extends QueryPack {
         .orderBy("c_mktsegment", "c_nationkey")
     }),
 
+    // Join-key skew census — the diagnostic a planner consults BEFORE
+    // committing a 100 TB shuffle: per candidate key, distinct count,
+    // max/mean frequency (the straggler ratio AQE's skew threshold
+    // keys off), top-1 share, and Shannon entropy of the key
+    // distribution. One groupBy per key column (each pass scans only
+    // its column); every downstream stat aggregates the KEY HISTOGRAM
+    // (|keys| rows), never the corpus; the entropy sum rides
+    // DECIMAL(38,18) so histogram order can't drift it.
+    "q_skew_report" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def keyStats(name: String): DataFrame = {
+        val hist = li.groupBy(col(name).as("k")).agg(count(lit(1)).as("f"))
+          .withColumn("n", sum("f").over(Window.partitionBy())) // |keys| rows
+        val p = col("f") / col("n")
+        hist.agg(
+          lit(name).as("key_col"),
+          max("n").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max("f").as("max_freq"),
+          r4(max("f") * count(lit(1)).cast(DoubleType) / max("n")).as("skew_ratio"),
+          r4(max("f").cast(DoubleType) / max("n")).as("top1_share"),
+          r4(sum((-p * log(p)).cast(DecimalType(38, 18))).cast(DoubleType))
+            .as("entropy"))
+      }
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(keyStats)
+        .reduce(_.unionAll(_)).orderBy("key_col")
+    }),
+
+    // Join-cardinality estimation from key histograms: |A ⋈ B| =
+    // Σ_k fA(k)·fB(k), computed by joining the two key HISTOGRAMS —
+    // keys-sized inputs, never corpus-sized — which is how a planner
+    // prices a join (and detects quadratic self-join blowup) without
+    // running it. Exact, not a sketch: the histogram join IS the
+    // estimator's definition, and the oracle recomputes it.
+    "q_join_cardinality_est" -> ((s, d) => {
+      def hist(df: DataFrame, c: String) =
+        df.groupBy(col(c).as("k")).agg(count(lit(1)).as("f"))
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      def est(name: String, a: DataFrame, b: DataFrame) =
+        a.join(b.withColumnRenamed("f", "fb"), Seq("k"))
+          .agg(lit(name).as("join_name"),
+            sum(col("f") * col("fb")).as("est_rows"),
+            count(lit(1)).as("n_common_keys"))
+      Seq(
+        est("lineitem_orders_orderkey", hist(li, "l_orderkey"), hist(o, "o_orderkey")),
+        est("lineitem_self_partkey", hist(li, "l_partkey"), hist(li, "l_partkey")),
+        est("lineitem_self_suppkey", hist(li, "l_suppkey"), hist(li, "l_suppkey")),
+        est("orders_customer_custkey", hist(o, "o_custkey"),
+          hist(t(s, d, "customer"), "c_custkey")))
+        .reduce(_.unionAll(_)).orderBy("join_name")
+    }),
+
     // Chi-square independence test over the (market segment × order
     // priority) contingency table. ONE corpus aggregate builds the cell
     // counts; margins are window sums over the |R×C| aggregate rows
@@ -257,6 +309,31 @@ object Profiling extends QueryPack {
          |SELECT c_mktsegment, c_nationkey, n, (n < $KANON_K) AS risky, k_anonymity
          |FROM classes CROSS JOIN ka
          |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q_skew_report" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS key_col, max(n) AS n_rows, count(*) AS n_keys,
+           | max(f) AS max_freq,
+           | ${r4sql(s"max(f) * CAST(count(*) AS DOUBLE) / max(n)")} AS skew_ratio,
+           | ${r4sql(s"CAST(max(f) AS DOUBLE) / max(n)")} AS top1_share,
+           | ${r4sql(s"CAST(sum(CAST(-(f / n) * ln(f / n) AS DECIMAL(38,18))) AS DOUBLE)")} AS entropy
+           |FROM (SELECT f, CAST(sum(f) OVER () AS BIGINT) AS n
+           |      FROM (SELECT $c AS k, count(*) AS f FROM lineitem GROUP BY 1))""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+    },
+    "q_join_cardinality_est" -> {
+      def est(name: String, ha: String, hb: String) =
+        s"""SELECT '$name' AS join_name, CAST(sum(a.f * b.f) AS BIGINT) AS est_rows,
+           | count(*) AS n_common_keys
+           |FROM ($ha) a JOIN ($hb) b USING (k)""".stripMargin
+      def h(tbl: String, c: String) = s"SELECT $c AS k, count(*) AS f FROM $tbl GROUP BY 1"
+      Seq(
+        est("lineitem_orders_orderkey", h("lineitem", "l_orderkey"), h("orders", "o_orderkey")),
+        est("lineitem_self_partkey", h("lineitem", "l_partkey"), h("lineitem", "l_partkey")),
+        est("lineitem_self_suppkey", h("lineitem", "l_suppkey"), h("lineitem", "l_suppkey")),
+        est("orders_customer_custkey", h("orders", "o_custkey"), h("customer", "c_custkey")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+    },
     "q_stats_chi2" ->
       s"""WITH cells AS (
          |  SELECT c_mktsegment AS seg, o_orderpriority AS prio, count(*) AS observed

@@ -514,6 +514,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_skew_report stats match a plain-Scala histogram recount") {
+    val rows = q("q_skew_report").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rows.foreach { r =>
+      val keys = graft.Tables.t(spark, sf, "lineitem")
+        .select(r.getString(0)).collect().map(_.getLong(0))
+      val hist = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = keys.length.toLong
+      val maxF = hist.values.max
+      val entropy = hist.values.map { f =>
+        val p = f.toDouble / n
+        BigDecimal(-p * math.log(p)).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(r.getLong(1) == n && r.getLong(2) == hist.size && r.getLong(3) == maxF)
+      assert(math.abs(r.getDouble(4) - maxF * hist.size.toDouble / n) < 1e-3, "skew_ratio")
+      assert(math.abs(r.getDouble(5) - maxF.toDouble / n) < 1e-3, "top1_share")
+      assert(math.abs(r.getDouble(6) - entropy) < 1e-3, "entropy")
+    }
+  }
+
+  test("q_join_cardinality_est: estimates equal the true join sizes") {
+    val est = q("q_join_cardinality_est").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = graft.Tables.t(spark, sf, "lineitem")
+    val o = graft.Tables.t(spark, sf, "orders")
+    val c = graft.Tables.t(spark, sf, "customer")
+    // the histogram estimator is exact by definition: Σ fA(k)·fB(k) IS the
+    // join size — confirm against the actually-executed joins
+    def sz(a: org.apache.spark.sql.DataFrame, ka: String,
+           b: org.apache.spark.sql.DataFrame, kb: String) =
+      a.select(col(ka).as("k")).join(b.select(col(kb).as("k2")), col("k") === col("k2")).count()
+    assert(est("lineitem_orders_orderkey")._1 == sz(li, "l_orderkey", o, "o_orderkey"))
+    assert(est("lineitem_self_partkey")._1 == sz(li, "l_partkey", li, "l_partkey"))
+    assert(est("orders_customer_custkey")._1 == sz(o, "o_custkey", c, "c_custkey"))
+    est.values.foreach { case (rows, keys) => assert(rows >= keys && keys > 0) }
+  }
+
   test("q_agg_mad flags exactly the rows the plain-Scala modified z-score flags") {
     def median(xs: Seq[Double]): Double = { // interpolated, = percentile(0.5)
       val s = xs.sorted; val p = (s.length - 1) * 0.5
