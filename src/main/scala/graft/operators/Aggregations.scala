@@ -318,6 +318,31 @@ object Aggregations extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // KMV (k-minimum-values) distinct sketch: keep the KMV_K smallest
+    // distinct 60-bit hashes per group; D̂ = (k−1)·2⁶⁰/h₍ₖ₎. The kept
+    // set is found by the custom TopKPerKey plan — map-side k-bounded
+    // heaps, so ≤k hashes/group/partition reach the shuffle — over a
+    // pre-distinct of (group, hash). Unlike HLL the sketch is
+    // deterministic given the md5 hash, so the ORACLE can recompute the
+    // identical estimate; unlike exact distinct the shuffled state is
+    // k values per group at ANY corpus size, and two sketches merge by
+    // keeping the k smallest of their union (PropertySpec proves
+    // merge(parts) ≡ sketch(whole)).
+    "q_agg_kmv" -> ((s, d) => {
+      val h = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          h60(col("o_orderkey").cast("string")).as("h"))
+        .distinct()
+      org.apache.spark.sql.graftx.TopK.topKPerKey(h,
+          keyNames = Seq("grp"), orderBy = Seq("h" -> true), k = KMV_K,
+          rankName = "rnk")
+        .where(col("rnk") === KMV_K)
+        .select(col("grp"),
+          r4(lit((KMV_K - 1).toDouble) * lit(math.pow(2, 60)) / col("h"))
+            .as("est_distinct"))
+        .orderBy("grp")
+    }),
+
     // Market-basket association rules with a-priori pruning: baskets are
     // orders, items are parts. Items below the support floor are removed
     // BEFORE pair generation (an infrequent item can never be in a
@@ -395,6 +420,10 @@ object Aggregations extends QueryPack {
   /** Support floor (baskets) for q_assoc_rules — fixture-calibrated so
     * sf0.01 yields a stable frequent-pair set (63 pairs at n_ab ≥ 3). */
   private val ASSOC_MIN_SUP = 3
+
+  /** KMV sketch size (q_agg_kmv): 256 ⇒ ~1/√(k−2) ≈ 6% relative error;
+    * every fixture group holds ≥ 256 distinct keys at every sf tier. */
+  private val KMV_K = 256
 
   /** q_stats_ttest segment pair (distinct first letters — the pivot
     * suffixes `_B`/`_M` derive from them). */
@@ -540,6 +569,15 @@ object Aggregations extends QueryPack {
         |UNION ALL
         |SELECT l_returnflag, 'disc' AS measure, disc AS value FROM wide
         |ORDER BY l_returnflag, measure""".stripMargin,
+    "q_agg_kmv" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT o_orderpriority AS grp,
+         |   ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT AS h
+         |  FROM orders),
+         |r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rnk
+         |      FROM h)
+         |SELECT grp, ${r4sql(s"($KMV_K - 1) * pow(2, 60) / h")} AS est_distinct
+         |FROM r WHERE rnk = $KMV_K ORDER BY grp""".stripMargin,
     "q_assoc_rules" ->
       s"""WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
          |f AS (SELECT pkey, count(*) AS n_item FROM b GROUP BY 1

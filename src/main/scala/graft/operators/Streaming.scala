@@ -269,6 +269,37 @@ object Streaming extends QueryPack {
         .orderBy("cohort_wk", "week_offset")
     }),
 
+    // Seasonal-baseline anomaly detection: each event is scored against
+    // the (event_type × hour-of-day) population baseline — the
+    // conditional-expectation complement to q_stream_outliers'
+    // per-user running z and q_agg_mad's global robust z. The baseline
+    // is |types|×24 rows of exact decimal (n, Σx, Σx²) — bounded by the
+    // SCHEMA, not the corpus — so it broadcasts and the scoring pass is
+    // a narrow map over the scan. Z=1.6 is fixture-calibrated (values
+    // are ~uniform, so |z| never exceeds √3 ≈ 1.73).
+    "q_anomaly_seasonal" -> ((s, d) => {
+      val hod = hour(col("ts"))
+      val base = t(s, d, "events")
+        .groupBy(col("event_type"), hod.as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DEC)).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast(DEC)).cast("double").as("sxx"))
+        .where(col("n") > 1)
+        .select(col("event_type"), col("hod"), (col("sx") / col("n")).as("mean"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))).as("std"))
+      t(s, d, "events")
+        .select(col("event_id"), col("event_type").as("e_type"),
+          hod.as("e_hod"), col("value"))
+        .join(broadcast(base), // ≤ |event types| × 24 rows by construction
+          col("e_type") === base("event_type") && col("e_hod") === base("hod"))
+        .select(col("event_id"), base("event_type"), base("hod"),
+          r4(col("value")).as("value"),
+          r4((col("value") - col("mean")) / col("std")).as("z"))
+        .where(abs(col("z")) > SEASONAL_Z) // on the ROUNDED z: boundary-stable
+        .orderBy("event_id")
+    }),
+
     // CDC latest-wins merge: the event stream is a changelog keyed by
     // user (op: 'error' = delete tombstone, anything else = upsert).
     // Base state (latest record before the cut) and the delta batch
@@ -305,6 +336,9 @@ object Streaming extends QueryPack {
 
   /** Base/delta boundary for q_cdc_merge (events span Jan 2024). */
   private val CDC_CUT = "2024-01-20 00:00:00"
+
+  /** q_anomaly_seasonal threshold (see the query's calibration note). */
+  private val SEASONAL_Z = 1.6
 
   def oracle: Seq[(String, String)] = Seq(
     "q_window_tumbling" ->
@@ -456,6 +490,22 @@ object Streaming extends QueryPack {
          | ${r4sql("CAST(m.n_active AS DOUBLE) / s.n_cohort")} AS retention
          |FROM m JOIN sizes s USING (cohort_wk)
          |ORDER BY cohort_wk, week_offset""".stripMargin,
+    "q_anomaly_seasonal" ->
+      s"""WITH base AS (
+         |  SELECT event_type, hour(ts) AS hod, count(*) AS n,
+         |   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |   CAST(sum(CAST(value*value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+         |  FROM events GROUP BY 1, 2 HAVING count(*) > 1),
+         |b2 AS (
+         |  SELECT event_type, hod, sx / n AS mean,
+         |   sqrt((n*sxx - sx*sx) / (n*(n-1))) AS std
+         |  FROM base),
+         |z AS (
+         |  SELECT e.event_id, b.event_type, b.hod, ${r4sql("e.value")} AS value,
+         |   ${r4sql("(e.value - b.mean) / b.std")} AS z
+         |  FROM events e JOIN b2 b
+         |  ON e.event_type = b.event_type AND hour(e.ts) = b.hod)
+         |SELECT * FROM z WHERE abs(z) > $SEASONAL_Z ORDER BY event_id""".stripMargin,
     // full-history latest-wins recompute — the O(delta) merge must equal it
     "q_cdc_merge" ->
       s"""WITH l AS (

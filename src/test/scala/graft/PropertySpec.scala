@@ -551,6 +551,60 @@ class PropertySpec extends AnyFunSuite {
     est.values.foreach { case (rows, keys) => assert(rows >= keys && keys > 0) }
   }
 
+  test("q_agg_kmv: merge(parts) ≡ sketch(whole); estimate within 15% of exact") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val keys = graft.Tables.t(spark, sf, "orders")
+      .select("o_orderpriority", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val k = 256
+    def estimate(hs: Seq[Long]): Double = {
+      val kth = hs.distinct.sorted.apply(k - 1)
+      (k - 1).toDouble * math.pow(2, 60) / kth
+    }
+    val byGrp = keys.groupBy(_._1).view.mapValues(_.map(p => h60(p._2.toString)).toSeq).toMap
+    val rows = q("q_agg_kmv").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == byGrp.keySet)
+    byGrp.foreach { case (g, hs) =>
+      val whole = estimate(hs)
+      assert(math.abs(rows(g) - whole) < 1e-2, s"group $g query-vs-scala")
+      // mergeability: per-part sketches (k smallest each), merged by
+      // keeping the k smallest of the union, estimate identically
+      val parts = hs.groupBy(h => h % 4).values
+        .map(_.distinct.sorted.take(k)).toSeq
+      val merged = estimate(parts.flatten.distinct.sorted.take(k))
+      assert(merged == whole, s"group $g merge != whole")
+      val exact = hs.distinct.size.toDouble
+      assert(math.abs(whole - exact) / exact < 0.15, s"group $g accuracy: $whole vs $exact")
+    }
+  }
+
+  test("q_anomaly_seasonal flags exactly the plain-Scala seasonal z recomputation") {
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), hour(col("ts")).as("hod"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val base = ev.groupBy(e => (e._2, e._3)).collect {
+      case (key, g) if g.length > 1 =>
+        val n = g.length
+        val sx = g.map(e => dec6(e._4)).sum.toDouble
+        val sxx = g.map(e => dec6(e._4 * e._4)).sum.toDouble
+        key -> (sx / n, math.sqrt((n * sxx - sx * sx) / (n.toLong * (n - 1))))
+    }
+    def r4d(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ev.flatMap { case (id, ty, hod, v) =>
+      base.get((ty, hod)).map { case (m, s0) => id -> r4d((v - m) / s0) }
+    }.filter(p => math.abs(p._2) > 1.6).toMap
+    val rows = q("q_anomaly_seasonal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(rows.keySet == expected.keySet, "flagged event set")
+    expected.foreach { case (id, z) =>
+      assert(math.abs(rows(id) - z) < 1e-9, s"event $id z") }
+    assert(rows.nonEmpty, "threshold must bite on the fixture")
+  }
+
   test("q_agg_mad flags exactly the rows the plain-Scala modified z-score flags") {
     def median(xs: Seq[Double]): Double = { // interpolated, = percentile(0.5)
       val s = xs.sorted; val p = (s.length - 1) * 0.5
