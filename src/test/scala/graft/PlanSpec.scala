@@ -405,4 +405,67 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_returnflag:string>"), p)
     assert(!p.contains("l_shipdate"), s"unprofiled column read:\n$p")
   }
+
+  test("q_cdc_merge: both latest-per-key sides rewrite to TopKPerKey") {
+    val p = plan("q_cdc_merge")
+    assert("TopKPerKeyPartial".r.findAllIn(p).size >= 2,
+      s"expected the injected rn<=1 rewrite on base AND delta:\n$p")
+    assert(!p.contains("WindowExec"), s"row_number window survived the rewrite:\n$p")
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("q_agg_kmv: the sketch's k-smallest stage is the map-side heap plan") {
+    val p = plan("q_agg_kmv")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+    val exch = p.indexOf("Exchange hashpartitioning")
+    val part = p.indexOf("TopKPerKeyPartial")
+    assert(exch >= 0 && part > exch,
+      s"partial heap stage must sit below the exchange:\n$p")
+  }
+
+  test("q_assoc_rules: apriori prune broadcasts; the only nested loop is the 1-row total") {
+    val p = plan("q_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    // frequent-item semi-side and the basket-total scalar both fit broadcast
+    // at test sf; the pair self-join is an equi join on the basket key
+    assert(p.contains("BroadcastHashJoin"), p)
+    // count in the FINAL plan only (the AQE string repeats operators in
+    // its "Initial Plan" section)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size <= 1,
+      s"only the 1-row basket-total join may nested-loop:\n$p")
+  }
+
+  test("q_table_diff: the full-outer shuffle carries fingerprints, not payloads") {
+    val p = plan("q_table_diff")
+    assert(p.contains("FullOuter"), p)
+    // md5 is computed in the scan-side projection (below the exchange), so
+    // only (key, fp) cross the wire — payload columns never ride the shuffle
+    val exch = p.indexOf("Exchange hashpartitioning(o_orderkey")
+    val proj = p.lastIndexOf("md5")
+    assert(exch >= 0 && proj > exch,
+      s"fingerprint projection must sit below the join exchange:\n$p")
+  }
+
+  test("q_graph_pagerank: edge build is cached; rank joins never cartesian") {
+    val p = plan("q_graph_pagerank")
+    assert(p.contains("InMemoryTableScan"),
+      s"memoized edge table must be read from cache:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_skew_report: each key histogram scans exactly its key column") {
+    val p = plan("q_skew_report")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<l_suppkey:bigint>"), p)
+    assert(!p.contains("l_quantity"), s"non-key column read:\n$p")
+  }
+
+  test("q_anomaly_seasonal: schema-bounded baseline broadcasts; scoring stays narrow") {
+    val p = plan("q_anomaly_seasonal")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the baseline join:\n$p")
+  }
 }
