@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Streaming,
     operators.Layout,
     operators.Profiling,
+    operators.Graphs,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
