@@ -4,6 +4,7 @@ import graft.{QueryPack, Tables}
 import graft.Tables._
 import graft.functions.WeightedMean
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Aggregations — SURVEY.md §3B #15–26. Upstream analog: SNOWAV's per-day ×
   * subbasin × elevation-band reduce (`np.nansum`/`np.nanmean` + "total" rows
@@ -415,6 +416,37 @@ object Aggregations extends QueryPack {
             .as("df_welch"))
         .orderBy("c_nationkey")
     }),
+
+    // Per-group simple linear regression (OLS) of extended price on
+    // quantity — distributed model FITTING as ONE aggregate: the five
+    // sufficient statistics (Σx, Σy, Σx², Σxy, Σy²) accumulate as exact
+    // decimal partials (map-side combinable, order-immune — the
+    // q_stats_ttest playbook), and slope/intercept/R² are closed-form
+    // IEEE arithmetic on those identical doubles. This is the normal-
+    // equations pattern that scales to any N: model size is O(#groups),
+    // data passes exactly once, no gradient iterations. The oracle runs
+    // the same formulas on the same decimal sums (NOT DuckDB's native
+    // regr_slope, whose double accumulation order is engine-internal).
+    "q_stats_ols" -> ((s, d) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val suff = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(x.cast(DEC)).cast(DoubleType).as("sx"),
+          sum(y.cast(DEC)).cast(DoubleType).as("sy"),
+          sum((x * x).cast(DEC)).cast(DoubleType).as("sxx"),
+          sum((x * y).cast(DEC)).cast(DoubleType).as("sxy"),
+          sum((y * y).cast(DEC)).cast(DoubleType).as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      val slope = cov / varx
+      suff.select(col("l_returnflag"), col("n").cast(LongType).as("n"),
+          r4(slope).as("slope"),
+          r4((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+          r4(cov * cov / (varx * vary)).as("r2"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   /** Support floor (baskets) for q_assoc_rules — fixture-calibrated so
@@ -623,5 +655,25 @@ object Aggregations extends QueryPack {
          | ${r4sql("(m_a - m_b) / sqrt(vn_a + vn_b)")} AS t_stat,
          | ${r4sql("(vn_a + vn_b)*(vn_a + vn_b) / (vn_a*vn_a/(n_a-1) + vn_b*vn_b/(n_b-1))")} AS df_welch
          |FROM d ORDER BY c_nationkey""".stripMargin,
+    "q_stats_ols" ->
+      s"""WITH suff AS (
+         |  SELECT l_returnflag,
+         |   CAST(count(*) AS DOUBLE) AS n,
+         |   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         |   CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         |   CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         |   CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+         |  FROM lineitem GROUP BY 1),
+         |d AS (
+         |  SELECT l_returnflag, n,
+         |   n*sxy - sx*sy AS cov, n*sxx - sx*sx AS varx, n*syy - sy*sy AS vary,
+         |   sx, sy
+         |  FROM suff)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         | ${r4sql("cov / varx")} AS slope,
+         | ${r4sql("(sy - (cov / varx) * sx) / n")} AS intercept,
+         | ${r4sql("cov * cov / (varx * vary)")} AS r2
+         |FROM d ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -198,7 +198,48 @@ object Windows extends QueryPack {
             struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
           r4(max(col("o_totalprice"))).as("top_price"))
         .orderBy("o_custkey")),
+
+    // Interval merge (time-overlap gaps-and-islands): each order opens a
+    // 30-day half-open activity interval [date, date+30); overlapping or
+    // touching intervals per customer coalesce into maximal islands —
+    // the coverage/uptime primitive (sensor validity windows, session
+    // coalescing, SLA downtime). A new island starts exactly when an
+    // interval's start clears the running max end of ALL previous
+    // intervals (max-end, not lag-end: an earlier long interval can
+    // swallow several later ones — lag(e) would split those). ONE
+    // shuffle on o_custkey serves both window passes AND the final
+    // groupBy (island keys extend the partition key, so clustering is
+    // already satisfied); date arithmetic stays in exact DATE ints.
+    "q_interval_merge" -> ((s, d) => {
+      val w = Window.partitionBy("cust").orderBy(col("s"), col("okey"))
+      val iv = t(s, d, "orders").select(
+        col("o_custkey").as("cust"), col("o_orderkey").as("okey"),
+        col("o_orderdate").cast("date").as("s"),
+        date_add(col("o_orderdate").cast("date"), INTERVAL_DAYS).as("e"))
+      iv
+        .withColumn("pme",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni", when(col("pme").isNull || col("s") > col("pme"), 1)
+          .otherwise(0))
+        .withColumn("island", sum(col("ni")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(LongType))
+        .groupBy("cust", "island")
+        .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+          count(lit(1)).as("n_orders"))
+        .select(col("cust").as("o_custkey"),
+          // ISO strings: Spark dates surface as python date objects but
+          // DuckDB DATEs as datetime64 — same instant, different repr;
+          // the string form hashes identically on both engines
+          col("island_start").cast("string").as("island_start"),
+          col("island_end").cast("string").as("island_end"), col("n_orders"),
+          datediff(col("island_end"), col("island_start")).as("span_days"))
+        .orderBy("o_custkey", "island_start")
+    }),
   )
+
+  /** Activity-interval width (days) for q_interval_merge — mirrored in the
+    * oracle's `+ $INTERVAL_DAYS` date arithmetic. */
+  private val INTERVAL_DAYS = 30
 
   def oracle: Seq[(String, String)] = Seq(
     "q_window_rank" ->
@@ -325,5 +366,27 @@ object Windows extends QueryPack {
         |   max(o_totalprice) OVER (PARTITION BY o_custkey) AS top_price
         |  FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_interval_merge" ->
+      s"""WITH iv AS (
+         |  SELECT o_custkey AS cust, o_orderkey AS okey,
+         |   CAST(o_orderdate AS DATE) AS s,
+         |   CAST(o_orderdate AS DATE) + $INTERVAL_DAYS AS e
+         |  FROM orders),
+         |m AS (
+         |  SELECT *, max(e) OVER (PARTITION BY cust ORDER BY s, okey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM iv),
+         |g AS (
+         |  SELECT *, sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY cust ORDER BY s, okey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM m)
+         |SELECT cust AS o_custkey,
+         | CAST(min(s) AS VARCHAR) AS island_start,
+         | CAST(max(e) AS VARCHAR) AS island_end,
+         | count(*) AS n_orders,
+         | CAST(date_diff('day', min(s), max(e)) AS INT) AS span_days
+         |FROM g GROUP BY cust, island
+         |ORDER BY o_custkey, island_start""".stripMargin,
   )
 }

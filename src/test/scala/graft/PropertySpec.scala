@@ -744,4 +744,56 @@ class PropertySpec extends AnyFunSuite {
         s"P(·|$from) sums to $psum")
     }
   }
+
+  test("q_interval_merge == plain-Scala sweep merge; islands disjoint, orders conserved") {
+    val got = SparkEntry.queries("q_interval_merge")(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, java.time.LocalDate.parse(r.getString(1)),
+        java.time.LocalDate.parse(r.getString(2)), r.getLong(3), r.getInt(4)))
+    // reference: sort each customer's [d, d+30) intervals, sweep-merge
+    val raw = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_custkey").cast("long"), col("o_orderdate").cast("date"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val want = raw.groupBy(_._1).flatMap { case (cust, os) =>
+      val ivs = os.map(_._2).sorted.map(d => (d, d.plusDays(30)))
+      val merged = ivs.foldLeft(List.empty[(java.time.LocalDate, java.time.LocalDate, Long)]) {
+        case (acc @ ((s0, e0, n) :: rest), (s1, e1)) if !s1.isAfter(e0) =>
+          (s0, Seq(e0, e1).max, n + 1) :: rest
+        case (acc, (s1, e1)) => (s1, e1, 1L) :: acc
+      }.reverse
+      merged.map { case (s1, e1, n) => (cust, s1, e1, n,
+        java.time.temporal.ChronoUnit.DAYS.between(s1, e1).toInt) }
+    }.toSet
+    assert(got.toSet == want, "merged islands differ from the sweep reference")
+    // islands per customer are disjoint and strictly ordered
+    got.groupBy(_._1).foreach { case (cust, is) =>
+      is.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e0, _, _), (_, s1, _, _, _)) =>
+          assert(s1.isAfter(e0), s"customer $cust islands overlap")
+        case _ => ()
+      }
+    }
+    assert(got.map(_._4).sum == raw.length, "order count not conserved")
+  }
+
+  test("q_stats_ols == plain-Scala least squares per return flag") {
+    val got = SparkEntry.queries("q_stats_ols")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val rows = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (rf, xs) =>
+      val n = xs.length.toDouble
+      val mx = xs.map(_._2).sum / n; val my = xs.map(_._3).sum / n
+      val cov = xs.map(t => (t._2 - mx) * (t._3 - my)).sum
+      val vx = xs.map(t => (t._2 - mx) * (t._2 - mx)).sum
+      val vy = xs.map(t => (t._3 - my) * (t._3 - my)).sum
+      val (gn, gs, gi, gr2) = got(rf)
+      assert(gn == xs.length)
+      assert(math.abs(gs - cov / vx) < 1e-3, s"$rf slope $gs vs ${cov / vx}")
+      assert(math.abs(gi - (my - cov / vx * mx)) < 1e-2, s"$rf intercept")
+      assert(math.abs(gr2 - cov * cov / (vx * vy)) < 1e-3, s"$rf r2")
+      assert(gr2 >= 0.0 && gr2 <= 1.0)
+    }
+  }
 }
