@@ -4,6 +4,7 @@ import graft.{QueryPack, Tables}
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Text-mining operators over the document corpus: retrieval-window
@@ -311,6 +312,62 @@ object TextMining extends QueryPack {
       fuzzySelfJoin(t(s, d, "customer").where(col("c_custkey") % 10 === 0)
           .select(col("c_custkey").as("k"), col("c_name").as("nm")))
         .orderBy("k_a", "k_b")),
+
+    // Multinomial Naive Bayes, trained AND applied distributed: class =
+    // lang, features = tokens, add-1 smoothing over the corpus vocab;
+    // output is the resubstitution confusion matrix (class separability
+    // of the corpus under a count-based model — the trained counterpart
+    // of q_text_langid's fixed heuristic). The absent-token trick makes
+    // the scoring join INNER: log((cnt+1)/(tot+V)) splits into
+    // ln(cnt+1) − ln(tot+V), and ln(0+1) = 0, so tokens a class never
+    // saw contribute only the −dl·ln(tot+V) term, computed without any
+    // (token × class) dense grid. Scores accumulate as DECIMAL(38,18) of
+    // per-term doubles, so the per-doc argmax is exact and
+    // order-immune — a double sum's partial-order drift could flip a
+    // near-tie argmax between engines (CORRECTNESS would catch exactly
+    // that).
+    //
+    // 100 TB shape: the model (class-token counts) is vocabulary-sized,
+    // not corpus-sized — size-gated broadcast; the one corpus-scale
+    // shuffle is the (doc, tok) tf aggregate; scoring is a token-keyed
+    // join + map-side-combinable (doc, class) sum; argmax is the
+    // TopKPerKey rank-filter shape (k=1).
+    "q_ml_naive_bayes" -> ((s, d) => {
+      val d18 = DecimalType(38, 18)
+      val docTok = cached(s, d, "nb_doc_tok") {
+        tokenized(s, d).select(col("doc_id"), explode(col("tk")).as("tok"))
+          .join(t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+      }
+      val classTok = docTok.groupBy(col("lang").as("model_lang"), col("tok"))
+        .agg(sum("tf").as("cnt"))
+      val classTot = classTok.groupBy("model_lang").agg(sum("cnt").as("tot"))
+      val priors = t(s, d, "documents")
+        .groupBy(col("lang").as("model_lang")).agg(count(lit(1)).as("n_docs"))
+      val vocab = classTok.agg(countDistinct(col("tok")).as("v"))
+      val nAll = t(s, d, "documents").agg(count(lit(1)).as("n_all"))
+      // classes: one row per model class with totals/prior/vocab —
+      // provably bounded (#langs rows), forced broadcast is safe
+      val classes = classTot.join(priors, "model_lang")
+        .crossJoin(broadcast(vocab)).crossJoin(broadcast(nAll))
+      val s1 = docTok.join(maybeBroadcast(classTok), "tok")
+        .groupBy("doc_id", "model_lang")
+        .agg(sum((col("tf") * log(col("cnt") + 1)).cast(d18)).as("s1"))
+      val dl = docTok.groupBy("doc_id", "lang").agg(sum("tf").as("dl"))
+      val scored = dl.crossJoin(broadcast(classes))
+        .join(s1, Seq("doc_id", "model_lang"), "left")
+        .select(col("doc_id"), col("lang"), col("model_lang"),
+          (coalesce(col("s1"), lit(0).cast(d18)) +
+            (-col("dl") * log(col("tot") + col("v"))).cast(d18) +
+            log(col("n_docs").cast(DoubleType) / col("n_all")).cast(d18))
+            .as("score"))
+      val rn = row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("model_lang").asc))
+      scored.withColumn("rn", rn).where(col("rn") === 1)
+        .groupBy(col("lang").as("actual_lang"), col("model_lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual_lang", "pred_lang")
+    }),
   )
 
   /** Edit-distance-≤1 self-join over `names(k, nm)` via FastSS deletion-
@@ -447,5 +504,38 @@ object TextMining extends QueryPack {
         | CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
         |FROM u a JOIN u b ON a.k < b.k AND levenshtein(a.nm, b.nm) <= 1
         |ORDER BY k_a, k_b""".stripMargin,
+    "q_ml_naive_bayes" ->
+      """WITH dt AS (
+        |  SELECT doc_id, lang, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |ct AS (SELECT lang AS model_lang, tok, sum(tf) AS cnt FROM dt GROUP BY 1, 2),
+        |tt AS (SELECT model_lang, sum(cnt) AS tot FROM ct GROUP BY 1),
+        |pri AS (SELECT lang AS model_lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT tok) AS v FROM ct),
+        |na AS (SELECT count(*) AS n_all FROM documents),
+        |cls AS (
+        |  SELECT model_lang, tot, n_docs, v, n_all
+        |  FROM tt JOIN pri USING (model_lang) CROSS JOIN vv CROSS JOIN na),
+        |s1 AS (
+        |  SELECT dt.doc_id, ct.model_lang,
+        |   sum(CAST(dt.tf * ln(ct.cnt + 1) AS DECIMAL(38,18))) AS s1
+        |  FROM dt JOIN ct ON dt.tok = ct.tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, lang, sum(tf) AS dl FROM dt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dl.doc_id, dl.lang, cls.model_lang,
+        |   coalesce(s1.s1, CAST(0 AS DECIMAL(38,18)))
+        |    + CAST(-dl.dl * ln(cls.tot + cls.v) AS DECIMAL(38,18))
+        |    + CAST(ln(CAST(cls.n_docs AS DOUBLE) / cls.n_all) AS DECIMAL(38,18)) AS score
+        |  FROM dl CROSS JOIN cls
+        |  LEFT JOIN s1 ON s1.doc_id = dl.doc_id AND s1.model_lang = cls.model_lang),
+        |pred AS (
+        |  SELECT doc_id, lang, model_lang,
+        |   row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY score DESC, model_lang ASC) AS rn
+        |  FROM sc)
+        |SELECT lang AS actual_lang, model_lang AS pred_lang, count(*) AS n_docs
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -208,4 +208,35 @@ class TextMiningSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("q_ml_naive_bayes == plain-Scala multinomial NB with add-1 smoothing") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    val classTok = docs.flatMap { case (_, l, ts) => ts.map((l, _)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val classTot = classTok.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vocabN = classTok.keySet.map(_._2).size
+    val priors = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val langs = priors.keys.toSeq.sorted
+    val predicted = docs.map { case (_, actual, ts) =>
+      // mirror the query's decimal-exact accumulation: BigDecimal sums of
+      // per-term doubles; ties break toward the SMALLER lang (maxBy keeps
+      // the first max, langs sorted ascending — the query's model_lang asc)
+      def score(c: String): BigDecimal = {
+        val tfs = ts.groupBy(identity).view.mapValues(_.size).toMap
+        val s1 = tfs.map { case (t, tf) =>
+          BigDecimal(tf * math.log(classTok.getOrElse((c, t), 0L) + 1.0)) }.sum
+        s1 + BigDecimal(-ts.length * math.log(classTot(c) + vocabN.toDouble)) +
+          BigDecimal(math.log(priors(c).toDouble / docs.length))
+      }
+      (actual, langs.maxBy(score))
+    }
+    val want = predicted.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q_ml_naive_bayes")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"confusion matrix differs\n got: $got\nwant: $want")
+    assert(got.values.sum == docs.length, "docs not conserved")
+    langs.foreach(l => assert(got.getOrElse((l, l), 0L) >= 0L))
+  }
 }
