@@ -17,15 +17,22 @@ object Tables {
   type Fn = (SparkSession, String) => DataFrame
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
+    // events.ts has shipped in two parquet encodings across driver
+    // testdata generations: TIMESTAMP(NANOS), which Spark 4 rejects
     // (PARQUET_TYPE_ILLEGAL) unless read as a nanos-since-epoch LONG via
-    // spark.sql.legacy.parquet.nanosAsLong (set by mkSession/Verify/Bench).
-    // Convert to TimestampType at µs precision — exactly DuckDB's native
-    // truncation of ns parquet timestamps, so oracles agree.
+    // spark.sql.legacy.parquet.nanosAsLong (set by mkSession/Verify/Bench),
+    // and plain TIMESTAMP(MICROS), which surfaces as TIMESTAMP_NTZ.
+    // Normalize BOTH to session-TZ (UTC) TimestampType at µs precision —
+    // exactly DuckDB's view of the same file, so oracles agree — by
+    // dispatching on the type the scan actually produced.
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      val tsNorm = raw.schema("ts").dataType match {
+        case LongType => expr("timestamp_micros(ts div 1000)")
+        case _        => col("ts").cast(TimestampType)
+      }
+      raw.withColumn("ts", tsNorm)
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 

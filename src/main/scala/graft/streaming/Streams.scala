@@ -17,19 +17,30 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events schema as stored (ts = TIMESTAMP(NANOS) read as nanos LONG via
-    * spark.sql.legacy.parquet.nanosAsLong, then converted — same choke
-    * point as graft.Tables.t). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events schema as stored, parameterized on the ts encoding the files
+    * actually carry — TIMESTAMP(NANOS) (surfaced as a nanos LONG via
+    * spark.sql.legacy.parquet.nanosAsLong) in older driver testdata
+    * generations, TIMESTAMP(MICROS) (TIMESTAMP_NTZ) in newer ones. Same
+    * normalization choke point as graft.Tables.t. */
+  private def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming read of the events parquet (directory-or-file path). */
+  /** Streaming read of the events parquet (directory-or-file path).
+    * A streaming source needs an explicit schema, so probe the footer via
+    * a batch read first, then normalize ts to session-TZ µs TimestampType
+    * exactly as the batch loader does. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val raw = spark.readStream.schema(eventsRawSchema(tsType)).parquet(path)
+    val tsNorm = tsType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case _        => col("ts").cast(TimestampType)
+    }
+    raw.withColumn("ts", tsNorm)
   }
 
   /** #47 streaming twin: 1-h tumbling counts with a 10-min watermark. */

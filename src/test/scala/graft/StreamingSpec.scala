@@ -310,11 +310,17 @@ class StreamingSpec extends AnyFunSuite {
     // MUST survive in state across batches to reproduce the batch twin's
     // prefix-frame scores.
     val dir = Files.createTempDirectory("graft-outlier").toString
-    // raw nanos-long form, as the streaming source reads it
+    // raw storage form, as the streaming source reads it (ts encoding
+    // varies across testdata generations — split on normalized seconds)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val cutNs = raw.selectExpr("approx_percentile(ts, 0.5)").head().getLong(0)
-    raw.where(col("ts") <= cutNs).coalesce(1).write.mode("append").parquet(dir)
+    val tsSec = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }).cast(org.apache.spark.sql.types.DoubleType)
+    val cutSec = raw.select(tsSec.as("tsn"))
+      .selectExpr("approx_percentile(tsn, 0.5)").head().getDouble(0)
+    raw.where(tsSec <= cutSec).coalesce(1).write.mode("append").parquet(dir)
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -324,7 +330,7 @@ class StreamingSpec extends AnyFunSuite {
         .outputMode("append").option("checkpointLocation", ckpt())
         .start()
       qy.processAllAvailable()
-      raw.where(col("ts") > cutNs).coalesce(1).write.mode("append").parquet(dir)
+      raw.where(tsSec > cutSec).coalesce(1).write.mode("append").parquet(dir)
       qy.processAllAvailable()
       qy.stop()
       val got = spark.table("outliers").collect()
