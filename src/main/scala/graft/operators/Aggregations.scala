@@ -4,7 +4,8 @@ import graft.{QueryPack, Tables}
 import graft.Tables._
 import graft.functions.WeightedMean
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Aggregations — SURVEY.md §3B #15–26. Upstream analog: SNOWAV's per-day ×
   * subbasin × elevation-band reduce (`np.nansum`/`np.nanmean` + "total" rows
@@ -447,7 +448,93 @@ object Aggregations extends QueryPack {
           r4(cov * cov / (varx * vary)).as("r2"))
         .orderBy("l_returnflag")
     }),
+
+    // Mann–Whitney U rank-sum test (A vs R return flags on l_discount),
+    // computed WITHOUT a global rank: the corpus collapses to the
+    // distinct-VALUE histogram (≤ |distinct discounts| rows — one
+    // map-side-combinable aggregate), U comes from the histogram
+    // identity U_A = Σ_v na(v)·(cumB(<v) + nb(v)/2) via a window over
+    // the bounded histogram, and the tie-corrected normal z is closed-
+    // form arithmetic on exact integer counts. The textbook rank-based
+    // formulation needs a total sort of the corpus; this one shuffles
+    // |values| rows at any scale. Products ride DECIMAL(38,0) so no
+    // count magnitude can overflow.
+    "q_stats_mannwhitney" -> ((s, d) => {
+      val d38 = DecimalType(38, 0)
+      val hist = t(s, d, "lineitem")
+        .where(col("l_returnflag").isin(MW_FLAG_A, MW_FLAG_B))
+        .groupBy(col("l_discount").as("v"))
+        .agg(count_if(col("l_returnflag") === MW_FLAG_A).as("na"),
+          count_if(col("l_returnflag") === MW_FLAG_B).as("nb"))
+      val wOrd = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val agg = hist
+        .withColumn("cumb", coalesce(sum("nb").over(wOrd), lit(0L)))
+        .withColumn("t", col("na") + col("nb"))
+        .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+          // 2·U_A stays integer-exact (the nb/2 half-ranks are doubled)
+          sum(col("na").cast(d38) * (lit(2) * col("cumb") + col("nb"))).as("u2"),
+          sum(col("t").cast(d38) * col("t") * col("t") - col("t")).as("tie3"))
+      val nTot = col("n_a") + col("n_b")
+      val u = col("u2").cast(DoubleType) / 2.0
+      val mu = col("n_a").cast(DoubleType) * col("n_b") / 2.0
+      val tieadj = col("tie3").cast(DoubleType) / (nTot.cast(DoubleType) * (nTot - 1))
+      val sigma2 = col("n_a").cast(DoubleType) * col("n_b") / 12.0 *
+        ((nTot + 1).cast(DoubleType) - tieadj)
+      agg.select(lit(MW_FLAG_A).as("flag_a"), lit(MW_FLAG_B).as("flag_b"),
+        col("n_a"), col("n_b"), r4(u).as("u_stat"),
+        r4((u - mu) / sqrt(sigma2)).as("z"))
+    }),
+
+    // Poisson bootstrap of the per-priority mean order value — THE
+    // resampling scheme that survives scale: a true bootstrap needs a
+    // global multinomial draw (coordination across the whole dataset);
+    // the Poisson approximation gives every row an INDEPENDENT
+    // Poisson(1) weight per replicate, so the plan is explode(B) → one
+    // hash aggregate, map-side combinable, no coordination. Weights are
+    // the Poisson inverse-CDF ladder over the deterministic md5-bucket
+    // uniform of (o_orderkey, b) — reproducible across engines, cluster
+    // sizes, and reruns. Replicate means ride exact DECIMAL partials;
+    // the B-replicate moment sums ride DECIMAL(38,18) so replicate
+    // order can't drift the bootstrap SE.
+    "q_stats_bootstrap" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val u = (h60(concat_ws(":", col("o_orderkey").cast(StringType),
+        col("b").cast(StringType))) % 1000000 + 0.5) / 1000000.0
+      val w = when(u < 0.3678794412, 0L).when(u < 0.7357588823, 1L)
+        .when(u < 0.9196986029, 2L).when(u < 0.9810118431, 3L)
+        .when(u < 0.9963401532, 4L).when(u < 0.9994058152, 5L)
+        .when(u < 0.9999167589, 6L).otherwise(7L)
+      val rep = o
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("x"),
+          explode(sequence(lit(0), lit(BOOT_B - 1))).as("b"))
+        .withColumn("w", w)
+        .groupBy("prio", "b")
+        .agg((sum((col("w") * col("x")).cast(DEC)).cast(DoubleType) /
+          sum(col("w")).cast(DoubleType)).as("mb"))
+      val d18 = DecimalType(38, 18)
+      val stats = rep.groupBy("prio")
+        .agg(sum(col("mb").cast(d18)).cast(DoubleType).as("sm"),
+          sum((col("mb") * col("mb")).cast(d18)).cast(DoubleType).as("smm"))
+      val full = o.groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n_rows"),
+          (dsum(col("o_totalprice")) / count(lit(1))).as("mf"))
+      val bD = lit(BOOT_B.toDouble)
+      stats.join(maybeBroadcast(full), Seq("prio"))
+        .select(col("prio"), col("n_rows"), r4(col("mf")).as("mean_full"),
+          r4(col("sm") / bD).as("boot_mean"),
+          r4(sqrt((bD * col("smm") - col("sm") * col("sm")) /
+            (bD * lit(BOOT_B - 1.0)))).as("boot_se"))
+        .orderBy("prio")
+    }),
   )
+
+  /** q_stats_mannwhitney group pair (l_returnflag values). */
+  private val MW_FLAG_A = "A"
+  private val MW_FLAG_B = "R"
+
+  /** q_stats_bootstrap replicate count — 16 Poisson-weight resamples. */
+  private val BOOT_B = 16
 
   /** Support floor (baskets) for q_assoc_rules — fixture-calibrated so
     * sf0.01 yields a stable frequent-pair set (63 pairs at n_ab ≥ 3). */
@@ -675,5 +762,65 @@ object Aggregations extends QueryPack {
          | ${r4sql("(sy - (cov / varx) * sx) / n")} AS intercept,
          | ${r4sql("cov * cov / (varx * vary)")} AS r2
          |FROM d ORDER BY l_returnflag""".stripMargin,
+    "q_stats_mannwhitney" ->
+      s"""WITH hist AS (
+         |  SELECT l_discount AS v,
+         |   count(*) FILTER (WHERE l_returnflag = '$MW_FLAG_A') AS na,
+         |   count(*) FILTER (WHERE l_returnflag = '$MW_FLAG_B') AS nb
+         |  FROM lineitem WHERE l_returnflag IN ('$MW_FLAG_A', '$MW_FLAG_B')
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT *, na + nb AS t,
+         |   COALESCE(CAST(sum(nb) OVER (ORDER BY v
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+         |  FROM hist),
+         |agg AS (
+         |  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+         |   sum(CAST(na AS HUGEINT) * (2*cumb + nb)) AS u2,
+         |   sum(CAST(t AS HUGEINT) * t * t - t) AS tie3
+         |  FROM c),
+         |f AS (
+         |  SELECT n_a, n_b, n_a + n_b AS nn,
+         |   CAST(u2 AS DOUBLE) / 2.0 AS u,
+         |   CAST(n_a AS DOUBLE) * n_b / 2.0 AS mu,
+         |   CAST(tie3 AS DOUBLE) AS tie3d
+         |  FROM agg),
+         |g AS (
+         |  SELECT *,
+         |   CAST(n_a AS DOUBLE) * n_b / 12.0 *
+         |     (CAST(nn + 1 AS DOUBLE) - tie3d / (CAST(nn AS DOUBLE) * (nn - 1))) AS sigma2
+         |  FROM f)
+         |SELECT '$MW_FLAG_A' AS flag_a, '$MW_FLAG_B' AS flag_b, n_a, n_b,
+         | ${r4sql("u")} AS u_stat, ${r4sql("(u - mu) / sqrt(sigma2)")} AS z
+         |FROM g""".stripMargin,
+    "q_stats_bootstrap" ->
+      s"""WITH rep AS (
+         |  SELECT prio, b,
+         |   CAST(sum(CAST(w * x AS DECIMAL(38,6))) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mb
+         |  FROM (
+         |   SELECT o_orderpriority AS prio, o_totalprice AS x, b,
+         |    CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
+         |         WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
+         |         WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5
+         |         WHEN u < 0.9999167589 THEN 6 ELSE 7 END AS w
+         |   FROM (
+         |    SELECT o_orderpriority, o_totalprice, b,
+         |     (('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||':'||CAST(b AS VARCHAR)),1,15))::BIGINT
+         |       % 1000000 + 0.5) / 1000000.0 AS u
+         |    FROM orders CROSS JOIN (SELECT unnest(generate_series(0, ${BOOT_B - 1})) AS b)))
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT prio,
+         |   CAST(sum(CAST(mb AS DECIMAL(38,18))) AS DOUBLE) AS sm,
+         |   CAST(sum(CAST(mb*mb AS DECIMAL(38,18))) AS DOUBLE) AS smm
+         |  FROM rep GROUP BY 1),
+         |fl AS (
+         |  SELECT o_orderpriority AS prio, count(*) AS n_rows,
+         |   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mf
+         |  FROM orders GROUP BY 1)
+         |SELECT prio, n_rows, ${r4sql("mf")} AS mean_full,
+         | ${r4sql(s"sm / $BOOT_B.0")} AS boot_mean,
+         | ${r4sql(s"sqrt(($BOOT_B.0 * smm - sm * sm) / ($BOOT_B.0 * ${BOOT_B - 1}.0))")} AS boot_se
+         |FROM stats JOIN fl USING (prio) ORDER BY prio""".stripMargin,
   )
 }

@@ -41,6 +41,9 @@ object Curation extends QueryPack {
   /** Sample size for q_sample_weighted. */
   private val SAMPLE_K = 200
 
+  /** Per-stratum sample size for q_sample_per_key. */
+  private val SAMPLE_PER_KEY = 3
+
   /** All (non-distinct) bigrams of an already-materialized tokens column —
     * unlike [[LlmPipeline.shingles]] this keeps duplicates, because
     * repetition scoring needs the full multiset. */
@@ -268,6 +271,25 @@ object Curation extends QueryPack {
         .select(col("doc_id"), col("lang"), col("n_chars"), key.as("es_key"))
         .orderBy(col("es_key").desc, col("doc_id"))
         .limit(SAMPLE_K)
+    }),
+
+    // Per-key deterministic sample: the K lowest-md5-priority docs per
+    // language — the "show me a few examples from every stratum" op a
+    // data team runs constantly. The rank filter is the single-
+    // row_number pattern the injected optimizer rule rewrites into the
+    // map-side-heap TopKPerKey plan, so at ANY corpus size at most
+    // K rows per key per partition reach the shuffle — a bounded,
+    // reproducible per-stratum sample with no corpus sort and no rand()
+    // (md5 priority is identical across engines, reruns, and cluster
+    // sizes).
+    "q_sample_per_key" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          (h60(col("doc_id").cast(StringType)) % 1000000).as("pri"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= SAMPLE_PER_KEY)
+        .orderBy("lang", "rn")
     }),
 
     // Within-doc repetition scoring (Gopher-style quality rule): the
@@ -610,6 +632,16 @@ object Curation extends QueryPack {
          |   ) AS n_sampled
          |  FROM documents GROUP BY lang)
          |ORDER BY lang""".stripMargin,
+    "q_sample_per_key" ->
+      s"""WITH p AS (
+         |  SELECT lang, doc_id,
+         |   ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000 AS pri
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+         |  FROM p)
+         |SELECT lang, doc_id, pri, rn FROM r
+         |WHERE rn <= $SAMPLE_PER_KEY ORDER BY lang, rn""".stripMargin,
     "q_quality_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),

@@ -257,7 +257,80 @@ object Profiling extends QueryPack {
           s"stack(${pairs.size}, $stacked) AS (col_a, col_b, pearson_r)"))
         .orderBy("col_a", "col_b")
     }),
+
+    // Population-stability-index drift monitor: per order priority, the
+    // PSI of the o_totalprice distribution between a reference window
+    // (orders before PSI_SPLIT) and the current window — the
+    // feature-drift check an ML pipeline runs before every retrain.
+    // ONE conditional-count aggregate pass bins the corpus into
+    // (priority, bin) cells with both periods' counts (map-side
+    // combinable); proportions are Laplace-smoothed (+0.5 per bin) so
+    // empty bins can't produce log(0); the PSI sum over ≤ PSI_BINS bins
+    // rides DECIMAL(38,18) so bin order can't drift it (q_skew_report
+    // playbook). Verdict bands at 0.1/0.25 are the industry rule of
+    // thumb. Windows over the BIN table (≤ groups×bins rows), never the
+    // corpus.
+    "q_drift_psi" -> ((s, d) => {
+      val isRef = col("o_orderdate") < lit(PSI_SPLIT).cast(TimestampType)
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          least(floor(col("o_totalprice") / PSI_BIN_W), lit(PSI_BINS - 1L))
+            .cast(LongType).as("bin"))
+        .agg(count_if(isRef).as("n_ref"), count_if(!isRef).as("n_cur"))
+      val w = Window.partitionBy("prio")
+      val smoothed = cells
+        .withColumn("p_ref", (col("n_ref") + 0.5) /
+          (sum("n_ref").over(w) + 0.5 * PSI_BINS))
+        .withColumn("p_cur", (col("n_cur") + 0.5) /
+          (sum("n_cur").over(w) + 0.5 * PSI_BINS))
+        .withColumn("contrib",
+          (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+      smoothed.groupBy("prio")
+        .agg(sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"),
+          sum(col("contrib").cast(DecimalType(38, 18))).cast(DoubleType).as("psi"))
+        .select(col("prio"), col("n_ref"), col("n_cur"), r4(col("psi")).as("psi"),
+          when(col("psi") < 0.1, "stable").when(col("psi") < 0.25, "moderate")
+            .otherwise("shifted").as("verdict"))
+        .orderBy("prio")
+    }),
+
+    // Benford first-digit audit over o_totalprice — the classic
+    // fabricated-data screen. The digit is taken from the DECIMAL STRING
+    // rendering of the integer part (floor→BIGINT→VARCHAR), never from
+    // float log10 arithmetic, whose behavior at exact powers of ten is
+    // not engine-portable. ONE aggregate collapses the corpus to ≤9
+    // digit rows; expected shares are closed-form log10(1+1/d); the χ²
+    // statistic sums over the 9 rows in DECIMAL(38,18) and lands on
+    // every row from a 1-row broadcast (q_stats_chi2 shape).
+    "q_dq_benford" -> ((s, d) => {
+      val digits = t(s, d, "orders")
+        .where(col("o_totalprice") >= 1)
+        .groupBy(substring(floor(col("o_totalprice")).cast(LongType)
+          .cast(StringType), 1, 1).as("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+        .withColumn("n", sum("n_obs").over(Window.partitionBy()))
+      val expFrac = log(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)) / log(lit(10.0))
+      val withE = digits
+        .withColumn("frac_exp", expFrac)
+        .withColumn("n_exp", col("n") * expFrac)
+        .withColumn("contrib",
+          (col("n_obs") - col("n_exp")) * (col("n_obs") - col("n_exp")) / col("n_exp"))
+      val total = withE.agg(
+        sum(col("contrib").cast(DecimalType(38, 18))).cast(DoubleType).as("chi2"))
+      withE.crossJoin(broadcast(total)) // 1-row aggregate
+        .select(col("digit"), col("n_obs"),
+          r4(col("n_obs").cast(DoubleType) / col("n")).as("frac_obs"),
+          r4(col("frac_exp")).as("frac_exp"), r4(col("chi2")).as("chi2"))
+        .orderBy("digit")
+    }),
   )
+
+  /** q_drift_psi dials: period boundary, bin width, bin count — orders
+    * span 1995–2001 at totalprice < 500k, so 10 × 50k bins cover the
+    * domain and the 1999 split puts ~60/40 of rows on each side. */
+  private val PSI_SPLIT = "1999-01-01"
+  private val PSI_BIN_W = 50000.0
+  private val PSI_BINS = 10L
 
   def oracle: Seq[(String, String)] = Seq(
     "q_profile_table" -> {
@@ -387,5 +460,47 @@ object Profiling extends QueryPack {
       }
       rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
+    "q_drift_psi" ->
+      s"""WITH cells AS (
+         |  SELECT o_orderpriority AS prio,
+         |   least(CAST(floor(o_totalprice / $PSI_BIN_W) AS BIGINT), ${PSI_BINS - 1}) AS bin,
+         |   count(*) FILTER (WHERE o_orderdate < TIMESTAMP '$PSI_SPLIT') AS n_ref,
+         |   count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '$PSI_SPLIT') AS n_cur
+         |  FROM orders GROUP BY 1, 2),
+         |sm AS (
+         |  SELECT prio, n_ref, n_cur,
+         |   (n_ref + 0.5) / (sum(n_ref) OVER (PARTITION BY prio) + 0.5 * $PSI_BINS) AS p_ref,
+         |   (n_cur + 0.5) / (sum(n_cur) OVER (PARTITION BY prio) + 0.5 * $PSI_BINS) AS p_cur
+         |  FROM cells),
+         |agg AS (
+         |  SELECT prio, CAST(sum(n_ref) AS BIGINT) AS n_ref,
+         |   CAST(sum(n_cur) AS BIGINT) AS n_cur,
+         |   CAST(sum(CAST((p_cur - p_ref) * ln(p_cur / p_ref) AS DECIMAL(38,18))) AS DOUBLE) AS psi
+         |  FROM sm GROUP BY 1)
+         |SELECT prio, n_ref, n_cur, ${r4sql("psi")} AS psi,
+         | CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate'
+         |      ELSE 'shifted' END AS verdict
+         |FROM agg ORDER BY prio""".stripMargin,
+    "q_dq_benford" ->
+      """WITH digits AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+        |   count(*) AS n_obs
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |w AS (
+        |  SELECT digit, n_obs, sum(n_obs) OVER () AS n,
+        |   ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))
+        |     / ln(CAST(10.0 AS DOUBLE)) AS frac_exp
+        |  FROM digits),
+        |e AS (
+        |  SELECT *, n * frac_exp AS n_exp,
+        |   (n_obs - n * frac_exp) * (n_obs - n * frac_exp) / (n * frac_exp) AS contrib
+        |  FROM w),
+        |tot AS (
+        |  SELECT CAST(sum(CAST(contrib AS DECIMAL(38,18))) AS DOUBLE) AS chi2 FROM e)
+        |SELECT digit, n_obs,
+        | CAST(round(CAST(CAST(n_obs AS DOUBLE) / n AS DECIMAL(38,6)), 4) AS DOUBLE) AS frac_obs,
+        | CAST(round(CAST(frac_exp AS DECIMAL(38,6)), 4) AS DOUBLE) AS frac_exp,
+        | CAST(round(CAST(chi2 AS DECIMAL(38,6)), 4) AS DOUBLE) AS chi2
+        |FROM e CROSS JOIN tot ORDER BY digit""".stripMargin,
   )
 }

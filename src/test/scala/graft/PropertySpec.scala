@@ -796,4 +796,97 @@ class PropertySpec extends AnyFunSuite {
       assert(gr2 >= 0.0 && gr2 <= 1.0)
     }
   }
+
+  test("q_stats_mannwhitney == brute-force pairwise U on the raw rows") {
+    val row = q("q_stats_mannwhitney").collect()(0)
+    val (nA, nB, u, z) =
+      (row.getLong(2), row.getLong(3), row.getDouble(4), row.getDouble(5))
+    val vals = graft.Tables.t(spark, sf, "lineitem")
+      .where(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"), col("l_discount"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val as = vals.filter(_._1 == "A").map(_._2)
+    val bs = vals.filter(_._1 == "R").map(_._2)
+    assert(nA == as.length && nB == bs.length)
+    // U_A by definition: #(b < a) + #(a == b)/2 over all pairs (the
+    // rank-sum orientation: U_A = R_A − nA(nA+1)/2)
+    var wins = 0L; var ties = 0L
+    for (a <- as; b <- bs) { if (b < a) wins += 1 else if (a == b) ties += 1 }
+    val uRef = wins + ties / 2.0
+    assert(math.abs(u - uRef) <= 0.5, s"U $u vs pairwise $uRef")
+    // U is symmetric-bounded and z must be finite on this fixture
+    assert(u >= 0 && u <= nA.toDouble * nB, s"U out of range: $u")
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("q_stats_bootstrap: SE positive, bootstrap mean near full mean, reruns identical") {
+    val rows = q("q_stats_bootstrap").collect()
+    assert(rows.length == 5) // one per order priority
+    rows.foreach { r =>
+      val (mf, bm, se) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(se > 0, s"${r.getString(0)}: degenerate bootstrap SE")
+      // Poisson-bootstrap replicate means concentrate around the sample
+      // mean: |bm - mf| should be well within a few SEs
+      assert(math.abs(bm - mf) < 5 * se, s"${r.getString(0)}: $bm vs $mf (se $se)")
+    }
+    val again = q("q_stats_bootstrap").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "md5-driven bootstrap must be rerun-deterministic")
+  }
+
+  test("q_drift_psi: PSI nonnegative, zero on identical distributions, bands consistent") {
+    val rows = q("q_drift_psi").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val psi = r.getDouble(3); val verdict = r.getString(4)
+      assert(psi >= 0, s"PSI negative for ${r.getString(0)}")
+      val want = if (psi < 0.1) "stable" else if (psi < 0.25) "moderate" else "shifted"
+      // r4 rounding can flip a verdict only within 5e-5 of a band edge
+      if (math.abs(psi - 0.1) > 1e-3 && math.abs(psi - 0.25) > 1e-3)
+        assert(verdict == want, s"${r.getString(0)}: $psi -> $verdict")
+    }
+    // identical ref/cur histograms => PSI exactly 0 after smoothing
+    import spark.implicits._
+    val same = Seq.tabulate(100)(i => ("P", i % 7)).toDF("prio", "bin")
+      .groupBy("prio", "bin")
+      .agg(count(lit(1)).as("n_ref"), count(lit(1)).as("n_cur"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("prio")
+    val psi0 = same
+      .withColumn("p_ref", (col("n_ref") + 0.5) / (sum("n_ref").over(w) + 5.0))
+      .withColumn("p_cur", (col("n_cur") + 0.5) / (sum("n_cur").over(w) + 5.0))
+      .agg(sum((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))))
+      .head().getDouble(0)
+    assert(psi0 == 0.0)
+  }
+
+  test("q_dq_benford: digits 1-9 complete, observed fractions sum to 1, chi2 constant") {
+    val rows = q("q_dq_benford").collect()
+    assert(rows.map(_.getString(0)).toSeq == (1 to 9).map(_.toString))
+    val fracSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(fracSum - 1.0) < 1e-3, s"frac_obs sums to $fracSum")
+    val expSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(expSum - 1.0) < 1e-3, s"frac_exp sums to $expSum (log10 law)")
+    assert(rows.map(_.getDouble(4)).distinct.length == 1, "chi2 must be a broadcast constant")
+    assert(rows.head.getDouble(4) >= 0)
+  }
+
+  test("q_sample_per_key: exactly K per stratum, deterministic, and rank-rewritten to TopKPerKey") {
+    val df = q("q_sample_per_key")
+    val rows = df.collect()
+    val perLang = rows.groupBy(_.getString(0))
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.length == 3, s"$lang: ${rs.length} rows")
+      assert(rs.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+      // the sample is the true 3 lowest (pri, doc_id) keys of the stratum
+      val all = graft.Tables.t(spark, sf, "documents")
+        .where(col("lang") === lang)
+        .select(col("doc_id"),
+          (graft.Tables.h60(col("doc_id").cast("string")) % 1000000).as("pri"))
+        .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.take(3)
+      assert(rs.sortBy(_.getInt(3)).map(r => (r.getLong(2), r.getLong(1))).toSeq == all.toSeq)
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyFinal"),
+      s"per-key sample should ride the map-side-heap rewrite:\n$p")
+  }
 }
