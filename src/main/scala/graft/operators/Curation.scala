@@ -44,6 +44,13 @@ object Curation extends QueryPack {
   /** Per-stratum sample size for q_sample_per_key. */
   private val SAMPLE_PER_KEY = 3
 
+  /** q_text_boilerplate dials: a bigram recurring in ≥ BOILER_DF docs of
+    * one source is template text; docs with > BOILER_FRAC of their
+    * bigrams templated are flagged (fixture-calibrated so the sf0.01
+    * gate sees both verdicts: 88 flagged / 412 clean). */
+  private val BOILER_DF = 4
+  private val BOILER_FRAC = 0.2
+
   /** All (non-distinct) bigrams of an already-materialized tokens column —
     * unlike [[LlmPipeline.shingles]] this keeps duplicates, because
     * repetition scoring needs the full multiset. */
@@ -310,6 +317,32 @@ object Curation extends QueryPack {
           r4(col("max_tok") / col("n_tokens")).as("top_tok_ratio"),
           coalesce(r4(col("max_bg") / col("n_bg")), lit(0.0)).as("top_bigram_ratio"))
         .withColumn("repetitive", col("top_bigram_ratio") > 0.2)
+        .orderBy("doc_id")
+    }),
+
+    // Boilerplate/template detection — the curation rule that strips
+    // crawl chrome ("click here to subscribe…"): a phrase bigram is
+    // boilerplate when it recurs in ≥ BOILER_DF docs of the SAME
+    // source (templates are per-site), and a doc is flagged when
+    // boilerplate phrases claim > BOILER_FRAC of its distinct bigrams.
+    // Two shuffles at any scale: the (source, bigram) document-
+    // frequency aggregate, and the size-gated join of the high-df
+    // phrase table back onto the bigram stream (the phrase table is
+    // vocabulary-scale — broadcast when small, shuffle join when not).
+    "q_text_boilerplate" -> ((s, d) => {
+      val sh = t(s, d, "documents").repartition(col("doc_id"))
+        .withColumn("toks", LlmPipeline.toks(col("text")))
+        .select(col("doc_id"), col("source"),
+          explode(LlmPipeline.shingles(col("toks"), 2)).as("shingle"))
+      val boiler = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") >= BOILER_DF)
+        .select(col("source"), col("shingle"), lit(true).as("is_boiler"))
+      sh.join(maybeBroadcast(boiler), Seq("source", "shingle"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count_if(col("is_boiler").isNotNull).as("n_boiler"))
+        .withColumn("boiler_frac", r4(col("n_boiler") / col("n_shingles")))
+        .withColumn("flagged", col("n_boiler") / col("n_shingles") > BOILER_FRAC)
         .orderBy("doc_id")
     }),
 
@@ -662,6 +695,24 @@ object Curation extends QueryPack {
         | COALESCE(CAST(round(CAST(CAST(bt.max_bg AS DOUBLE) / bt.n_bg AS DECIMAL(38,6)), 4) AS DOUBLE), 0.0) > 0.2 AS repetitive
         |FROM tt LEFT JOIN bt ON tt.doc_id = bt.doc_id
         |ORDER BY tt.doc_id""".stripMargin,
+    "q_text_boilerplate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, unnest(
+         |   CASE WHEN len(string_split(text,' ')) >= 2 THEN
+         |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1),
+         |      i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]))
+         |   ELSE [] END) AS shingle
+         |  FROM documents),
+         |df AS (SELECT source, shingle, count(*) AS df FROM sh GROUP BY 1, 2),
+         |b AS (SELECT source, shingle FROM df WHERE df >= $BOILER_DF),
+         |per AS (
+         |  SELECT sh.doc_id, count(*) AS n_shingles, count(b.shingle) AS n_boiler
+         |  FROM sh LEFT JOIN b ON sh.source = b.source AND sh.shingle = b.shingle
+         |  GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_boiler,
+         | ${r4sql("CAST(n_boiler AS DOUBLE) / n_shingles")} AS boiler_frac,
+         | CAST(n_boiler AS DOUBLE) / n_shingles > $BOILER_FRAC AS flagged
+         |FROM per ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT lang, doc_id,

@@ -323,6 +323,9 @@ object Profiling extends QueryPack {
           r4(col("frac_exp")).as("frac_exp"), r4(col("chi2")).as("chi2"))
         .orderBy("digit")
     }),
+
+    // Equi-depth decile histogram (see [[profileHistogram]]).
+    "q_profile_histogram" -> ((s, d) => profileHistogram(s, d)),
   )
 
   /** q_drift_psi dials: period boundary, bin width, bin count — orders
@@ -331,6 +334,33 @@ object Profiling extends QueryPack {
   private val PSI_SPLIT = "1999-01-01"
   private val PSI_BIN_W = 50000.0
   private val PSI_BINS = 10L
+
+  /** Equi-depth histogram over l_extendedprice — the planner/profiler
+    * bucket structure: decile BOUNDARIES from one exact-percentile
+    * aggregate (a 1-row result, broadcast), then one binned count pass
+    * where bin = #(boundaries below x) via an array predicate over the
+    * 9-element literal-sized bound array. Two corpus passes, both
+    * narrow + one hash agg; no corpus sort (the textbook ntile
+    * formulation is a global sort). Boundaries are r4-rounded BEFORE
+    * the comparisons so both engines cut on identical doubles —
+    * percentile interpolation is only 4dp-portable, and a 1-ulp bound
+    * difference would flip boundary rows across bins. */
+  private def profileHistogram(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val qs = (1 to 9).map(_ / 10.0)
+    val bounds = li.agg(percentile(col("l_extendedprice"),
+      array(qs.map(lit): _*)).as("bs"))
+      .select(transform(col("bs"), b => r4(b)).as("bs"))
+    li.crossJoin(broadcast(bounds)) // 1-row aggregate
+      .withColumn("bin",
+        size(filter(col("bs"), b => col("l_extendedprice") > b)).cast(LongType))
+      .groupBy("bin").agg(count(lit(1)).as("n_rows"),
+        r4(min(col("l_extendedprice"))).as("lo"),
+        r4(max(col("l_extendedprice"))).as("hi"))
+      .withColumn("frac",
+        r4(col("n_rows") / sum("n_rows").over(Window.partitionBy())))
+      .orderBy("bin")
+  }
 
   def oracle: Seq[(String, String)] = Seq(
     "q_profile_table" -> {
@@ -502,5 +532,24 @@ object Profiling extends QueryPack {
         | CAST(round(CAST(frac_exp AS DECIMAL(38,6)), 4) AS DOUBLE) AS frac_exp,
         | CAST(round(CAST(chi2 AS DECIMAL(38,6)), 4) AS DOUBLE) AS chi2
         |FROM e CROSS JOIN tot ORDER BY digit""".stripMargin,
+    "q_profile_histogram" -> {
+      val qlist = (1 to 9).map(i => (i / 10.0).toString).mkString(", ")
+      s"""WITH bounds AS (
+         |  SELECT list_transform(quantile_cont(l_extendedprice, [$qlist]),
+         |    b -> CAST(round(CAST(b AS DECIMAL(38,6)), 4) AS DOUBLE)) AS bs
+         |  FROM lineitem),
+         |binned AS (
+         |  SELECT CAST(len(list_filter(bs, b -> l_extendedprice > b)) AS BIGINT) AS bin,
+         |   l_extendedprice
+         |  FROM lineitem CROSS JOIN bounds),
+         |agg AS (
+         |  SELECT bin, count(*) AS n_rows,
+         |   ${r4sql("min(l_extendedprice)")} AS lo,
+         |   ${r4sql("max(l_extendedprice)")} AS hi
+         |  FROM binned GROUP BY 1)
+         |SELECT bin, n_rows, lo, hi,
+         | ${r4sql("CAST(n_rows AS DOUBLE) / sum(n_rows) OVER ()")} AS frac
+         |FROM agg ORDER BY bin""".stripMargin
+    },
   )
 }

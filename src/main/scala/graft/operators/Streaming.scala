@@ -176,6 +176,41 @@ object Streaming extends QueryPack {
         .orderBy("step")
     }),
 
+    // Point-in-time feature join — the feature-store correctness
+    // primitive: for every purchase event (the label point), the latest
+    // prior value and running count of each behavioral signal for that
+    // user STRICTLY BEFORE the purchase instant, so no future leaks
+    // into the features. All five features ride ONE (user_id) shuffle
+    // and ONE ordered frame (ts, event_id — a total order) as
+    // IGNORE-NULLS last / conditional count window functions; the
+    // naive formulation is one as-of join PER FEATURE (5 shuffles,
+    // 5 sort passes). At 100 TB the frame is per-user-bounded and the
+    // plan shape is independent of the number of feature columns.
+    "q_features_pit" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), tsec(col("ts")).as("et"))
+      val w = Window.partitionBy("user_id").orderBy(col("et"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def lastVal(tp: String) =
+        last(when(col("event_type") === tp, col("value")), ignoreNulls = true).over(w)
+      def cnt(tp: String) =
+        count(when(col("event_type") === tp, lit(1))).over(w)
+      ev
+        .withColumn("f_view_last", lastVal("view"))
+        .withColumn("f_click_last", lastVal("click"))
+        .withColumn("n_view", cnt("view"))
+        .withColumn("n_click", cnt("click"))
+        .withColumn("n_error", cnt("error"))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("et"),
+          r4(col("f_view_last")).as("f_view_last"),
+          r4(col("f_click_last")).as("f_click_last"),
+          col("n_view"), col("n_click"), col("n_error"),
+          r4(col("value")).as("label_value"))
+        .orderBy("user_id", "et", "event_id")
+    }),
+
     // Trailing-7-day distinct active users per day — the scalable rewrite
     // of the naive per-day COUNT(DISTINCT) over a range self-join (which
     // rescans 7× per report day and keeps a distinct set per day): each
@@ -411,6 +446,29 @@ object Streaming extends QueryPack {
         | count(*) FILTER (WHERE n_views > 0) AS n_attributed,
         | CAST(sum(n_views) AS BIGINT) AS n_view_pairs
         |FROM pp GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_features_pit" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, value,
+         |   CAST(floor(epoch(ts)) AS BIGINT) AS et
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, event_type, value, et,
+         |   last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+         |     OVER w AS f_view_last,
+         |   last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+         |     OVER w AS f_click_last,
+         |   count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_view,
+         |   count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_click,
+         |   count(CASE WHEN event_type = 'error' THEN 1 END) OVER w AS n_error
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY et, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, event_id, et,
+         | ${r4sql("f_view_last")} AS f_view_last,
+         | ${r4sql("f_click_last")} AS f_click_last,
+         | n_view, n_click, n_error, ${r4sql("value")} AS label_value
+         |FROM f WHERE event_type = 'purchase'
+         |ORDER BY user_id, et, event_id""".stripMargin,
     "q_event_funnel" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et

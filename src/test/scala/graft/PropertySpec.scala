@@ -889,4 +889,64 @@ class PropertySpec extends AnyFunSuite {
     assert(p.contains("TopKPerKeyFinal"),
       s"per-key sample should ride the map-side-heap rewrite:\n$p")
   }
+
+  test("q_features_pit: no leakage — features equal brute-force strictly-prior recompute") {
+    val got = q("q_features_pit").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(3)), Option(r.get(4)), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        graft.Tables.tsec(col("ts")).as("et"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.sortBy(e => (e._5, e._2))).toMap
+    var checked = 0
+    for ((user, rows) <- byUser; (p, i) <- rows.zipWithIndex if p._3 == "purchase") {
+      val prior = rows.take(i)
+      def lastOf(tp: String) = prior.reverse.find(_._3 == tp).map(e => math.rint(e._4 * 1e4) / 1e4)
+      def nOf(tp: String) = prior.count(_._3 == tp).toLong
+      val (fv, fc, nv, nc, ne) = got((user, p._2))
+      assert(fv.map(_.asInstanceOf[Double]) == lastOf("view"), s"user $user event ${p._2} f_view")
+      assert(fc.map(_.asInstanceOf[Double]) == lastOf("click"), s"user $user event ${p._2} f_click")
+      assert((nv, nc, ne) == (nOf("view"), nOf("click"), nOf("error")), s"user $user counts")
+      checked += 1
+    }
+    assert(checked > 50, s"fixture too thin: only $checked purchases checked")
+    assert(got.size == checked, "every purchase must emit exactly one feature row")
+  }
+
+  test("q_profile_histogram: deciles cover the table, near-equal depth, ordered envelopes") {
+    val rows = q("q_profile_histogram").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    val n = graft.Tables.t(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == n, "bins must cover every row")
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - n / 10.0) < n * 0.02,
+        s"bin ${r.getLong(0)} depth ${r.getLong(1)} vs equi-depth ${n / 10}")
+      assert(r.getDouble(2) <= r.getDouble(3), "lo <= hi inside a bin")
+    }
+    // envelopes must be disjoint and ordered across bins
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2) + 1e-9,
+        s"bin ${a.getLong(0)} hi ${a.getDouble(3)} overlaps bin ${b.getLong(0)} lo ${b.getDouble(2)}")
+    }
+  }
+
+  test("q_text_boilerplate: counts consistent, both verdicts present, flag matches fraction") {
+    val rows = q("q_text_boilerplate").collect()
+    assert(rows.length == graft.Tables.t(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val (nSh, nB, frac, flag) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(nB <= nSh)
+      // r4 is decimal half-up: the published frac sits within a half-step
+      // of the true ratio
+      assert(math.abs(frac - nB.toDouble / nSh) <= 5.0001e-5)
+      if (frac > 0.21) assert(flag, s"doc ${r.getLong(0)}: frac $frac but not flagged")
+      if (frac < 0.19) assert(!flag, s"doc ${r.getLong(0)}: frac $frac but flagged")
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "fixture must exercise both verdicts")
+  }
 }

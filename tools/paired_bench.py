@@ -49,7 +49,11 @@ def main(sf_dir, oracle_path, spark_json=None):
         brace = raw.find("{")
         if brace < 0:
             sys.exit(f"paired_bench: {spark_json} contains no JSON object")
-        spark = json.loads(raw[brace:])
+        # take the FIRST object and ignore trailing text: a grep over the
+        # sbt log can legitimately capture the metric line twice, and a
+        # parse error here would discard the whole just-finished DuckDB
+        # pass (the expensive half of the protocol)
+        spark, _ = json.JSONDecoder().raw_decode(raw[brace:])
         for key in ("value", "n_queries", "queries"):
             if key not in spark:
                 sys.exit(f"paired_bench: {spark_json} lacks key '{key}' — "
