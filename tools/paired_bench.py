@@ -17,7 +17,27 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def load_spark_bench(spark_json):
+    """Parse graft.Bench's one-line JSON. Validates BEFORE the DuckDB pass
+    so a malformed file fails in milliseconds, not after 25 minutes of
+    oracle timing; tolerates trailing log text and derives n_queries
+    (Bench's line carries value/queries but no count field)."""
+    raw = open(spark_json).read()
+    brace = raw.find("{")
+    if brace < 0:
+        sys.exit(f"paired_bench: {spark_json} contains no JSON object")
+    spark, _ = json.JSONDecoder().raw_decode(raw[brace:])
+    for key in ("value", "queries"):
+        if key not in spark:
+            sys.exit(f"paired_bench: {spark_json} lacks key '{key}' — "
+                     "pass the one-line JSON graft.Bench prints")
+    spark.setdefault("n_queries", len(spark["queries"]))
+    return spark
+
+
 def main(sf_dir, oracle_path, spark_json=None):
+    spark = (load_spark_bench(spark_json)
+             if spark_json and os.path.exists(spark_json) else None)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -44,20 +64,7 @@ def main(sf_dir, oracle_path, spark_json=None):
     total = round(sum(times.values()), 3)
     out = {"engine": "duckdb", "sf": sf_dir, "total_sec": total,
            "n_queries": len(times), "errors": errors, "queries": times}
-    if spark_json and os.path.exists(spark_json):
-        raw = open(spark_json).read()
-        brace = raw.find("{")
-        if brace < 0:
-            sys.exit(f"paired_bench: {spark_json} contains no JSON object")
-        # take the FIRST object and ignore trailing text: a grep over the
-        # sbt log can legitimately capture the metric line twice, and a
-        # parse error here would discard the whole just-finished DuckDB
-        # pass (the expensive half of the protocol)
-        spark, _ = json.JSONDecoder().raw_decode(raw[brace:])
-        for key in ("value", "n_queries", "queries"):
-            if key not in spark:
-                sys.exit(f"paired_bench: {spark_json} lacks key '{key}' — "
-                         "pass the one-line JSON graft.Bench prints")
+    if spark is not None:
         out["spark_total_sec"] = spark["value"]
         out["spark_n_queries"] = spark["n_queries"]
         # ratio over the queries BOTH engines ran, so registry growth or a
