@@ -125,6 +125,26 @@ object Graphs extends QueryPack {
       }
       known.select(col("node"), col("hops")).orderBy("node")
     }),
+
+    // Degree distribution of the part–supplier bipartite graph: how many
+    // parts have exactly d distinct suppliers (and the reverse) — the
+    // first diagnostic run on ANY large graph, and the input to every
+    // degree-capped sparsification decision (see [[edges]]'s scale
+    // note). Two shuffles per side: a distinct-count keyed by the node
+    // (corpus-scale, map-side combinable) and a count keyed by degree
+    // (|V| rows). The histogram itself is degree-bounded, never
+    // node-bounded.
+    "q_graph_degree_dist" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def side(tag: String, key: String, other: String) = li
+        .groupBy(col(key).as("node"))
+        .agg(countDistinct(col(other)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .select(lit(tag).as("side"), col("degree"), col("n_nodes"))
+      side("part", "l_partkey", "l_suppkey")
+        .unionAll(side("supplier", "l_suppkey", "l_partkey"))
+        .orderBy("side", "degree")
+    }),
   )
 
   private val edgesSql =
@@ -169,5 +189,17 @@ object Graphs extends QueryPack {
          |  FROM r JOIN edges e ON e.src = r.node
          |  WHERE r.hops < $REACH_HOPS)
          |SELECT node, min(hops) AS hops FROM r GROUP BY node ORDER BY node""".stripMargin,
+    "q_graph_degree_dist" ->
+      """WITH p AS (
+        |  SELECT l_partkey AS node, count(DISTINCT l_suppkey) AS degree
+        |  FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT l_suppkey AS node, count(DISTINCT l_partkey) AS degree
+        |  FROM lineitem GROUP BY 1),
+        |h AS (
+        |  SELECT 'part' AS side, degree, count(*) AS n_nodes FROM p GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'supplier', degree, count(*) FROM s GROUP BY 1, degree)
+        |SELECT side, degree, n_nodes FROM h ORDER BY side, degree""".stripMargin,
   )
 }

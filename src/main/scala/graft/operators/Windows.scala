@@ -235,6 +235,68 @@ object Windows extends QueryPack {
           datediff(col("island_end"), col("island_start")).as("span_days"))
         .orderBy("o_custkey", "island_start")
     }),
+
+    // Lag-k autocorrelation of the daily-revenue series per return flag
+    // (k = 1 and 7 — momentum and weekly seasonality), the time-series
+    // diagnostic behind forecasting and anomaly thresholds. The corpus
+    // collapses FIRST to the (flag, day) daily aggregate (one shuffle,
+    // map-side combinable, exact decimal revenue); the series is then
+    // days-bounded (~2.5k rows per flag) and the lag alignment + the
+    // Pearson co-moments run over THAT — stack(2) unpivots both lags
+    // from one pass, and the correlation is closed-form IEEE arithmetic
+    // on exact DECIMAL(38,6) pair sums (the q_stats_ols playbook).
+    "q_stats_autocorr" -> ((s, d) => {
+      val daily = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("day"))
+        .agg(dsum(col("l_extendedprice")).as("rev"))
+      val w = Window.partitionBy("flag").orderBy("day")
+      val pairs = daily
+        .withColumn("rev1", lag(col("rev"), 1).over(w))
+        .withColumn("rev7", lag(col("rev"), 7).over(w))
+        .select(col("flag"), expr(
+          "stack(2, 1, rev, rev1, 7, rev, rev7) AS (lag_k, x, y)"))
+        .select(col("flag"), col("lag_k"), col("x"), col("y"))
+        .where(col("y").isNotNull)
+      val suff = pairs.groupBy("flag", "lag_k")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("y") * col("y")).as("syy"),
+          dsum(col("x") * col("y")).as("sxy"))
+      suff.select(col("flag"), col("lag_k"), col("n").cast(LongType).as("n_pairs"),
+          r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("autocorr"))
+        .orderBy("flag", "lag_k")
+    }),
+
+    // Maximum drawdown of the per-flag daily-revenue series — running
+    // peak (a cumulative max window over the days-bounded daily
+    // aggregate), per-day drawdown fraction, and the single worst day
+    // per flag selected by the row_number rank-1 pattern the injected
+    // rule rewrites to TopKPerKey. Same two-stage shape as
+    // q_stats_autocorr: corpus → daily rows once, windows never touch
+    // corpus-scale data.
+    "q_window_drawdown" -> ((s, d) => {
+      val daily = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("day"))
+        .agg(dsum(col("l_extendedprice")).as("rev"))
+      val cum = Window.partitionBy("flag").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("peak", max(col("rev")).over(cum))
+        .withColumn("drawdown", (col("peak") - col("rev")) / col("peak"))
+      val pick = Window.partitionBy("flag")
+        .orderBy(col("drawdown").desc, col("day").asc)
+      dd.withColumn("rn", row_number().over(pick))
+        .where(col("rn") === 1)
+        .select(col("flag"), col("day").cast("string").as("worst_day"),
+          r4(col("rev")).as("rev"), r4(col("peak")).as("peak"),
+          r4(col("drawdown")).as("max_drawdown"))
+        .orderBy("flag")
+    }),
   )
 
   /** Activity-interval width (days) for q_interval_merge — mirrored in the
@@ -388,5 +450,48 @@ object Windows extends QueryPack {
          | CAST(date_diff('day', min(s), max(e)) AS INT) AS span_days
          |FROM g GROUP BY cust, island
          |ORDER BY o_custkey, island_start""".stripMargin,
+    "q_stats_autocorr" ->
+      s"""WITH daily AS (
+         |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+         |   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+         |  FROM lineitem GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT flag, rev,
+         |   lag(rev, 1) OVER (PARTITION BY flag ORDER BY day) AS rev1,
+         |   lag(rev, 7) OVER (PARTITION BY flag ORDER BY day) AS rev7
+         |  FROM daily),
+         |pairs AS (
+         |  SELECT flag, 1 AS lag_k, rev AS x, rev1 AS y FROM lagged WHERE rev1 IS NOT NULL
+         |  UNION ALL
+         |  SELECT flag, 7, rev, rev7 FROM lagged WHERE rev7 IS NOT NULL),
+         |suff AS (
+         |  SELECT flag, lag_k, CAST(count(*) AS DOUBLE) AS n,
+         |   CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |   CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         |   CAST(sum(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         |   CAST(sum(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         |   CAST(sum(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT flag, lag_k, CAST(n AS BIGINT) AS n_pairs,
+         | ${r4sql("(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))")} AS autocorr
+         |FROM suff ORDER BY flag, lag_k""".stripMargin,
+    "q_window_drawdown" ->
+      s"""WITH daily AS (
+         |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+         |   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+         |  FROM lineitem GROUP BY 1, 2),
+         |dd AS (
+         |  SELECT flag, day, rev,
+         |   max(rev) OVER (PARTITION BY flag ORDER BY day
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM daily),
+         |r AS (
+         |  SELECT *, (peak - rev) / peak AS drawdown,
+         |   row_number() OVER (PARTITION BY flag
+         |     ORDER BY (peak - rev) / peak DESC, day ASC) AS rn
+         |  FROM dd)
+         |SELECT flag, CAST(day AS VARCHAR) AS worst_day, ${r4sql("rev")} AS rev,
+         | ${r4sql("peak")} AS peak, ${r4sql("drawdown")} AS max_drawdown
+         |FROM r WHERE rn = 1 ORDER BY flag""".stripMargin,
   )
 }

@@ -949,4 +949,64 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
       "fixture must exercise both verdicts")
   }
+
+  /** The (flag, day, rev) daily series both time-series queries reduce to. */
+  private def dailySeries(): Map[String, Seq[(String, Double)]] =
+    graft.Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("day"))
+      .agg(graft.Tables.dsum(col("l_extendedprice")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+
+  test("q_stats_autocorr == plain-Scala Pearson on the lagged daily series") {
+    val got = q("q_stats_autocorr").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val series = dailySeries()
+    for ((flag, days) <- series; k <- Seq(1, 7)) {
+      val xs = days.map(_._2)
+      val pairs = xs.drop(k).zip(xs.dropRight(k)) // (x_t, x_{t-k})
+      val n = pairs.length.toDouble
+      val mx = pairs.map(_._1).sum / n; val my = pairs.map(_._2).sum / n
+      val cov = pairs.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val vx = pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val vy = pairs.map(p => (p._2 - my) * (p._2 - my)).sum
+      val (gn, gr) = got((flag, k))
+      assert(gn == pairs.length, s"$flag lag $k pair count")
+      assert(math.abs(gr - cov / math.sqrt(vx * vy)) < 1e-3, s"$flag lag $k autocorr $gr")
+      assert(gr >= -1.0001 && gr <= 1.0001)
+    }
+  }
+
+  test("q_window_drawdown == plain-Scala running-peak scan of the daily series") {
+    val got = q("q_window_drawdown").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getDouble(4))).toMap
+    for ((flag, days) <- dailySeries()) {
+      var peak = Double.MinValue; var best = (days.head._1, -1.0)
+      for ((day, rev) <- days) {
+        peak = math.max(peak, rev)
+        val dd = (peak - rev) / peak
+        if (dd > best._2) best = (day, dd)
+      }
+      val (gDay, gDd) = got(flag)
+      assert(gDay == best._1, s"$flag worst day $gDay vs ${best._1}")
+      assert(math.abs(gDd - best._2) < 1e-3, s"$flag drawdown")
+      assert(gDd >= 0 && gDd < 1)
+    }
+  }
+
+  test("q_graph_degree_dist: both sides conserve the distinct edge count") {
+    val rows = q("q_graph_degree_dist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val edges = graft.Tables.t(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct().count()
+    for (side <- Seq("part", "supplier")) {
+      val h = rows.filter(_._1 == side)
+      assert(h.map(t => t._2 * t._3).sum == edges,
+        s"$side: sum(degree*n_nodes) must equal the distinct (part,supp) pair count")
+      assert(h.forall(_._2 >= 1))
+    }
+    val nParts = graft.Tables.t(spark, sf, "lineitem").select("l_partkey").distinct().count()
+    assert(rows.filter(_._1 == "part").map(_._3).sum == nParts)
+  }
 }
