@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryPack, Tables}
 import graft.Tables._
 import graft.functions.WeightedMean
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
@@ -527,11 +528,48 @@ object Aggregations extends QueryPack {
             (bD * lit(BOOT_B - 1.0)))).as("boot_se"))
         .orderBy("prio")
     }),
+
+    // Higher central moments (see [[momentsQuery]]).
+    "q_stats_moments" -> ((s, d) => momentsQuery(s, d)),
   )
 
   /** q_stats_mannwhitney group pair (l_returnflag values). */
   private val MW_FLAG_A = "A"
   private val MW_FLAG_B = "R"
+
+  /** Skewness and excess kurtosis per return flag from raw power sums —
+    * the q_agg_stats recomposition extended to 3rd/4th moments: ONE
+    * map-side-combinable aggregate accumulates S1..S4 as exact decimal
+    * partials — S3/S4 on DECIMAL(38,2) (36 integer digits: x⁴ of a
+    * 6-digit price is ~1e22, so even ~1e12 rows stay in range, where
+    * the default (38,6) scale would saturate at corpus scale), central
+    * moments and the g1/g2 statistics are closed-form IEEE arithmetic
+    * on the identical doubles both engines derive. No second pass, no
+    * mean-subtraction shuffle — the formulation that survives any N. */
+  private def momentsQuery(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_extendedprice")
+    val d2 = DecimalType(38, 2)
+    val suff = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        dsum(x).as("s1"), dsum(x * x).as("s2"),
+        sum((x * x * x).cast(d2)).cast(DoubleType).as("s3"),
+        sum((x * x * x * x).cast(d2)).cast(DoubleType).as("s4"))
+    val m2 = col("s2") - col("s1") * col("s1") / col("n")
+    val m3 = col("s3") - lit(3.0) * col("s1") * col("s2") / col("n") +
+      lit(2.0) * col("s1") * col("s1") * col("s1") / (col("n") * col("n"))
+    val m4 = col("s4") - lit(4.0) * col("s1") * col("s3") / col("n") +
+      lit(6.0) * col("s1") * col("s1") * col("s2") / (col("n") * col("n")) -
+      lit(3.0) * col("s1") * col("s1") * col("s1") * col("s1") /
+        (col("n") * col("n") * col("n"))
+    suff.select(col("l_returnflag"), col("n").cast(LongType).as("n"),
+        r4(col("s1") / col("n")).as("mean"),
+        r4(m2 / (col("n") - 1)).as("variance"),
+        r4((m3 / col("n")) / pow(m2 / col("n"), 1.5)).as("skewness"),
+        r4((m4 / col("n")) / ((m2 / col("n")) * (m2 / col("n"))) - 3.0)
+          .as("kurtosis_excess"))
+      .orderBy("l_returnflag")
+  }
 
   /** q_stats_bootstrap replicate count — 16 Poisson-weight resamples. */
   private val BOOT_B = 16
@@ -822,5 +860,27 @@ object Aggregations extends QueryPack {
          | ${r4sql(s"sm / $BOOT_B.0")} AS boot_mean,
          | ${r4sql(s"sqrt(($BOOT_B.0 * smm - sm * sm) / ($BOOT_B.0 * ${BOOT_B - 1}.0))")} AS boot_se
          |FROM stats JOIN fl USING (prio) ORDER BY prio""".stripMargin,
+    "q_stats_moments" ->
+      s"""WITH suff AS (
+         |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+         |   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         |   CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         |   CAST(sum(CAST(l_extendedprice*l_extendedprice*l_extendedprice
+         |     AS DECIMAL(38,2))) AS DOUBLE) AS s3,
+         |   CAST(sum(CAST(l_extendedprice*l_extendedprice*l_extendedprice*l_extendedprice
+         |     AS DECIMAL(38,2))) AS DOUBLE) AS s4
+         |  FROM lineitem GROUP BY 1),
+         |m AS (
+         |  SELECT l_returnflag, n, s1,
+         |   s2 - s1*s1/n AS m2,
+         |   s3 - 3.0*s1*s2/n + 2.0*s1*s1*s1/(n*n) AS m3,
+         |   s4 - 4.0*s1*s3/n + 6.0*s1*s1*s2/(n*n) - 3.0*s1*s1*s1*s1/(n*n*n) AS m4
+         |  FROM suff)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         | ${r4sql("s1/n")} AS mean,
+         | ${r4sql("m2/(n-1)")} AS variance,
+         | ${r4sql("(m3/n) / pow(m2/n, 1.5)")} AS skewness,
+         | ${r4sql("(m4/n) / ((m2/n) * (m2/n)) - 3.0")} AS kurtosis_excess
+         |FROM m ORDER BY l_returnflag""".stripMargin,
   )
 }

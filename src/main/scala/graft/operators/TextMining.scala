@@ -368,7 +368,44 @@ object TextMining extends QueryPack {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("actual_lang", "pred_lang")
     }),
+
+    // Zipf rank-frequency fit: log(count) ~ log(rank) OLS over the
+    // top-ZIPF_K tokens — the one-number healthiness check on a corpus'
+    // token distribution (natural text ≈ −1; templated/synthetic text
+    // drifts). The corpus collapses to the vocabulary histogram (one
+    // combinable shuffle); the top-K cut is a TakeOrderedAndProject
+    // (map-side partial top-K — no vocabulary sort, no single-partition
+    // window over the full vocabulary); ranking and the OLS sums then
+    // run over exactly K rows. Deterministic ties: (count desc, token).
+    "q_text_zipf" -> ((s, d) => {
+      val top = t(s, d, "documents")
+        .select(explode(LlmPipeline.toks(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(ZIPF_K)
+      val w = Window.orderBy(col("cnt").desc, col("tok").asc) // K rows only
+      val pts = top.withColumn("rnk", row_number().over(w))
+        .select(log(col("rnk").cast(DoubleType)).as("x"),
+          log(col("cnt").cast(DoubleType)).as("y"))
+      val d18 = DecimalType(38, 18)
+      val suff = pts.agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x").cast(d18)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(d18)).cast(DoubleType).as("sy"),
+        sum((col("x") * col("x")).cast(d18)).cast(DoubleType).as("sxx"),
+        sum((col("x") * col("y")).cast(d18)).cast(DoubleType).as("sxy"),
+        sum((col("y") * col("y")).cast(d18)).cast(DoubleType).as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      suff.select(col("n").cast(LongType).as("n_tokens"),
+        r4(cov / varx).as("zipf_slope"),
+        r4((col("sy") - cov / varx * col("sx")) / col("n")).as("intercept"),
+        r4(cov * cov / (varx * vary)).as("r2"))
+    }),
   )
+
+  /** Top-token count for the q_text_zipf fit (vocab at every sf tier
+    * exceeds it, so both engines fit the same K points). */
+  private val ZIPF_K = 200
 
   /** Edit-distance-≤1 self-join over `names(k, nm)` via FastSS deletion-
     * neighborhood blocking. Recall is exact: a substitution pair shares
@@ -537,5 +574,33 @@ object TextMining extends QueryPack {
         |  FROM sc)
         |SELECT lang AS actual_lang, model_lang AS pred_lang, count(*) AS n_docs
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_zipf" ->
+      s"""WITH hist AS (
+         |  SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1),
+         |top AS (
+         |  SELECT tok, cnt FROM hist ORDER BY cnt DESC, tok LIMIT $ZIPF_K),
+         |pts AS (
+         |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+         |   ln(CAST(cnt AS DOUBLE)) AS y
+         |  FROM top),
+         |suff AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |   CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         |   CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         |   CAST(sum(CAST(x*x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         |   CAST(sum(CAST(x*y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         |   CAST(sum(CAST(y*y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+         |  FROM pts),
+         |f AS (
+         |  SELECT n, sx, sy,
+         |   n*sxy - sx*sy AS cov, n*sxx - sx*sx AS varx, n*syy - sy*sy AS vary
+         |  FROM suff)
+         |SELECT CAST(n AS BIGINT) AS n_tokens,
+         | ${r4sql("cov / varx")} AS zipf_slope,
+         | ${r4sql("(sy - cov / varx * sx) / n")} AS intercept,
+         | ${r4sql("cov * cov / (varx * vary)")} AS r2
+         |FROM f""".stripMargin,
   )
 }

@@ -1009,4 +1009,46 @@ class PropertySpec extends AnyFunSuite {
     val nParts = graft.Tables.t(spark, sf, "lineitem").select("l_partkey").distinct().count()
     assert(rows.filter(_._1 == "part").map(_._3).sum == nParts)
   }
+
+  test("q_stats_moments == plain-Scala central moments per return flag") {
+    val got = q("q_stats_moments").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val rows = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    rows.groupBy(_._1).foreach { case (rf, xs) =>
+      val n = xs.length.toDouble
+      val mean = xs.map(_._2).sum / n
+      def cm(k: Int) = xs.map(t => math.pow(t._2 - mean, k)).sum / n
+      val (gn, gm, gv, gs, gk) = got(rf)
+      assert(gn == xs.length)
+      assert(math.abs(gm - mean) < 1e-2, s"$rf mean")
+      assert(math.abs(gv - cm(2) * n / (n - 1)) < math.abs(gv) * 1e-4, s"$rf variance")
+      assert(math.abs(gs - cm(3) / math.pow(cm(2), 1.5)) < 1e-3, s"$rf skewness $gs")
+      assert(math.abs(gk - (cm(4) / (cm(2) * cm(2)) - 3)) < 1e-3, s"$rf kurtosis $gk")
+    }
+  }
+
+  test("q_text_zipf == plain-Scala log-log OLS over the top token counts") {
+    val row = q("q_text_zipf").collect()(0)
+    val (n, slope, r2) = (row.getLong(0), row.getDouble(1), row.getDouble(3))
+    val counts = graft.Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(t => (-t._2, t._1)).take(200)
+    assert(n == counts.length)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val nn = pts.length.toDouble
+    val mx = pts.map(_._1).sum / nn; val my = pts.map(_._2).sum / nn
+    val cov = pts.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val vx = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    assert(math.abs(slope - cov / vx) < 1e-3, s"slope $slope vs ${cov / vx}")
+    // monotone non-increasing counts vs increasing rank force cov <= 0
+    assert(slope <= 0, s"rank-frequency slope must be non-positive: $slope")
+    assert(r2 >= 0 && r2 <= 1)
+  }
 }
