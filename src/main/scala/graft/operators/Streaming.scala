@@ -196,12 +196,17 @@ object Streaming extends QueryPack {
         last(when(col("event_type") === tp, col("value")), ignoreNulls = true).over(w)
       def cnt(tp: String) =
         count(when(col("event_type") === tp, lit(1))).over(w)
+      // one select, not a withColumn chain: each withColumn would wrap
+      // its window in its own extracted-argument Project, leaving FIVE
+      // Window nodes (5 passes over every sorted partition) that
+      // CollapseWindow cannot merge across; projected together they
+      // plan as ONE Window operator (plan-pinned in PropertySpec)
       ev
-        .withColumn("f_view_last", lastVal("view"))
-        .withColumn("f_click_last", lastVal("click"))
-        .withColumn("n_view", cnt("view"))
-        .withColumn("n_click", cnt("click"))
-        .withColumn("n_error", cnt("error"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("et"),
+          lastVal("view").as("f_view_last"), lastVal("click").as("f_click_last"),
+          cnt("view").as("n_view"), cnt("click").as("n_click"),
+          cnt("error").as("n_error"))
         .where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("et"),
           r4(col("f_view_last")).as("f_view_last"),

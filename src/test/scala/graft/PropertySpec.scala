@@ -891,6 +891,11 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("q_features_pit: no leakage — features equal brute-force strictly-prior recompute") {
+    // all five features must collapse into ONE Window operator (a
+    // withColumn chain would leave five, each a full pass per partition)
+    val plan = q("q_features_pit").queryExecution.executedPlan.toString
+    val nWindows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(nWindows == 1, s"expected one collapsed Window node, got $nWindows:\n$plan")
     val got = q("q_features_pit").collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (Option(r.get(3)), Option(r.get(4)), r.getLong(5), r.getLong(6), r.getLong(7)))
