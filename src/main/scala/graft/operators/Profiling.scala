@@ -341,7 +341,11 @@ object Profiling extends QueryPack {
     * where bin = #(boundaries below x) via an array predicate over the
     * 9-element literal-sized bound array. Two corpus passes, both
     * narrow + one hash agg; no corpus sort (the textbook ntile
-    * formulation is a global sort). Boundaries are r4-rounded BEFORE
+    * formulation is a global sort). Exact percentile buffers per-value
+    * counts in the aggregator, so the 100 TB dial is
+    * `approx_percentile` for the BOUNDS pass — same plan shape, fixed
+    * sketch memory — with the count pass unchanged (the q_profile_table
+    * countDistinct playbook). Boundaries are r4-rounded BEFORE
     * the comparisons so both engines cut on identical doubles —
     * percentile interpolation is only 4dp-portable, and a 1-ulp bound
     * difference would flip boundary rows across bins. */
