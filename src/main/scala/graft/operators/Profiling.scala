@@ -326,7 +326,30 @@ object Profiling extends QueryPack {
 
     // Equi-depth decile histogram (see [[profileHistogram]]).
     "q_profile_histogram" -> ((s, d) => profileHistogram(s, d)),
+
+    // Data-freshness audit — the staleness check a pipeline runs before
+    // trusting an incremental source: per event stream, last-seen event
+    // time, its lag behind the freshest stream, and a stale verdict.
+    // ONE map-side-combinable aggregate collapses the corpus to
+    // |streams| rows; the global high-water mark is a window over that
+    // bounded aggregate, never the corpus.
+    "q_dq_freshness" -> ((s, d) => {
+      val agg = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max(tsec(col("ts"))).as("last_sec"))
+      agg
+        .withColumn("lag_sec",
+          max("last_sec").over(Window.partitionBy()) - col("last_sec"))
+        .select(col("event_type"), col("n_events"), col("last_sec"),
+          col("lag_sec"), (col("lag_sec") > FRESH_LAG).as("stale"))
+        .orderBy("event_type")
+    }),
   )
+
+  /** q_dq_freshness staleness bound (seconds) — fixture-calibrated so
+    * both verdicts appear at every sf tier (max inter-stream lag is
+    * ~33 min at sf0.01, ~7 h at sf0.001). */
+  private val FRESH_LAG = 1800L
 
   /** q_drift_psi dials: period boundary, bin width, bin count — orders
     * span 1995–2001 at totalprice < 500k, so 10 × 50k bins cover the
@@ -555,5 +578,16 @@ object Profiling extends QueryPack {
          | ${r4sql("CAST(n_rows AS DOUBLE) / sum(n_rows) OVER ()")} AS frac
          |FROM agg ORDER BY bin""".stripMargin
     },
+    "q_dq_freshness" ->
+      s"""WITH agg AS (
+         |  SELECT event_type, count(*) AS n_events,
+         |   max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec
+         |  FROM events GROUP BY 1),
+         |w AS (
+         |  SELECT *, CAST(max(last_sec) OVER () - last_sec AS BIGINT) AS lag_sec
+         |  FROM agg)
+         |SELECT event_type, n_events, last_sec, lag_sec,
+         | lag_sec > $FRESH_LAG AS stale
+         |FROM w ORDER BY event_type""".stripMargin,
   )
 }

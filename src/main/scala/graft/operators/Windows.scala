@@ -297,6 +297,32 @@ object Windows extends QueryPack {
           r4(col("drawdown")).as("max_drawdown"))
         .orderBy("flag")
     }),
+
+    // Month-over-month leaderboard movement: each supplier's revenue
+    // rank within its month, the previous month's rank, and the delta —
+    // the "who's rising" report behind every ops dashboard. Corpus →
+    // (supplier, month) aggregate once (one combinable shuffle); the
+    // per-month ranking window partitions by month over the
+    // DIMENSION-bounded supplier set, and the rank-recall window
+    // re-shuffles only |suppliers|×|months| aggregate rows. Ranks use
+    // row_number with a suppkey tiebreak so both engines see one total
+    // order.
+    "q_window_rank_change" -> ((s, d) => {
+      val monthly = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey").as("supp"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+        .agg(dsum(col("l_extendedprice")).as("rev"))
+      val rankW = Window.partitionBy("month")
+        .orderBy(col("rev").desc, col("supp").asc)
+      val histW = Window.partitionBy("supp").orderBy("month")
+      monthly
+        .withColumn("rnk", row_number().over(rankW))
+        .withColumn("prev_rnk", lag(col("rnk"), 1).over(histW))
+        .select(col("supp"), col("month").cast("string").as("month"),
+          r4(col("rev")).as("rev"), col("rnk"), col("prev_rnk"),
+          (col("prev_rnk") - col("rnk")).as("moved_up"))
+        .orderBy("month", "rnk")
+    }),
   )
 
   /** Activity-interval width (days) for q_interval_merge — mirrored in the
@@ -493,5 +519,21 @@ object Windows extends QueryPack {
          |SELECT flag, CAST(day AS VARCHAR) AS worst_day, ${r4sql("rev")} AS rev,
          | ${r4sql("peak")} AS peak, ${r4sql("drawdown")} AS max_drawdown
          |FROM r WHERE rn = 1 ORDER BY flag""".stripMargin,
+    "q_window_rank_change" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey AS supp, CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT supp, month, rev,
+        |   row_number() OVER (PARTITION BY month ORDER BY rev DESC, supp ASC) AS rnk
+        |  FROM monthly),
+        |h AS (
+        |  SELECT *, lag(rnk, 1) OVER (PARTITION BY supp ORDER BY month) AS prev_rnk
+        |  FROM r)
+        |SELECT supp, CAST(month AS VARCHAR) AS month,
+        | CAST(round(CAST(rev AS DECIMAL(38,6)), 4) AS DOUBLE) AS rev,
+        | rnk, prev_rnk, prev_rnk - rnk AS moved_up
+        |FROM h ORDER BY month, rnk""".stripMargin,
   )
 }

@@ -1056,4 +1056,36 @@ class PropertySpec extends AnyFunSuite {
     assert(slope <= 0, s"rank-frequency slope must be non-positive: $slope")
     assert(r2 >= 0 && r2 <= 1)
   }
+
+  test("q_dq_freshness: freshest stream lags zero, verdicts match the bound, counts cover") {
+    val rows = q("q_dq_freshness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(rows.count(_._3 == 0L) >= 1, "some stream must define the high-water mark")
+    rows.foreach { case (tp, _, lagS, stale) =>
+      assert(lagS >= 0)
+      assert(stale == (lagS > 1800L), s"$tp: lag $lagS vs verdict $stale")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4), "fixture must exercise both verdicts")
+    assert(rows.map(_._2).sum == graft.Tables.t(spark, sf, "events").count())
+  }
+
+  test("q_window_rank_change: per-month ranks are a permutation; movement is consistent") {
+    val rows = q("q_window_rank_change").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3),
+        Option(r.get(4)).map(_.asInstanceOf[Int]), Option(r.get(5)).map(_.asInstanceOf[Int])))
+    rows.groupBy(_._2).foreach { case (month, ms) =>
+      assert(ms.map(_._3).sorted.toSeq == (1 to ms.length),
+        s"$month: ranks must be a 1..n permutation")
+    }
+    rows.foreach { case (supp, month, rnk, prev, moved) =>
+      assert(moved == prev.map(_ - rnk), s"$supp $month movement mismatch")
+    }
+    // exactly one null-prev row per supplier: its first active month
+    val bySupp = rows.groupBy(_._1)
+    bySupp.foreach { case (supp, ms) =>
+      val firstMonth = ms.map(_._2).min
+      assert(ms.count(_._4.isEmpty) == 1, s"$supp: one first month expected")
+      assert(ms.find(_._4.isEmpty).get._2 == firstMonth, s"$supp: null prev must be first month")
+    }
+  }
 }
