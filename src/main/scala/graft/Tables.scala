@@ -206,10 +206,19 @@ object Tables {
     * memo still fronts the parquet read within a session. Callers must
     * fold every semantics-defining constant into `stage` (e.g.
     * `minhash_sigs_k8x8`) so parameter changes mint a new artifact. */
+  /** Wall time spent BUILDING disk artifacts (first build+publish only —
+    * a later call that finds the marker adds ~µs). Bench reads this to
+    * itemize one-time index-build cost separately from steady-state query
+    * time (VERDICT r9: a cold Bench session otherwise buries every first
+    * build inside whatever query happened to trigger it). */
+  val artifactBuildNanos = new java.util.concurrent.atomic.AtomicLong
+
   def memoizedOnDisk(s: SparkSession, d: String, stage: String)(mk: => DataFrame): DataFrame =
     memoized(s, d, s"disk:$stage") {
       val path = s"${indexDir(d)}/$stage"
+      val t0 = System.nanoTime()
       graft.sources.Sinks.publishAtomic(path)(tmp => mk.write.parquet(tmp))
+      artifactBuildNanos.addAndGet(System.nanoTime() - t0)
       s.read.parquet(path)
     }
 

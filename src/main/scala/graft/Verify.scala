@@ -10,7 +10,13 @@ object Verify {
     val spark = Tables.mkSession(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional dev-loop subset (comma-separated names or a regex); the
+    // driver sets nothing and gets the full registry
+    val only = sys.env.get("GRAFT_ONLY").map(_.r)
+    val skipRecall = sys.env.contains("GRAFT_SKIP_RECALL") || only.isDefined
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.pattern.matcher(name).matches()) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -30,6 +36,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // ANN recall as a tracked per-round artifact: the oracle hash-checks
@@ -38,6 +45,7 @@ object Verify {
     // regression (e.g. a bucket-width change) could hide behind green
     // hashes. recall@3 vs q_sim_knn lands in RECALL.json every round.
     try {
+      if (skipRecall) { spark.stop(); return }
       import org.apache.spark.sql.functions.col
       import org.apache.spark.sql.DataFrame
       val knn = SparkEntry.queries("q_sim_knn")(spark, sfDir)

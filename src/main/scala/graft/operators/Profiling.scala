@@ -288,7 +288,10 @@ object Profiling extends QueryPack {
       smoothed.groupBy("prio")
         .agg(sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"),
           sum(col("contrib").cast(DecimalType(38, 18))).cast(DoubleType).as("psi"))
-        .select(col("prio"), col("n_ref"), col("n_cur"), r4(col("psi")).as("psi"),
+        // the verdict binds to the SAME r4-rounded psi that is emitted, so
+        // a published row can never read psi = 0.1 with verdict 'stable'
+        .select(col("prio"), col("n_ref"), col("n_cur"), r4(col("psi")).as("psi"))
+        .select(col("prio"), col("n_ref"), col("n_cur"), col("psi"),
           when(col("psi") < 0.1, "stable").when(col("psi") < 0.25, "moderate")
             .otherwise("shifted").as("verdict"))
         .orderBy("prio")
@@ -303,11 +306,19 @@ object Profiling extends QueryPack {
     // statistic sums over the 9 rows in DECIMAL(38,18) and lands on
     // every row from a 1-row broadcast (q_stats_chi2 shape).
     "q_dq_benford" -> ((s, d) => {
-      val digits = t(s, d, "orders")
+      val obs = t(s, d, "orders")
         .where(col("o_totalprice") >= 1)
         .groupBy(substring(floor(col("o_totalprice")).cast(LongType)
           .cast(StringType), 1, 1).as("digit"))
         .agg(count(lit(1)).as("n_obs"))
+      // the standard test is a 9-category χ² — generate the 1-9 digit
+      // domain explicitly so a digit with ZERO observations still
+      // contributes its (0 - n_exp)²/n_exp term instead of silently
+      // dropping out and understating chi2
+      val digits = s.range(1, 10)
+        .select(col("id").cast(StringType).as("digit"))
+        .join(broadcast(obs), Seq("digit"), "left")
+        .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
         .withColumn("n", sum("n_obs").over(Window.partitionBy()))
       val expFrac = log(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)) / log(lit(10.0))
       val withE = digits
@@ -533,16 +544,22 @@ object Profiling extends QueryPack {
          |  SELECT prio, CAST(sum(n_ref) AS BIGINT) AS n_ref,
          |   CAST(sum(n_cur) AS BIGINT) AS n_cur,
          |   CAST(sum(CAST((p_cur - p_ref) * ln(p_cur / p_ref) AS DECIMAL(38,18))) AS DOUBLE) AS psi
-         |  FROM sm GROUP BY 1)
-         |SELECT prio, n_ref, n_cur, ${r4sql("psi")} AS psi,
+         |  FROM sm GROUP BY 1),
+         |r AS (
+         |  SELECT prio, n_ref, n_cur, ${r4sql("psi")} AS psi FROM agg)
+         |SELECT prio, n_ref, n_cur, psi,
          | CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate'
          |      ELSE 'shifted' END AS verdict
-         |FROM agg ORDER BY prio""".stripMargin,
+         |FROM r ORDER BY prio""".stripMargin,
     "q_dq_benford" ->
-      """WITH digits AS (
+      """WITH obs AS (
         |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
         |   count(*) AS n_obs
         |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |digits AS (
+        |  SELECT CAST(g.d AS VARCHAR) AS digit, coalesce(obs.n_obs, 0) AS n_obs
+        |  FROM generate_series(1, 9) AS g(d)
+        |  LEFT JOIN obs ON CAST(g.d AS VARCHAR) = obs.digit),
         |w AS (
         |  SELECT digit, n_obs, sum(n_obs) OVER () AS n,
         |   ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))

@@ -5,6 +5,7 @@ import graft.Tables._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.TimestampType
 
 /** Streaming batch twins — SURVEY.md §3B #47–50 over `events`. The same
   * logical queries run as genuine Structured Streaming (readStream +
@@ -187,10 +188,15 @@ object Streaming extends QueryPack {
     // 5 sort passes). At 100 TB the frame is per-user-bounded and the
     // plan shape is independent of the number of feature columns.
     "q_features_pit" -> ((s, d) => {
+      // the window orders by the FULL µs timestamp (etu) with event_id as
+      // tiebreak — ordering by the emitted floor-second et would let an
+      // event later in real time but in the same second with a smaller
+      // event_id count as "prior", violating strictly-before no-leakage
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), tsec(col("ts")).as("et"))
-      val w = Window.partitionBy("user_id").orderBy(col("et"), col("event_id"))
+          col("value"), tsec(col("ts")).as("et"),
+          unix_micros(col("ts").cast(TimestampType)).as("etu"))
+      val w = Window.partitionBy("user_id").orderBy(col("etu"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       def lastVal(tp: String) =
         last(when(col("event_type") === tp, col("value")), ignoreNulls = true).over(w)
@@ -454,7 +460,8 @@ object Streaming extends QueryPack {
     "q_features_pit" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_id, event_type, value,
-         |   CAST(floor(epoch(ts)) AS BIGINT) AS et
+         |   CAST(floor(epoch(ts)) AS BIGINT) AS et,
+         |   epoch_us(ts) AS etu
          |  FROM events),
          |f AS (
          |  SELECT user_id, event_id, event_type, value, et,
@@ -466,7 +473,7 @@ object Streaming extends QueryPack {
          |   count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_click,
          |   count(CASE WHEN event_type = 'error' THEN 1 END) OVER w AS n_error
          |  FROM ev
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY et, event_id
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY etu, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          |SELECT user_id, event_id, et,
          | ${r4sql("f_view_last")} AS f_view_last,

@@ -31,10 +31,15 @@ object Streams {
   /** Streaming read of the events parquet (directory-or-file path).
     * A streaming source needs an explicit schema, so probe the footer via
     * a batch read first, then normalize ts to session-TZ µs TimestampType
-    * exactly as the batch loader does. */
+    * exactly as the batch loader does. An empty / not-yet-populated source
+    * directory has no footer to probe (batch read throws "unable to infer
+    * schema") — fall back to the current driver generation's encoding
+    * (TIMESTAMP(MICROS) → TIMESTAMP_NTZ) so a streaming job can start
+    * before its source produces the first file. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val tsType = scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
     val raw = spark.readStream.schema(eventsRawSchema(tsType)).parquet(path)
     val tsNorm = tsType match {
       case LongType => expr("timestamp_micros(ts div 1000)")

@@ -24,6 +24,29 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("readEvents starts against an EMPTY source directory (schema fallback)") {
+    // an empty dir has no parquet footer to probe — readEvents must fall
+    // back to the current generation's schema so the stream can start
+    // before the source produces its first file (ADVICE r09)
+    val dir = Files.createTempDirectory("graft-empty-events").toString
+    val stream = Streams.tumbling(Streams.readEvents(spark, dir))
+    val qy = stream.writeStream.format("memory").queryName("empty_src")
+      .outputMode("update").option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination(60000)
+    assert(spark.table("empty_src").count() == 0L)
+    // and once data lands, a fresh start of the same pipeline reads it
+    // (written NTZ to match the fallback schema, like the driver's files)
+    Tables.t(spark, sf, "events").limit(5)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val qy2 = stream.writeStream.format("memory").queryName("empty_src2")
+      .outputMode("update").option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    qy2.awaitTermination(60000)
+    assert(spark.table("empty_src2").agg(sum("n")).head.getLong(0) == 5L)
+  }
+
   test("streaming JDBC upsert sink: lands every row; replayed batch doesn't duplicate") {
     val url = s"jdbc:derby:/tmp/graft-derby/stream${System.nanoTime()};create=true"
     val stream = Streams.readEvents(spark, eventsDir)
