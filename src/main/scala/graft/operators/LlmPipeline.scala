@@ -447,15 +447,34 @@ object LlmPipeline extends QueryPack {
     }
 
   /** Probe-list index over the trained-k quantizer: nprobe is data-bound
-    * too, ⌈√k⌉ cells per query (k = 23 → 5 probes ≈ 22% of cells; the
-    * probed corpus fraction decays as N^(-1/4)). */
+    * too, 2⌈√k⌉ cells per query (k = 23 → 10 probes; the probed corpus
+    * fraction still decays as N^(-1/4)). The doubling is the round-10
+    * recall dial — measured recall@3 vs exhaustive was 0.56 at ⌈√k⌉,
+    * and FAISS practice is to trade linear candidate volume for recall
+    * until the rerank dominates. */
   private def ivfKProbes(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, "ivfk_probes_sqrtk") {
+    Tables.memoizedOnDisk(s, d, "ivfk_probes_2sqrtk") {
       val n = t(s, d, "embeddings").count()
-      val np = math.ceil(math.sqrt(math.ceil(math.sqrt(n.toDouble)))).toInt
+      val np = 2 * math.ceil(math.sqrt(math.ceil(math.sqrt(n.toDouble)))).toInt
       org.apache.spark.sql.graftx.TopK.topKPerKey(ivfKScored(s, d),
           keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
           k = np, rankName = "arnk")
+        .select(col("vec_id"), col("cell"))
+    }
+
+  /** Top-2 DATABASE-side assignment for SEARCH candidate generation: a
+    * database vector near a cell boundary is findable from either
+    * adjoining cell, which closes the classic IVF blind spot (query and
+    * its true neighbor quantized to different cells). Doubles the index
+    * rows and the expected candidate volume — the recall/cost dial FAISS
+    * exposes as dual-assignment replication. Rank-1 [[ivfKAssign]] stays
+    * the source of truth for drift/dedup semantics (one owner cell per
+    * vector). */
+  private def ivfKAssign2(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, "ivfk_assign2_top2") {
+      org.apache.spark.sql.graftx.TopK.topKPerKey(ivfKScored(s, d),
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
+          k = 2, rankName = "arnk")
         .select(col("vec_id"), col("cell"))
     }
 
@@ -488,6 +507,15 @@ object LlmPipeline extends QueryPack {
   private val PQ_M = 8
   private val PQ_SUBDIM = 8
   private val PQ_K = 16
+  /** Exact-rerank shortlist per query: ADC ranks candidates cheaply, then
+    * the top [[PQ_RERANK]] touch full-precision vectors. 10 → 100 in
+    * round 10: ADC's nibble-coarse distances misrank true top-3 neighbors
+    * deep into the candidate list often enough to cap recall (RECALL.json
+    * r9: ivfpq 0.31 vs ivf_k 0.56 on the SAME candidates; depth 50 still
+    * measured only 0.69 — the gap was ADC ordering, not candidates).
+    * Rerank cost stays O(PQ_RERANK·dim) per query — bounded, and tiny
+    * against the candidate-generation volume at any corpus size. */
+  private val PQ_RERANK = 100
   require(PQ_M * PQ_SUBDIM == 64, s"PQ geometry must tile the 64-dim embeddings")
 
   /** (vec_id, m, sub) — the M 8-dim subvectors of each embedding, doubles.
@@ -591,12 +619,12 @@ object LlmPipeline extends QueryPack {
       }
       .select(col("qid"), col("nid"),
         r4((0 until PQ_M).map(m => col(s"sd_$m")).reduce(_ + _)).as("adist"))
-    val top10 = org.apache.spark.sql.graftx.TopK.topKPerKey(adc,
+    val shortlist = org.apache.spark.sql.graftx.TopK.topKPerKey(adc,
         keyNames = Seq("qid"), orderBy = Seq("adist" -> true, "nid" -> true),
-        k = 10, rankName = "arnk")
+        k = PQ_RERANK, rankName = "arnk")
       .select("qid", "nid")
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val pairs = top10
+    val pairs = shortlist
       .join(maybeBroadcast(e.as("ea")), col("qid") === col("ea.vec_id"))
       .join(maybeBroadcast(e.as("eb")), col("nid") === col("eb.vec_id"))
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
@@ -1102,11 +1130,14 @@ object LlmPipeline extends QueryPack {
     // buy more recall per probed row (tracked per-round in RECALL.json).
     "q_sim_ann_ivf_k" -> ((s, d) => {
       val probes = ivfKProbes(s, d)
-      val assigned = ivfKAssign(s, d)
+      val assigned = ivfKAssign2(s, d)
+      // distinct: a top-2-assigned neighbor can match two probe cells of
+      // the same query — dedup the id-pairs BEFORE touching wide vectors
       val cands = probes.as("a")
         .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
       val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val pairs = cands
         .join(maybeBroadcast(e.as("ea")), col("qid") === col("ea.vec_id"))
@@ -1168,11 +1199,12 @@ object LlmPipeline extends QueryPack {
     // was measured 14× slower at sf0.1: 10.8 s → this shape.)
     "q_sim_ann_ivfpq" -> ((s, d) => {
       val probes = ivfKProbes(s, d)
-      val assigned = ivfKAssign(s, d)
+      val assigned = ivfKAssign2(s, d)
       val cands = probes.as("a")
         .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
       val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
       val dtable = cached(s, d, "pq_dtable") {
         pqDtablePlan(t(s, d, "embeddings"), cb)
@@ -1195,12 +1227,13 @@ object LlmPipeline extends QueryPack {
       // batch probe list against the frozen coarse quantizer: np = ⌈√k⌉,
       // k bounded by the centroid artifact itself (a √N-row table)
       val cents = ivfKCentroids(s, d)
-      val np = math.ceil(math.sqrt(cents.count().toDouble)).toInt
+      val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
       val probes = ivfKCellsFor(e.where(isBatch), cents, np)
       val cands = probes.as("a")
-        .join(maybeBroadcast(ivfKAssign(s, d).where(!isBatch).as("b")),
+        .join(maybeBroadcast(ivfKAssign2(s, d).where(!isBatch).as("b")),
           col("a.cell") === col("b.cell"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
       pqAdcRerank(s, d, cands,
         pqCodesWide(s, d).where(!(col("nid") % 10 === 7)),
         pqDtablePlan(e.where(isBatch), cb))
@@ -1611,7 +1644,7 @@ object LlmPipeline extends QueryPack {
   private val ivfkCtesSql: String =
     s"""nk AS (
        |  SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k,
-       |   CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS INT) AS np
+       |   2 * CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS INT) AS np
        |  FROM embeddings),
        |seeds AS (
        |  SELECT embedding AS seed,
@@ -1645,6 +1678,7 @@ object LlmPipeline extends QueryPack {
        |      AS DECIMAL(38,6)), 4) AS DOUBLE) AS ccos
        |    FROM embeddings e CROSS JOIN kcent c)),
        |kassigned AS (SELECT vec_id, embedding, cell FROM kranked WHERE arnk = 1),
+       |kassigned2 AS (SELECT vec_id, embedding, cell FROM kranked WHERE arnk <= 2),
        |kprobes AS (
        |  SELECT vec_id, embedding, cell FROM kranked
        |  WHERE arnk <= (SELECT np FROM nk))""".stripMargin
@@ -1693,7 +1727,7 @@ object LlmPipeline extends QueryPack {
 
   /** ADC + exact-rerank oracle tail (mirrors [[pqAdcRerank]]): expects a
     * `pqcands(qid, nid)` CTE in scope; per-subspace code distances, their
-    * rounded sum, ADC top-10, exact cosine top-3. */
+    * rounded sum, ADC top-[[PQ_RERANK]] shortlist, exact cosine top-3. */
   private val pqAdcTailSql: String =
     s""",subd AS (
        |  SELECT c.qid, c.nid, k.m,
@@ -1708,14 +1742,14 @@ object LlmPipeline extends QueryPack {
        |  SELECT qid, nid,
        |   CAST(round(CAST(sum(sd) AS DECIMAL(38,6)), 4) AS DOUBLE) AS adist
        |  FROM subd GROUP BY qid, nid),
-       |top10 AS (
+       |shortlist AS (
        |  SELECT qid, nid FROM adc
-       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) <= 10)
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) <= $PQ_RERANK)
        |SELECT vec_id, neighbor_id, cos, rnk FROM (
        |  SELECT t.qid AS vec_id, t.nid AS neighbor_id, $cosSql AS cos,
        |   CAST(row_number() OVER (PARTITION BY t.qid
        |     ORDER BY $cosSql DESC, t.nid ASC) AS INT) AS rnk
-       |  FROM top10 t
+       |  FROM shortlist t
        |  JOIN embeddings a ON t.qid = a.vec_id
        |  JOIN embeddings b ON t.nid = b.vec_id)
        |WHERE rnk <= 3
@@ -1899,14 +1933,18 @@ object LlmPipeline extends QueryPack {
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
     "q_sim_ann_ivf_k" ->
-      s"""WITH $ivfkCtesSql
+      s"""WITH $ivfkCtesSql,
+         |kcands AS (
+         |  SELECT DISTINCT p.vec_id AS qid, q.vec_id AS nid
+         |  FROM kprobes p JOIN kassigned2 q
+         |   ON p.cell = q.cell AND p.vec_id <> q.vec_id)
          |SELECT vec_id, neighbor_id, cos, rnk FROM (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |  SELECT c.qid AS vec_id, c.nid AS neighbor_id,
          |   $cosSql AS cos,
-         |   CAST(row_number() OVER (PARTITION BY a.vec_id
-         |     ORDER BY $cosSql DESC, b.vec_id ASC) AS INT) AS rnk
-         |  FROM kprobes a JOIN kassigned b
-         |   ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |   CAST(row_number() OVER (PARTITION BY c.qid
+         |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
+         |  FROM kcands c JOIN embeddings a ON c.qid = a.vec_id
+         |   JOIN embeddings b ON c.nid = b.vec_id)
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
     "q_index_drift" ->
@@ -1930,16 +1968,16 @@ object LlmPipeline extends QueryPack {
       s"""WITH $ivfkCtesSql,
          |$pqCtesSql,
          |pqcands AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS nid
-         |  FROM kprobes a JOIN kassigned b
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM kprobes a JOIN kassigned2 b
          |   ON a.cell = b.cell AND a.vec_id <> b.vec_id)
          |$pqAdcTailSql""".stripMargin,
     "q_sim_ann_ivfpq_delta" ->
       s"""WITH $ivfkCtesSql,
          |$pqCtesSql,
          |pqcands AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS nid
-         |  FROM kprobes a JOIN kassigned b
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM kprobes a JOIN kassigned2 b
          |   ON a.cell = b.cell
          |  WHERE a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7)
          |$pqAdcTailSql""".stripMargin,
