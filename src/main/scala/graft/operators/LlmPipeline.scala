@@ -1294,6 +1294,25 @@ object LlmPipeline extends QueryPack {
         .orderBy(col("est").desc, col("item").asc)
         .limit(20)),
 
+    // EXACT-MODE Misra–Gries twin: with capacity ≥ the corpus's distinct
+    // token count, MG never decrements, so every `est` IS the exact
+    // frequency — which makes the sketch's whole merge/eviction machinery
+    // hash-checkable against a plain GROUP BY oracle (VERDICT r9 item 6).
+    // The synthetic corpus has a fixed 31-token vocabulary (measured at
+    // sf0.001/0.01/0.1); 4096 leaves three orders of headroom. On a real
+    // open-vocabulary corpus this query degrades gracefully to the
+    // approximate contract of q_text_heavyhitters above — the exactness
+    // precondition (capacity ≥ |vocab|) is the documented boundary.
+    "q_text_heavyhitters_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(toks(col("text"))).as("tok"))
+        .agg(org.apache.spark.sql.graftx.HeavyHittersAgg
+          .heavyHitters(col("tok"), 4096).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"))
+        .orderBy(col("est").desc, col("item").asc)
+        .limit(20)),
+
     // Inverse document frequency: document frequency per term over distinct
     // per-doc tokens, idf = ln(N/df); top 50 commonest terms. The corpus
     // count rides along as a broadcast scalar (crossJoin with a 1-row agg),
@@ -2006,6 +2025,14 @@ object LlmPipeline extends QueryPack {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
+    // exact because MG capacity (4096) ≥ |vocab| (31) — see the query's
+    // Scaladoc; the est column hash-matches plain exact counts
+    "q_text_heavyhitters_exact" ->
+      """SELECT item, est FROM (
+        |  SELECT tok AS item, count(*) AS est FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok)
+        |ORDER BY est DESC, item ASC LIMIT 20""".stripMargin,
     "q_text_idf" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -338,6 +338,22 @@ object Profiling extends QueryPack {
     // Equi-depth decile histogram (see [[profileHistogram]]).
     "q_profile_histogram" -> ((s, d) => profileHistogram(s, d)),
 
+    // The 100 TB path for the same histogram: decile bounds from the
+    // GK/approx_percentile SKETCH (mergeable, O(accuracy) state per
+    // partial) instead of exact percentile, which materializes the full
+    // value list per group and is the scale-killer in this file. Rank
+    // error is ≤ 1/accuracy of N per bound ⇒ every bin's depth is within
+    // ±2·N/accuracy of N/10 and any row lands at most one bin from its
+    // exact assignment (≤1-bin-shift bound asserted vs the exact twin in
+    // PropertySpec). Sketch family ⇒ no hash oracle by design — the
+    // exact twin above is the hash-checked query.
+    "q_profile_histogram_approx" -> ((s, d) =>
+      histogramFromBounds(s, d,
+        t(s, d, "lineitem").agg(percentile_approx(col("l_extendedprice"),
+            array((1 to 9).map(q => lit(q / 10.0)): _*), lit(HIST_ACCURACY))
+          .as("bs"))
+          .select(transform(col("bs"), b => r4(b)).as("bs")))),
+
     // Data-freshness audit — the staleness check a pipeline runs before
     // trusting an incremental source: per event stream, last-seen event
     // time, its lag behind the freshest stream, and a stale verdict.
@@ -383,12 +399,27 @@ object Profiling extends QueryPack {
     * the comparisons so both engines cut on identical doubles —
     * percentile interpolation is only 4dp-portable, and a 1-ulp bound
     * difference would flip boundary rows across bins. */
+  /** approx_percentile accuracy dial: rank error ≤ N/HIST_ACCURACY per
+    * bound. 10k ⇒ ±0.01% of rows per decile bound — sketch state is
+    * O(accuracy·log N) doubles per partial, independent of corpus size. */
+  private val HIST_ACCURACY = 10000
+
   private def profileHistogram(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
     val qs = (1 to 9).map(_ / 10.0)
     val bounds = li.agg(percentile(col("l_extendedprice"),
       array(qs.map(lit): _*)).as("bs"))
       .select(transform(col("bs"), b => r4(b)).as("bs"))
+    histogramFromBounds(s, d, bounds)
+  }
+
+  /** Shared binning tail: count/min/max/frac per decile bin against a
+    * 1-row broadcast bounds aggregate — the bounds SOURCE (exact
+    * percentile vs approx sketch) is the only difference between the
+    * exact and approx histogram queries. */
+  private def histogramFromBounds(s: SparkSession, d: String,
+      bounds: DataFrame): DataFrame = {
+    val li = t(s, d, "lineitem")
     li.crossJoin(broadcast(bounds)) // 1-row aggregate
       .withColumn("bin",
         size(filter(col("bs"), b => col("l_extendedprice") > b)).cast(LongType))

@@ -69,6 +69,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("approx histogram: bounds interleave exact bounds (≤1-bin-shift) and depths stay equi") {
+    // the GK sketch's rank guarantee (error ≤ N/accuracy per bound)
+    // implies approx bound i must lie within [exact_{i-1}, exact_{i+1}]
+    // — i.e. any row lands at most one bin from its exact assignment
+    val li = Tables.t(spark, sf, "lineitem")
+    val qsArr = array((1 to 9).map(q => lit(q / 10.0)): _*)
+    val exact = li.agg(percentile(col("l_extendedprice"), qsArr))
+      .head.getSeq[Double](0)
+    val approx = li.agg(percentile_approx(col("l_extendedprice"), qsArr, lit(10000)))
+      .head.getSeq[Double](0)
+    approx.zipWithIndex.foreach { case (b, i) =>
+      val lo = if (i == 0) Double.NegativeInfinity else exact(i - 1)
+      val hi = if (i == 8) Double.PositiveInfinity else exact(i + 1)
+      assert(b >= lo && b <= hi, s"approx bound $i=$b outside [$lo,$hi]")
+    }
+    // and the query itself: 10 bins, each within ±2pp of a true decile
+    val bins = q("q_profile_histogram_approx").collect()
+    assert(bins.length == 10)
+    bins.foreach { r =>
+      val frac = r.getAs[Double]("frac")
+      assert(math.abs(frac - 0.1) <= 0.02, s"bin ${r.getLong(0)} frac $frac")
+    }
+  }
+
   test("rollup: grand total equals sum of leaf rows") {
     val rows = q("q_rollup").collect()
     val leaves = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
