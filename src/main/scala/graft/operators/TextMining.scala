@@ -70,18 +70,25 @@ object TextMining extends QueryPack {
         .groupBy("tok").agg(count(lit(1)).as("c"))
     }
 
-  /** Merge-list size for the persisted BPE tokenizer artifact. */
-  private val BPE_MERGES = 10
+  /** Merge-list size for the persisted BPE tokenizer artifact — 50 in
+    * round 10 to exercise the batched trainer at a real merge count
+    * (the sequential loop's 2-actions-per-merge latency made >10
+    * untenable; see [[Bpe.trainBatched]]). */
+  private val BPE_MERGES = 50
+
+  /** Merges accepted per ranking round-trip: actions per merge drop from
+    * 2 to 2/BPE_BATCH (~16× at this setting). */
+  private val BPE_BATCH = 16
 
   /** Trained BPE merges, persisted like every index artifact: the
-    * sequential training loop ([[Bpe.train]]) runs ONCE per corpus and
-    * its (rank, a, b) rows publish to parquet; later sessions load them
-    * back. The `collect()` is a bounded artifact load — BPE_MERGES rows
-    * — not a data collect. */
+    * batched training loop ([[Bpe.trainBatched]]) runs ONCE per corpus
+    * and its (rank, a, b) rows publish to parquet; later sessions load
+    * them back. The `collect()` is a bounded artifact load — BPE_MERGES
+    * rows — not a data collect. */
   private def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
-    Tables.memoizedOnDisk(s, d, s"bpe_merges_n$BPE_MERGES") {
+    Tables.memoizedOnDisk(s, d, s"bpe_merges_b${BPE_BATCH}_n$BPE_MERGES") {
       import s.implicits._
-      Bpe.train(t(s, d, "documents"), BPE_MERGES).zipWithIndex
+      Bpe.trainBatched(t(s, d, "documents"), BPE_MERGES, BPE_BATCH).zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }.toDF("rank", "a", "b")
     }.orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
 

@@ -54,6 +54,32 @@ class BpeSpec extends AnyFunSuite {
       "no multi-char piece in the top-30 — merge list not applied")
   }
 
+  test("trainBatched(batch=1) == strict-sequential train") {
+    assert(Bpe.trainBatched(docs, N_MERGES, 1) == merges)
+  }
+
+  test("batched training: argmax-first, deterministic, lossless at 50 merges") {
+    val batched = Bpe.trainBatched(docs, 50, 16)
+    // the first acceptance of the first batch is the true argmax — the
+    // strict trainer's first merge
+    assert(batched.head == merges.head)
+    assert(batched.size > N_MERGES, s"only ${batched.size} merges learned")
+    assert(Bpe.trainBatched(docs, 50, 16) == batched, "batched training not deterministic")
+    // batch members are symbol-disjoint within each ranking round, so the
+    // one-pass application must still reconstruct every word exactly
+    val broken = Bpe.initVocab(docs)
+      .select(col("w"), Bpe.applyMerges(col("sym"), batched).as("sym"))
+      .where(concat_ws("", col("sym")) =!= col("w")).count()
+    assert(broken == 0, s"$broken words not reconstructed under batched merges")
+    // and no learned pair survives adjacent anywhere in the vocabulary
+    val vN = Bpe.initVocab(docs)
+      .select(col("w"), Bpe.applyMerges(col("sym"), batched).as("sym"), col("wc"))
+    val mergeSet = batched.map { case (a, b) => s"$a $b" }.toSet
+    val leftover = Bpe.pairCounts(vN)
+      .where(col("pair").isin(mergeSet.toSeq: _*)).count()
+    assert(leftover == 0, s"$leftover learned pairs still adjacent")
+  }
+
   test("left-to-right non-overlapping merge convention; segmentation is lossless") {
     val tripleA = Bpe.mergeAdjacent(typedLit(Seq("a", "a", "a")), "a", "a")
     assert(spark.range(1).select(tripleA).collect()(0).getSeq[String](0) == Seq("aa", "a"))
