@@ -289,6 +289,21 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1, fin)
   }
 
+  test("streaming-window batch twins shuffle exactly once (VERDICT r9: pin vs load noise)") {
+    // tumbling/sliding: one hash exchange for the windowed groupBy, with
+    // map-side partial aggregation; the presentation orderBy is a range
+    // exchange, never a second hash. session: one hash exchange on
+    // user_id shared by BOTH window passes and the groupBy (same key —
+    // Catalyst reuses the partitioning), so r8→r9's 3× wall-time swing
+    // can only be load, not a plan regression.
+    for (q <- Seq("q_window_tumbling", "q_window_sliding", "q_window_session")) {
+      val fin = plan(q).split("== Initial Plan ==").head
+      val n = "Exchange hashpartitioning".r.findAllIn(fin).size
+      assert(n == 1, s"$q: expected exactly 1 hash exchange, got $n in\n$fin")
+      assert(fin.contains("partial_"), s"$q: no map-side partial aggregation in\n$fin")
+    }
+  }
+
   test("q_sql_scalar_subquery is decorrelated (no per-row subquery in plan)") {
     val p = plan("q_sql_scalar_subquery")
     // decorrelation rewrites to an aggregate + outer join; a surviving
