@@ -13,10 +13,15 @@ object Verify {
     // optional dev-loop subset (comma-separated names or a regex); the
     // driver sets nothing and gets the full registry
     val only = sys.env.get("GRAFT_ONLY").map(_.r)
-    val skipRecall = sys.env.contains("GRAFT_SKIP_RECALL") || only.isDefined
+    // GRAFT_SQL_ONLY: dump the full oracle_sql.json without executing any
+    // Spark query — the paired-bench protocol (tools/paired_bench.py)
+    // needs the SQL at sf0.1 without paying a 178-query result dump
+    val sqlOnly = sys.env.contains("GRAFT_SQL_ONLY")
+    val skipRecall = sys.env.contains("GRAFT_SKIP_RECALL") || only.isDefined || sqlOnly
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.pattern.matcher(name).matches()) }
-    selected.foreach { case (name, fn) =>
+    (if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] else selected)
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -36,7 +41,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => selected.contains(k) }
+      .filter { case (k, _) => sqlOnly || selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // ANN recall as a tracked per-round artifact: the oracle hash-checks

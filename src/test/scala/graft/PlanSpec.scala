@@ -233,11 +233,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     // the ADC distance is a projected column sum over the per-subspace
-    // joins, NOT an aggregation over exploded candidate rows: no agg is
-    // keyed by the (qid, nid) pair (the cached codes-pivot build lineage
-    // inside InMemoryRelation legitimately contains its own aggs), and
-    // top-10/top-3 both run through the partial/final heap plan
-    assert("HashAggregate\\(keys=\\[qid#\\d+L, nid#\\d+L".r.findFirstIn(p).isEmpty, p)
+    // joins, NOT an aggregation over exploded candidate rows: any agg
+    // keyed by the (qid, nid) pair must be the id-only candidate DEDUP
+    // (functions=[] — the top-2 assignment can hand the same pair to two
+    // probe cells), never a distance-computing aggregate (the cached
+    // codes-pivot build lineage inside InMemoryRelation legitimately
+    // contains its own aggs), and shortlist/top-3 both run through the
+    // partial/final heap plan
+    val pairAggs =
+      "HashAggregate\\(keys=\\[qid#\\d+L, nid#\\d+L[^\n]*".r.findAllIn(p).toList
+    assert(pairAggs.forall(_.contains("functions=[]")),
+      s"distance-computing aggregate keyed by (qid, nid):\n${pairAggs.mkString("\n")}\n$p")
     assert("\\+ sd_7".r.findFirstIn(p).isDefined, p) // the summed projection
     assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
   }

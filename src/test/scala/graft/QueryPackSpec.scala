@@ -18,9 +18,13 @@ class QueryPackSpec extends AnyFunSuite {
   // q_text_bpe_encode applies the SEQUENTIAL trainer's merge list (not
   // single-query SQL) — statistics oracle-pinned via q_text_bpe_pairs,
   // semantics via BpeSpec (losslessness, convention, determinism)
+  // q_profile_histogram_approx: sketch-bounds twin of the hash-checked
+  // exact histogram (≤1-bin-shift bound in PropertySpec); q_text_
+  // heavyhitters has its exact-mode twin q_text_heavyhitters_exact
+  // hash-checked instead
   private val noOracle =
     Set("q_agg_approx_distinct", "q_agg_approx_percentile", "q_text_heavyhitters",
-      "q_text_bpe_encode")
+      "q_text_bpe_encode", "q_profile_histogram_approx")
 
   test("oracle keys ⊆ query keys, and only justified omissions") {
     val q = SparkEntry.queries.keySet
