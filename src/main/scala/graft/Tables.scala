@@ -210,15 +210,24 @@ object Tables {
     * a later call that finds the marker adds ~µs). Bench reads this to
     * itemize one-time index-build cost separately from steady-state query
     * time (VERDICT r9: a cold Bench session otherwise buries every first
-    * build inside whatever query happened to trigger it). */
+    * build inside whatever query happened to trigger it). Only the
+    * OUTERMOST build on a thread records (its window already contains any
+    * nested artifact builds its plan triggers — e.g. an assignment index
+    * forcing the centroid build — so per-call accumulation would double
+    * count nested time). */
   val artifactBuildNanos = new java.util.concurrent.atomic.AtomicLong
+  private val buildDepth = new ThreadLocal[Integer] { override def initialValue = 0 }
 
   def memoizedOnDisk(s: SparkSession, d: String, stage: String)(mk: => DataFrame): DataFrame =
     memoized(s, d, s"disk:$stage") {
       val path = s"${indexDir(d)}/$stage"
       val t0 = System.nanoTime()
-      graft.sources.Sinks.publishAtomic(path)(tmp => mk.write.parquet(tmp))
-      artifactBuildNanos.addAndGet(System.nanoTime() - t0)
+      buildDepth.set(buildDepth.get + 1)
+      try graft.sources.Sinks.publishAtomic(path)(tmp => mk.write.parquet(tmp))
+      finally {
+        buildDepth.set(buildDepth.get - 1)
+        if (buildDepth.get == 0) artifactBuildNanos.addAndGet(System.nanoTime() - t0)
+      }
       s.read.parquet(path)
     }
 

@@ -12,7 +12,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional dev-loop subset (comma-separated names or a regex); the
     // driver sets nothing and gets the full registry
-    val only = sys.env.get("GRAFT_ONLY").map(_.r)
+    // comma-separated names become alternation, so both documented forms
+    // (name list, regex) select as expected
+    val only = sys.env.get("GRAFT_ONLY")
+      .map(s => s.split(',').map(_.trim).filter(_.nonEmpty).mkString("|").r)
     // GRAFT_SQL_ONLY: dump the full oracle_sql.json without executing any
     // Spark query — the paired-bench protocol (tools/paired_bench.py)
     // needs the SQL at sf0.1 without paying a 178-query result dump

@@ -402,7 +402,7 @@ object Profiling extends QueryPack {
   /** approx_percentile accuracy dial: rank error ≤ N/HIST_ACCURACY per
     * bound. 10k ⇒ ±0.01% of rows per decile bound — sketch state is
     * O(accuracy·log N) doubles per partial, independent of corpus size. */
-  private val HIST_ACCURACY = 10000
+  private[graft] val HIST_ACCURACY = 10000
 
   private def profileHistogram(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")

@@ -38,8 +38,16 @@ object Streams {
     * before its source produces the first file. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // fall back ONLY when there is genuinely nothing to probe — a probe
+    // failure over a populated directory (corrupt footer, IO error,
+    // missing column) must surface at start, not silently mis-schema the
+    // stream (review r10)
+    def hasParquet(p: java.io.File): Boolean =
+      p.isFile && p.getName.endsWith(".parquet") ||
+        (p.isDirectory && Option(p.listFiles).exists(_.exists(hasParquet)))
     val tsType = scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
-      .getOrElse(TimestampNTZType)
+      .recover { case e if !hasParquet(new java.io.File(path)) => TimestampNTZType }
+      .get
     val raw = spark.readStream.schema(eventsRawSchema(tsType)).parquet(path)
     val tsNorm = tsType match {
       case LongType => expr("timestamp_micros(ts div 1000)")

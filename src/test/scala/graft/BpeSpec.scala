@@ -54,8 +54,24 @@ class BpeSpec extends AnyFunSuite {
       "no multi-char piece in the top-30 — merge list not applied")
   }
 
-  test("trainBatched(batch=1) == strict-sequential train") {
-    assert(Bpe.trainBatched(docs, N_MERGES, 1) == merges)
+  test("train == an independently-written strict-sequential reference loop") {
+    // Bpe.train delegates to trainBatched(…, 1), so comparing the two
+    // would be tautological (review r10). This loop re-implements the
+    // sequential argmax-apply contract directly from the primitives: ONE
+    // pair ranked and applied per iteration, limit(1), no batching code.
+    var vocab = Bpe.initVocab(docs)
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (ref.size < N_MERGES) {
+      val top = Bpe.pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+      assert(top.nonEmpty, "corpus fully merged before N_MERGES")
+      val Array(a, b) = top(0).getString(0).split(" ", 2)
+      ref += ((a, b))
+      vocab = vocab.select(col("w"),
+        Bpe.mergeAdjacent(col("sym"), a, b).as("sym"), col("wc"))
+    }
+    assert(merges == ref.toSeq,
+      s"train diverged from the sequential reference:\n$merges\nvs\n$ref")
   }
 
   test("batched training: argmax-first, deterministic, lossless at 50 merges") {

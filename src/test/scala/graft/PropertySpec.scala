@@ -77,7 +77,8 @@ class PropertySpec extends AnyFunSuite {
     val qsArr = array((1 to 9).map(q => lit(q / 10.0)): _*)
     val exact = li.agg(percentile(col("l_extendedprice"), qsArr))
       .head.getSeq[Double](0)
-    val approx = li.agg(percentile_approx(col("l_extendedprice"), qsArr, lit(10000)))
+    val approx = li.agg(percentile_approx(col("l_extendedprice"), qsArr,
+        lit(graft.operators.Profiling.HIST_ACCURACY)))
       .head.getSeq[Double](0)
     approx.zipWithIndex.foreach { case (b, i) =>
       val lo = if (i == 0) Double.NegativeInfinity else exact(i - 1)

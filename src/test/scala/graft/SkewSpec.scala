@@ -128,7 +128,14 @@ class SkewSpec extends AnyFunSuite {
         val df = facts.join(dims, "k").groupBy("name")
           .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
         val out = df.collect()
-        Thread.sleep(1000) // drain listener events
+        // bounded poll for listener drain (a fixed sleep is flaky on a
+        // loaded box): wait until the captured read count is stable
+        var last = -1; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 15000) {
+          Thread.sleep(250); waited += 250
+          val n = reads.size
+          if (n == last && n > 0) stable += 1 else { stable = 0; last = n }
+        }
         val p = df.queryExecution.executedPlan.toString
         assert(p.contains("skew=true"), s"AQE did not mark the skew split:\n$p")
         out
@@ -143,17 +150,18 @@ class SkewSpec extends AnyFunSuite {
       assert(keyed(salted) == keyed(aqe), "salted join diverged from AQE skew join")
       assert(aqe.map(_.getLong(1)).sum == 1200000L)
       // bounded read volume: without the split ONE task would read the
-      // whole ~40 MB hot partition; with it, no task may read more than
-      // a quarter of the total shuffle volume (i.e. the hot key is spread
-      // across >= 4 tasks) and the largest read stays within a small
-      // multiple of the 4 MB advisory target
+      // whole ~40 MB hot partition (>80% of total shuffle volume); with
+      // it, no task may read more than a quarter of the total — the hot
+      // key demonstrably spreads across >= 4 reading tasks. Relative
+      // bounds only: absolute byte ceilings vary with compression and
+      // partition-count config (review r10)
       val r = reads.toArray(Array.empty[java.lang.Long]).map(_.toLong)
       assert(r.nonEmpty, "no shuffle-read telemetry captured")
       val total = r.sum; val biggest = r.max
       assert(biggest.toDouble / total <= 0.25,
         s"one task read ${biggest}B of ${total}B — hot partition not split")
-      assert(biggest <= 16L * 1024 * 1024,
-        s"largest task read ${biggest}B, > 4x the 4MB advisory size")
+      assert(r.count(_ > 0) >= 4,
+        s"only ${r.count(_ > 0)} tasks performed shuffle reads")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
