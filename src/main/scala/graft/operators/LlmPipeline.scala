@@ -1151,6 +1151,38 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id", "rnk")
     }),
 
+    // Trained-k IVF ingest delta — the full-precision twin of
+    // q_sim_ann_ivfpq_delta, completing the delta family (exact-hash,
+    // minhash, LSH, semantic, PQ all have one): a new embedding batch
+    // (vec_id%10=7) ranks its 2⌈√k⌉ probe cells FRESH against the frozen
+    // centroid artifact (same scoring expression as the corpus build, so
+    // batch probes ≡ the corpus probe index restricted to batch ids) and
+    // meets only the PERSISTED top-2 corpus assignment — O(batch × cell)
+    // work per ingest, the corpus is never rescored.
+    "q_sim_ann_ivf_k_delta" -> ((s, d) => {
+      val isBatch = col("vec_id") % 10 === 7
+      val e = t(s, d, "embeddings")
+      val cents = ivfKCentroids(s, d)
+      val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
+      val probes = ivfKCellsFor(e.where(isBatch), cents, np)
+      val cands = probes.as("a")
+        .join(maybeBroadcast(ivfKAssign2(s, d).where(!isBatch).as("b")),
+          col("a.cell") === col("b.cell"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
+      val ev = e.select(col("vec_id"), col("embedding"))
+      val pairs = cands
+        .join(maybeBroadcast(ev.as("ea")), col("qid") === col("ea.vec_id"))
+        .join(maybeBroadcast(ev.as("eb")), col("nid") === col("eb.vec_id"))
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          r4(cosine(col("ea.embedding"), col("eb.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
     // Index-lifecycle drift monitor — the retrain trigger that closes the
     // build → persist → delta-ingest loop. Per trained-k cell: how far
     // would ONE more Lloyd step move the frozen centroid, given the
@@ -1224,7 +1256,7 @@ object LlmPipeline extends QueryPack {
       val isBatch = col("vec_id") % 10 === 7
       val e = t(s, d, "embeddings")
       val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
-      // batch probe list against the frozen coarse quantizer: np = ⌈√k⌉,
+      // batch probe list against the frozen coarse quantizer: np = 2⌈√k⌉,
       // k bounded by the centroid artifact itself (a √N-row table)
       val cents = ivfKCentroids(s, d)
       val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
@@ -1963,6 +1995,25 @@ object LlmPipeline extends QueryPack {
          |   CAST(row_number() OVER (PARTITION BY c.qid
          |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
          |  FROM kcands c JOIN embeddings a ON c.qid = a.vec_id
+         |   JOIN embeddings b ON c.nid = b.vec_id)
+         |WHERE rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin,
+    // batch probes ≡ the corpus probe index restricted to batch ids (same
+    // scoring expression, same np), so kprobes filtered by vec_id%10=7
+    // mirrors the Spark side's fresh ivfKCellsFor scoring exactly
+    "q_sim_ann_ivf_k_delta" ->
+      s"""WITH $ivfkCtesSql,
+         |kdcands AS (
+         |  SELECT DISTINCT p.vec_id AS qid, q.vec_id AS nid
+         |  FROM kprobes p JOIN kassigned2 q
+         |   ON p.cell = q.cell
+         |  WHERE p.vec_id % 10 = 7 AND q.vec_id % 10 <> 7)
+         |SELECT vec_id, neighbor_id, cos, rnk FROM (
+         |  SELECT c.qid AS vec_id, c.nid AS neighbor_id,
+         |   $cosSql AS cos,
+         |   CAST(row_number() OVER (PARTITION BY c.qid
+         |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
+         |  FROM kdcands c JOIN embeddings a ON c.qid = a.vec_id
          |   JOIN embeddings b ON c.nid = b.vec_id)
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
