@@ -85,7 +85,7 @@ object Verify {
       // same materialized pairs, halving the candidate-join/rerank cost of
       // the artifact (the ANN plans are the most expensive in the registry)
       val anns = Seq("lsh" -> "q_sim_ann_lsh", "lsh_probe" -> "q_sim_ann_lsh_probe",
-        "lsh_multi" -> "q_sim_ann_lsh_multi",
+        "lsh_multi" -> "q_sim_ann_lsh_multi", "lsh_mp" -> "q_sim_ann_lsh_mp",
         "ivf" -> "q_sim_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp",
         "ivf_k" -> "q_sim_ann_ivf_k", "ivfpq" -> "q_sim_ann_ivfpq",
         "sq" -> "q_sim_ann_sq")

@@ -1024,6 +1024,41 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id", "rnk")
     }),
 
+    // Multi-table LSH WITH bit-flip multiprobe — the canonical
+    // production LSH composition (FAISS/E2LSH "multiprobe" over L
+    // tables): each query probes, in EVERY table, its own bucket plus
+    // the LSH_TABLE_BITS buckets at hamming distance 1 — recall of
+    // (1+bits)·tables bucket lookups for the index cost of `tables`
+    // tables (probe expansion is query-side only; the persisted index
+    // is unchanged). Candidate volume ≈ (1+bits)× q_sim_ann_lsh_multi's,
+    // still zero all-pairs terms; the union across tables/probes dedups
+    // on narrow id-pairs before any wide-vector work. Measured recall@3
+    // vs exhaustive tracked per-round in RECALL.json beside the single
+    // techniques it composes.
+    "q_sim_ann_lsh_mp" -> ((s, d) => {
+      val b = lshMultiBuckets(s, d)
+      val masks = lit(0L) +: (0 until LSH_TABLE_BITS).map(j => lit(1L << j))
+      val probes = b.select(col("vec_id"), col("tb"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("pbucket"))
+      val cands = probes.as("pa")
+        .join(maybeBroadcast(b.as("pb")), col("pa.tb") === col("pb.tb") &&
+          col("pa.pbucket") === col("pb.bucket") &&
+          col("pa.vec_id") =!= col("pb.vec_id"))
+        .select(col("pa.vec_id").as("qid"), col("pb.vec_id").as("nid"))
+        .distinct()
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = cands
+        .join(maybeBroadcast(e.as("a")), col("qid") === col("a.vec_id"))
+        .join(maybeBroadcast(e.as("b")), col("nid") === col("b.vec_id"))
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
     // Vector-ingest delta — completes the per-ingest trilogy (exact hash
     // → q_dedup_incremental, text near-dup → q_dedup_minhash_delta,
     // vector ANN → here): a new embedding batch (vec_id%10=7) finds its
@@ -1952,6 +1987,18 @@ object LlmPipeline extends QueryPack {
          |  SELECT DISTINCT ba.vec_id AS qid, bb.vec_id AS nid
          |  FROM mbuckets ba JOIN mbuckets bb
          |   ON ba.tb = bb.tb AND ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id)
+         |$lshCandRerankTailSql""".stripMargin,
+    "q_sim_ann_lsh_mp" ->
+      s"""WITH $lshMultiBucketsCte,
+         |mprobes AS (
+         |  SELECT b.vec_id, b.tb, xor(b.bucket, m.m) AS pbucket
+         |  FROM mbuckets b,
+         |   (SELECT 0::BIGINT AS m UNION ALL
+         |    SELECT (1::BIGINT << j.j) FROM generate_series(0, ${LSH_TABLE_BITS - 1}) j(j)) m),
+         |mcands AS (
+         |  SELECT DISTINCT pa.vec_id AS qid, pb.vec_id AS nid
+         |  FROM mprobes pa JOIN mbuckets pb
+         |   ON pa.tb = pb.tb AND pa.pbucket = pb.bucket AND pa.vec_id <> pb.vec_id)
          |$lshCandRerankTailSql""".stripMargin,
     "q_sim_ann_lsh_delta" ->
       s"""WITH $lshMultiBucketsCte,
