@@ -272,11 +272,25 @@ object Profiling extends QueryPack {
     // corpus.
     "q_drift_psi" -> ((s, d) => {
       val isRef = col("o_orderdate") < lit(PSI_SPLIT).cast(TimestampType)
-      val cells = t(s, d, "orders")
+      val observed = t(s, d, "orders")
         .groupBy(col("o_orderpriority").as("prio"),
           least(floor(col("o_totalprice") / PSI_BIN_W), lit(PSI_BINS - 1L))
             .cast(LongType).as("bin"))
         .agg(count_if(isRef).as("n_ref"), count_if(!isRef).as("n_cur"))
+      // the +0.5/bin Laplace denominator counts ALL PSI_BINS bins, so the
+      // bin domain must be generated explicitly: a bin with zero rows in
+      // both periods must still contribute its smoothed (p_ref, p_cur)
+      // pair or the per-group probabilities don't sum to 1 and psi is
+      // understated — the same absent-category class as the Benford
+      // digit-domain fix (ADVICE r09). Domain is |prios| × PSI_BINS rows,
+      // bounded at any corpus size.
+      val domain = t(s, d, "orders")
+        .select(col("o_orderpriority").as("prio")).distinct()
+        .select(col("prio"),
+          explode(sequence(lit(0L), lit(PSI_BINS - 1L))).as("bin"))
+      val cells = domain.join(broadcast(observed), Seq("prio", "bin"), "left")
+        .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+        .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
       val w = Window.partitionBy("prio")
       val smoothed = cells
         .withColumn("p_ref", (col("n_ref") + 0.5) /
@@ -560,12 +574,20 @@ object Profiling extends QueryPack {
       rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
     "q_drift_psi" ->
-      s"""WITH cells AS (
+      s"""WITH observed AS (
          |  SELECT o_orderpriority AS prio,
          |   least(CAST(floor(o_totalprice / $PSI_BIN_W) AS BIGINT), ${PSI_BINS - 1}) AS bin,
          |   count(*) FILTER (WHERE o_orderdate < TIMESTAMP '$PSI_SPLIT') AS n_ref,
          |   count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '$PSI_SPLIT') AS n_cur
          |  FROM orders GROUP BY 1, 2),
+         |dom AS (
+         |  SELECT p.prio, b.b AS bin
+         |  FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) p,
+         |       generate_series(0, ${PSI_BINS - 1}) b(b)),
+         |cells AS (
+         |  SELECT d.prio, d.bin,
+         |   coalesce(o.n_ref, 0) AS n_ref, coalesce(o.n_cur, 0) AS n_cur
+         |  FROM dom d LEFT JOIN observed o ON d.prio = o.prio AND d.bin = o.bin),
          |sm AS (
          |  SELECT prio, n_ref, n_cur,
          |   (n_ref + 0.5) / (sum(n_ref) OVER (PARTITION BY prio) + 0.5 * $PSI_BINS) AS p_ref,
