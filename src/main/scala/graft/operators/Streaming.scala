@@ -131,15 +131,19 @@ object Streaming extends QueryPack {
     // row-count-identical on finite input). LEFT join so purchases with
     // no qualifying view still count toward n_purchases.
     "q_stream_attribution" -> ((s, d) => {
+      // the at-or-before-purchase bound compares FULL µs timestamps — a
+      // floor-second pt would attribute a view up to a second AFTER the
+      // purchase (same precision class as q_features_pit, ADVICE r09);
+      // the 1-hour lookback is 3 600 000 000 µs
       val ev = t(s, d, "events")
       val p = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
-          tsec(col("ts")).as("pt"))
+          unix_micros(col("ts").cast(TimestampType)).as("pt"))
       val v = ev.where(col("event_type") === "view")
-        .select(col("user_id"), tsec(col("ts")).as("vt"))
+        .select(col("user_id"), unix_micros(col("ts").cast(TimestampType)).as("vt"))
       val pairs = p.join(v,
         p("user_id") === v("user_id") &&
-          v("vt") >= p("pt") - 3600 && v("vt") <= p("pt"), "left")
+          v("vt") >= p("pt") - 3600000000L && v("vt") <= p("pt"), "left")
         .select(p("user_id"), col("p_id"), col("vt"))
       pairs.groupBy("user_id", "p_id").agg(count(col("vt")).as("n_views"))
         .groupBy("user_id")
@@ -157,8 +161,13 @@ object Streaming extends QueryPack {
     // map-side-combinable conditional mins. Final 3-row summary with
     // step-to-step conversion (the 3-row window is not a corpus sort).
     "q_event_funnel" -> ((s, d) => {
+      // stage sequencing compares FULL µs timestamps — floor-second et
+      // would let a click up to a second before its user's first view
+      // count as "after" it (same precision class as q_features_pit,
+      // ADVICE r09)
       val ev = t(s, d, "events")
-        .select(col("user_id"), col("event_type"), tsec(col("ts")).as("et"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast(TimestampType)).as("et"))
       val v = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("et")).as("t1"))
       val c = ev.join(maybeBroadcast(v), "user_id")
@@ -443,15 +452,15 @@ object Streaming extends QueryPack {
         |ORDER BY user_id, event_id""".stripMargin,
     "q_stream_attribution" ->
       """WITH p AS (
-        |  SELECT event_id AS p_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS pt
         |  FROM events WHERE event_type = 'purchase'),
         |v AS (
-        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS vt
+        |  SELECT user_id, epoch_us(ts) AS vt
         |  FROM events WHERE event_type = 'view'),
         |pp AS (
         |  SELECT p.user_id, p.p_id, count(v.vt) AS n_views
         |  FROM p LEFT JOIN v ON v.user_id = p.user_id
-        |    AND v.vt >= p.pt - 3600 AND v.vt <= p.pt
+        |    AND v.vt >= p.pt - 3600000000 AND v.vt <= p.pt
         |  GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_purchases,
         | count(*) FILTER (WHERE n_views > 0) AS n_attributed,
@@ -483,7 +492,7 @@ object Streaming extends QueryPack {
          |ORDER BY user_id, et, event_id""".stripMargin,
     "q_event_funnel" ->
       s"""WITH ev AS (
-         |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et
+         |  SELECT user_id, event_type, epoch_us(ts) AS et
          |  FROM events),
          |v AS (SELECT user_id, min(et) AS t1 FROM ev
          |      WHERE event_type = 'view' GROUP BY 1),
