@@ -54,9 +54,15 @@ object Streaming extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        // gap measured in FULL µs — session_window (the streaming twin
+        // this query must mirror) compares true timestamps, and a
+        // floor-second gap would split/merge sessions whose boundary
+        // falls inside a second (same precision class as q_features_pit)
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
-            tsec(col("ts")) - tsec(col("prev_ts")) > 30 * 60, 1).otherwise(0))
+            unix_micros(col("ts").cast(TimestampType)) -
+              unix_micros(col("prev_ts").cast(TimestampType)) > 1800000000L,
+            1).otherwise(0))
         .withColumn("sess_id", sum(col("new_sess")).over(cum))
         .groupBy("user_id", "sess_id")
         .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
@@ -416,7 +422,7 @@ object Streaming extends QueryPack {
         |flagged AS (
         |  SELECT user_id, event_id, ts,
         |   CASE WHEN prev_ts IS NULL
-        |     OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
         |    THEN 1 ELSE 0 END AS new_sess
         |  FROM seq),
         |sessed AS (
