@@ -271,12 +271,15 @@ object Streaming extends QueryPack {
     // partial-aggregation order.
     "q_event_paths" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // inactivity gap at FULL µs precision (PATH_GAP is seconds; compare
+      // in µs) — same precision class as the q_window_session gap fix
       val sess = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
-          tsec(col("ts")).as("et"))
+          unix_micros(col("ts").cast(TimestampType)).as("et"))
         .withColumn("pet", lag(col("et"), 1).over(w))
         .withColumn("new_sess",
-          when(col("pet").isNull || col("et") - col("pet") > PATH_GAP, 1).otherwise(0))
+          when(col("pet").isNull ||
+            col("et") - col("pet") > PATH_GAP * 1000000L, 1).otherwise(0))
         .withColumn("sess", sum(col("new_sess")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
       val paths = sess.groupBy("user_id", "sess")
@@ -529,12 +532,12 @@ object Streaming extends QueryPack {
     "q_event_paths" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, event_type, ts,
-         |   CAST(floor(epoch(ts)) AS BIGINT) AS et,
-         |   lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+         |   epoch_us(ts) AS et,
+         |   lag(epoch_us(ts)) OVER
          |     (PARTITION BY user_id ORDER BY ts, event_id) AS pet
          |  FROM events),
          |s AS (
-         |  SELECT *, CAST(sum(CASE WHEN pet IS NULL OR et - pet > $PATH_GAP
+         |  SELECT *, CAST(sum(CASE WHEN pet IS NULL OR et - pet > ${PATH_GAP}000000
          |      THEN 1 ELSE 0 END)
          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
