@@ -57,11 +57,14 @@ object Streaming extends QueryPack {
         // gap measured in FULL µs — session_window (the streaming twin
         // this query must mirror) compares true timestamps, and a
         // floor-second gap would split/merge sessions whose boundary
-        // falls inside a second (same precision class as q_features_pit)
+        // falls inside a second (same precision class as q_features_pit).
+        // >= not >: session_window's windows are half-open [start,
+        // last+gap), so an event at exactly prev+gap does NOT merge —
+        // it opens a new session (review r11).
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
             unix_micros(col("ts").cast(TimestampType)) -
-              unix_micros(col("prev_ts").cast(TimestampType)) > 1800000000L,
+              unix_micros(col("prev_ts").cast(TimestampType)) >= 1800000000L,
             1).otherwise(0))
         .withColumn("sess_id", sum(col("new_sess")).over(cum))
         .groupBy("user_id", "sess_id")
@@ -425,7 +428,7 @@ object Streaming extends QueryPack {
         |flagged AS (
         |  SELECT user_id, event_id, ts,
         |   CASE WHEN prev_ts IS NULL
-        |     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |     OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
         |    THEN 1 ELSE 0 END AS new_sess
         |  FROM seq),
         |sessed AS (

@@ -41,12 +41,22 @@ object Streams {
     // fall back ONLY when there is genuinely nothing to probe — a probe
     // failure over a populated directory (corrupt footer, IO error,
     // missing column) must surface at start, not silently mis-schema the
-    // stream (review r10)
-    def hasParquet(p: java.io.File): Boolean =
-      p.isFile && p.getName.endsWith(".parquet") ||
-        (p.isDirectory && Option(p.listFiles).exists(_.exists(hasParquet)))
+    // stream (review r10). Emptiness is probed through the Hadoop
+    // FileSystem for the path, not java.io.File, so URI-scheme paths
+    // (hdfs://, s3a://) are seen correctly (review r11).
+    def hasParquet(p: String): Boolean = {
+      import org.apache.hadoop.fs.Path
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      def walk(q: org.apache.hadoop.fs.Path): Boolean = {
+        val st = fs.getFileStatus(q)
+        if (st.isFile) q.getName.endsWith(".parquet")
+        else fs.listStatus(q).exists(c => walk(c.getPath))
+      }
+      fs.exists(hp) && walk(hp)
+    }
     val tsType = scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
-      .recover { case e if !hasParquet(new java.io.File(path)) => TimestampNTZType }
+      .recover { case e if !hasParquet(path) => TimestampNTZType }
       .get
     val raw = spark.readStream.schema(eventsRawSchema(tsType)).parquet(path)
     val tsNorm = tsType match {
@@ -232,7 +242,9 @@ object Streams {
             val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
             arrivals.foreach { t =>
               if (n == 0) { n = 1; st = t; en = t }
-              else if (t - en > gapMs) { closed += Session(uid, n, st, en); n = 1; st = t; en = t }
+              // >= mirrors session_window's half-open [start, last+gap):
+              // an event at exactly end+gap opens a new session (r11)
+              else if (t - en >= gapMs) { closed += Session(uid, n, st, en); n = 1; st = t; en = t }
               else { n += 1; en = math.max(en, t) }
             }
             state.update((n, st, en))
