@@ -77,6 +77,43 @@ object Bench {
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
       }
     }
+    // Forced-spill probe (VERDICT r10 item 2), UNTIMED: every earlier
+    // round reported 0.0 MB spill, so the out-of-core paths the 100×
+    // scale claim rests on were never observed. Session-scoped SQL confs
+    // force the window/SMJ buffers and hash-agg fallback through their
+    // external-sort code paths; the probe records (a) spilled bytes
+    // actually observed in task metrics and (b) whether row counts match
+    // the unconstrained pass (full row-identity at fixture scale is
+    // SpillSpec's job — here the corpus-scale evidence is "spill engaged,
+    // cardinality unchanged").
+    val spillProbe: String = try {
+      val heavyFam = Seq("q_stream_watermark", "q_window_lag", "q_agg_hash",
+        "q_assoc_rules", "q_profile_histogram", "q_window_cumsum")
+      val spillConfs = Seq(
+        "spark.sql.windowExec.buffer.in.memory.threshold" -> "32",
+        "spark.sql.windowExec.buffer.spill.threshold" -> "32",
+        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "32",
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "32",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16",
+        "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "64,128")
+      val base = heavyFam.map(n =>
+        n -> SparkEntry.queries(n)(spark, sfDir).count()).toMap
+      Thread.sleep(120); spillAcc.set(0)
+      spillConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val forced = heavyFam.map(n =>
+        n -> SparkEntry.queries(n)(spark, sfDir).count()).toMap
+      spillConfs.foreach { case (k, _) => spark.conf.unset(k) }
+      Thread.sleep(120)
+      val mb = spillAcc.get / 1e6
+      val ok = heavyFam.forall(n => base(n) == forced(n))
+      f""","forced_spill_mb":$mb%.2f,"forced_spill_counts_match":$ok"""
+    } catch { case e: Throwable =>
+      // quotes/controls stripped rather than escaped: jstr is defined
+      // below this point and a probe failure must stay valid JSON
+      val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+        .filter(c => c >= ' ' && c != '"' && c != '\\')
+      s""","forced_spill_error":"$msg""""
+    }
     val results = times.toMap
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -111,7 +148,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
       val totalSpill = spillMb.values.sum
       base.dropRight(1) +
-        s""","shuffle_mb":$sh,"spill_mb_total":${f"$totalSpill%.2f"}}"""
+        s""","shuffle_mb":$sh,"spill_mb_total":${f"$totalSpill%.2f"}$spillProbe}"""
     }
     Files.write(Paths.get("BENCH_DETAIL.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
     println(full)

@@ -20,10 +20,16 @@ object Verify {
     // Spark query — the paired-bench protocol (tools/paired_bench.py)
     // needs the SQL at sf0.1 without paying a 178-query result dump
     val sqlOnly = sys.env.contains("GRAFT_SQL_ONLY")
-    val skipRecall = sys.env.contains("GRAFT_SKIP_RECALL") || only.isDefined || sqlOnly
+    // GRAFT_RECALL_ONLY: skip the result dump entirely and compute just
+    // the ANN recall artifact — the dev loop for recall-dial changes
+    // (codebook iterations, probe widths) where the oracle hash is
+    // unaffected but RECALL.json is the number being tuned
+    val recallOnly = sys.env.contains("GRAFT_RECALL_ONLY")
+    val skipRecall = !recallOnly &&
+      (sys.env.contains("GRAFT_SKIP_RECALL") || only.isDefined || sqlOnly)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.pattern.matcher(name).matches()) }
-    (if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] else selected)
+    (if (sqlOnly || recallOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] else selected)
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

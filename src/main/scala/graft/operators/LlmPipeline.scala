@@ -492,6 +492,19 @@ object LlmPipeline extends QueryPack {
       .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
   }
 
+  /** [[ivfKScorePlan]] with a size-GATED build side instead of the forced
+    * broadcast — for quantizers whose centroid count grows linearly with
+    * N (the constant-cell-size semantic quantizer), where forcing the
+    * hint would OOM the driver past the broadcast budget. */
+  private def ivfKScorePlanGated(e: DataFrame, cents: DataFrame): DataFrame = {
+    val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+    e.join(maybeBroadcast(cents), lit(true))
+      .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
+  }
+
   /** Top-`k` cells for an arbitrary vector set against the frozen
     * quantizer (k = 1 → rank-1 assignment; k = nprobe → probe list). */
   private def ivfKCellsFor(e: DataFrame, cents: DataFrame, k: Int): DataFrame =
@@ -499,6 +512,77 @@ object LlmPipeline extends QueryPack {
         keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
         k = k, rankName = "arnk")
       .select(col("vec_id"), col("cell"))
+
+  /** Target cell SIZE for the semantic-dedup quantizer (members per
+    * cell, not cell count). Semantic dedup compares all pairs WITHIN a
+    * cell, so cell size — not cell count — is the quantity that must stay
+    * constant as the corpus grows: k = ⌈N/c⌉ cells of expected size c
+    * give O(N·c) total pair volume (linear in N), where the ⌈√N⌉ dial
+    * the ANN family uses would give √N-sized cells and O(N^1.5) pairs —
+    * fine for candidate generation, a scale-killer for pairwise dedup.
+    * Production dials c to 1–4k (pair volume per cell stays a few
+    * million, one task's work); the test corpus (500–2k vectors) uses 64
+    * so the gated SFs exercise 8–32 real cells instead of degenerating
+    * to k ≤ 2 ≈ all-pairs. */
+  private val SEM_CELL = 64
+
+  /** Constant-cell-size quantizer for semantic dedup: same deterministic
+    * recipe as [[ivfKCentroids]] (md5-ranked seeds → rank-1 init assign →
+    * one decimal-mean Lloyd step), but k = ⌈N/[[SEM_CELL]]⌉ so EXPECTED
+    * cell size is the constant c rather than √N. Seed salt "sem:" keeps
+    * the seed sample independent of the ANN quantizer's. Artifact is
+    * k × 64 doubles — k grows linearly with N here (N = 10⁹, c = 4k →
+    * 250k rows, ~130 MB), so unlike the √N family the centroid table is
+    * size-gated ([[Tables.maybeBroadcast]]) everywhere it rides a join,
+    * with the shuffled-join fallback taking over past the budget. */
+  private def semCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem_centroids_nc${SEM_CELL}_lloyd1") {
+      val e = t(s, d, "embeddings")
+      val k = math.ceil(e.count().toDouble / SEM_CELL).toInt
+      val seeds = e
+        .select(col("vec_id"), col("embedding"),
+          md5(concat(lit("sem:"), col("vec_id").cast(StringType))).as("mk"))
+        .orderBy("mk").limit(k)
+        // k rows total — the unpartitioned rank window is bounded by N/c
+        .select(col("embedding").as("seed"),
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy("mk"))
+            .as("cell"))
+      val init = e.join(maybeBroadcast(seeds),
+          // true cross join via always-true condition keeps the size gate:
+          // seeds is N/c rows (data-proportional), never force-broadcast
+          lit(true))
+        .select(col("vec_id"), col("cell"),
+          r4(cosine(col("embedding"), col("seed"))).as("scos"))
+      val assign0 = org.apache.spark.sql.graftx.TopK.topKPerKey(init,
+          keyNames = Seq("vec_id"), orderBy = Seq("scos" -> false, "cell" -> true),
+          k = 1, rankName = "irnk")
+        .select(col("vec_id"), col("cell"))
+      val comp = e.join(assign0, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"))
+      comp.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          f => f.getField("m")).as("centroid"))
+    }
+
+  /** Rank-1 assignment index over the constant-cell-size quantizer —
+    * the persisted artifact q_dedup_semantic's within-cell pair join and
+    * the ingest delta both probe. Scoring is the [[ivfKScorePlan]] manual
+    * dot/norm shape (double centroids × float embeddings), quantizer and
+    * broadcast policy swapped. Training/assignment cost is O(N·k) cosines
+    * like every flat quantizer; at k ∝ N the production recipe caps it by
+    * training on a fixed-size SAMPLE and assigning through a two-level
+    * coarse→fine quantizer (O(N·√k)) — the persisted-artifact contract
+    * here is unchanged by either refinement. */
+  private def semAssign(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem_assign_nc$SEM_CELL") {
+      val scored = ivfKScorePlanGated(t(s, d, "embeddings"), semCentroids(s, d))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
+          k = 1, rankName = "arnk")
+        .select(col("vec_id"), col("cell"))
+    }
 
   /** Product-quantization geometry: [[PQ_M]] subspaces of [[PQ_SUBDIM]]
     * dims, [[PQ_K]] codes per subspace — a vector compresses to 8 nibble
@@ -514,8 +598,12 @@ object LlmPipeline extends QueryPack {
     * r9: ivfpq 0.31 vs ivf_k 0.56 on the SAME candidates; depth 50 still
     * measured only 0.69 — the gap was ADC ordering, not candidates).
     * Rerank cost stays O(PQ_RERANK·dim) per query — bounded, and tiny
-    * against the candidate-generation volume at any corpus size. */
-  private val PQ_RERANK = 100
+    * against the candidate-generation volume at any corpus size.
+    * 100 → 200 in round 11 paired with the iterated-Lloyd codebooks:
+    * measured recall@3 vs exhaustive was 0.84 (lloyd1/rerank100) → 0.87
+    * (lloyd4/rerank100) → target ≥0.9; the candidate-set ceiling (ivf_k
+    * on identical probes, full-precision throughout) is 0.94. */
+  private val PQ_RERANK = 200
   require(PQ_M * PQ_SUBDIM == 64, s"PQ geometry must tile the 64-dim embeddings")
 
   /** (vec_id, m, sub) — the M 8-dim subvectors of each embedding, doubles.
@@ -531,15 +619,27 @@ object LlmPipeline extends QueryPack {
     r4(aggregate(zip_with(a, b, (x, v) => (x - v) * (x - v)),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Lloyd refinement iterations for the PQ codebooks. r10 trained ONE
+    * step and measured ivfpq recall@3 = 0.84 vs 0.94 for the
+    * full-precision ivf_k path on the same candidates — the residual gap
+    * is ADC misranking from coarse codebooks, so the dial that moves it
+    * is codebook quality, not candidate volume. Each iteration is one
+    * assign (N·M·K rounded L2s) + one decimal-mean recompute — training
+    * cost only, amortized across every query by the persisted artifact;
+    * the iteration count is part of the memo stage name so retuning
+    * mints a new artifact. */
+  private val PQ_LLOYD = 4
+
   /** PQ codebook training (disk-backed): PQ_K seed vectors by md5 rank
     * (the same deterministic md5-bucket sample discipline as the
-    * trained-k IVF), then ONE Lloyd step per subspace independently —
-    * init assignment by rounded squared L2 to the seed's subvector,
-    * refined centroid = dimension-wise decimal mean. The artifact is
-    * M×K×SUBDIM doubles (8×16×8 here) — constant-size, broadcast-safe at
-    * any corpus scale. */
+    * trained-k IVF), then [[PQ_LLOYD]] Lloyd steps per subspace
+    * independently — assignment by rounded squared L2, refined centroid
+    * = dimension-wise decimal mean; a code whose cluster empties drops
+    * out of the next codebook (both engines compute this identically).
+    * The artifact is M×K×SUBDIM doubles (8×16×8 here) — constant-size,
+    * broadcast-safe at any corpus scale. */
   private def pqCodebooks(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"pq_codebooks_m${PQ_M}k${PQ_K}_lloyd1") {
+    Tables.memoizedOnDisk(s, d, s"pq_codebooks_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD") {
       val e = t(s, d, "embeddings")
       val seeds = e
         .select(col("vec_id"), col("embedding"),
@@ -553,25 +653,29 @@ object LlmPipeline extends QueryPack {
             x => x.cast(DoubleType))): _*))
         .as(Seq("m", "scent")))
       val eSub = pqSubvectors(e)
-      val sd0 = eSub.join(broadcast(subseeds), "m")
-        .select(col("vec_id"), col("m"), col("c"), sqDist(col("sub"), col("scent")).as("sd"))
-      val assign0 = org.apache.spark.sql.graftx.TopK.topKPerKey(sd0,
-          keyNames = Seq("vec_id", "m"), orderBy = Seq("sd" -> true, "c" -> true),
-          k = 1, rankName = "r0")
-        .select("vec_id", "m", "c")
-      val comp = eSub.join(assign0, Seq("vec_id", "m"))
-        .select(col("m"), col("c"), posexplode(col("sub")).as(Seq("i", "x")))
-        .groupBy("m", "c", "i")
-        .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("v"))
-      comp.groupBy("m", "c")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
-          f => f.getField("v")).as("centroid"))
+      val cb0 = subseeds.select(col("m"), col("c"), col("scent").as("centroid"))
+      (1 to PQ_LLOYD).foldLeft(cb0) { (cb, _) =>
+        val sd = eSub.join(broadcast(cb), "m")
+          .select(col("vec_id"), col("m"), col("c"),
+            sqDist(col("sub"), col("centroid")).as("sd"))
+        val assign = org.apache.spark.sql.graftx.TopK.topKPerKey(sd,
+            keyNames = Seq("vec_id", "m"), orderBy = Seq("sd" -> true, "c" -> true),
+            k = 1, rankName = "r0")
+          .select("vec_id", "m", "c")
+        eSub.join(assign, Seq("vec_id", "m"))
+          .select(col("m"), col("c"), posexplode(col("sub")).as(Seq("i", "x")))
+          .groupBy("m", "c", "i")
+          .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("v"))
+          .groupBy("m", "c")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+            f => f.getField("v")).as("centroid"))
+      }
     }
 
   /** PQ code index (disk-backed): (vec_id, m, code) — argmin over the
     * refined codebooks, the 4-byte-per-vector compressed corpus. */
   private def pqCodes(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"pq_codes_m${PQ_M}k${PQ_K}") {
+    Tables.memoizedOnDisk(s, d, s"pq_codes_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD") {
       val cb = pqCodebooks(s, d)
       val sd = pqSubvectors(t(s, d, "embeddings")).join(broadcast(cb), "m")
         .select(col("vec_id"), col("m"), col("c"), sqDist(col("sub"), col("centroid")).as("sd"))
@@ -868,21 +972,26 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_a", "vec_b")
     }),
 
-    // SemDeDup-style semantic dedup: the trained-k IVF assignment scopes
-    // the pairwise cosine comparison to WITHIN-CELL pairs, and a vector is
-    // dropped when a lower-id cell-mate sits above the similarity
-    // threshold (greedy min-id keeper — deterministic, single pass, no
-    // fixpoint). This is the 100 TB shape for embedding dedup: with
-    // k = ⌈√N⌉ balanced cells the pair volume is O(N^1.5), not O(N²), and
-    // it reuses the PERSISTED quantizer index — cross-cell near-dups are
-    // the accepted recall trade (same blind spot the SemDeDup recipe
-    // documents). q_dedup_embcos above is the label-blocked truth path;
-    // SEM_TAU is calibrated to this synthetic corpus (within-cell cosines
-    // top out ≈0.45; real deployments dial 0.95+). Every vector gets a
-    // verdict row, so downstream keeps/drops by a narrow semi-join.
+    // SemDeDup-style semantic dedup: the CONSTANT-CELL-SIZE quantizer
+    // assignment ([[semAssign]], k = ⌈N/c⌉ cells of expected size c =
+    // SEM_CELL) scopes the pairwise cosine comparison to WITHIN-CELL
+    // pairs, and a vector is dropped when a lower-id cell-mate sits above
+    // the similarity threshold (greedy min-id keeper — deterministic,
+    // single pass, no fixpoint). This is the 100 TB shape for embedding
+    // dedup: expected pair volume is k·c²/2 = O(N·c) — LINEAR in N for
+    // fixed c — where the ⌈√N⌉ ANN dial would give O(N^1.5) (the r10
+    // scale `weak`, closed here). It reuses the PERSISTED sem assignment
+    // index — cross-cell near-dups are the accepted recall trade (same
+    // blind spot the SemDeDup recipe documents). q_dedup_embcos above is
+    // the label-blocked truth path; SEM_TAU is calibrated to this
+    // synthetic corpus (within-cell cosines top out ≈0.45; real
+    // deployments dial 0.95+). Every vector gets a verdict row, so
+    // downstream keeps/drops by a narrow semi-join. Cell-size balance is
+    // observable data, not an assumption: q_dedup_semantic_cells below
+    // emits the per-cell membership histogram.
     "q_dedup_semantic" -> ((s, d) => {
       val withCell = t(s, d, "embeddings")
-        .join(maybeBroadcast(ivfKAssign(s, d)), "vec_id")
+        .join(maybeBroadcast(semAssign(s, d)), "vec_id")
         .select(col("vec_id"), col("cell"), col("embedding"))
       val dup = withCell.as("a").join(maybeBroadcast(withCell.as("b")),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -896,19 +1005,25 @@ object LlmPipeline extends QueryPack {
     }),
 
     // Semantic-dedup ingest delta: each batch vector (vec_id%10=7) is
-    // assigned its cell FRESH against the frozen quantizer and dropped iff
-    // ANY corpus cell-mate sits at/above SEM_TAU — corpus always wins (no
-    // id ordering: the standing corpus is the keeper set by definition).
-    // Per ingest: O(batch × cell size) comparisons against the PERSISTED
-    // assignment index; batch-internal duplicates are q_dedup_semantic's
-    // job on the next full pass (documented ingest trade).
+    // assigned its cell FRESH against the frozen constant-cell-size
+    // quantizer and dropped iff ANY corpus cell-mate sits at/above
+    // SEM_TAU — corpus always wins (no id ordering: the standing corpus
+    // is the keeper set by definition). Per ingest: O(batch × c)
+    // comparisons against the PERSISTED assignment index — c constant, so
+    // per-ingest cost no longer grows with corpus size at all;
+    // batch-internal duplicates are q_dedup_semantic's job on the next
+    // full pass (documented ingest trade).
     "q_dedup_semantic_delta" -> ((s, d) => {
       val isBatch = col("vec_id") % 10 === 7
       val e = t(s, d, "embeddings")
-      val batch = ivfKCellsFor(e.where(isBatch), ivfKCentroids(s, d), 1)
+      val batch = org.apache.spark.sql.graftx.TopK.topKPerKey(
+          ivfKScorePlanGated(e.where(isBatch), semCentroids(s, d)),
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
+          k = 1, rankName = "arnk")
+        .select(col("vec_id"), col("cell"))
         .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       val corpus = t(s, d, "embeddings")
-        .join(maybeBroadcast(ivfKAssign(s, d).where(!isBatch)), "vec_id")
+        .join(maybeBroadcast(semAssign(s, d).where(!isBatch)), "vec_id")
         .select(col("vec_id"), col("cell"), col("embedding"))
       val dup = batch.as("a").join(maybeBroadcast(corpus.as("b")),
           col("a.cell") === col("b.cell"))
@@ -920,6 +1035,25 @@ object LlmPipeline extends QueryPack {
           coalesce(col("hit"), lit(false)).as("dropped"))
         .orderBy("vec_id")
     }),
+
+    // Semantic-dedup cell-size histogram: the O(N·c) complexity claim of
+    // q_dedup_semantic assumes cells stay NEAR the target size c — this
+    // emits the evidence as data (q_index_drift shape): per-cell member
+    // count, its pair volume n·(n−1)/2, and whether the cell exceeds the
+    // oversize bound (4·c — the dial at which a production run would
+    // split the cell with a sub-quantizer rather than eat a 16× pair
+    // blowup). An operator whose scale contract can be read off a query
+    // result is auditable; one whose balance is asserted in a comment is
+    // not.
+    "q_dedup_semantic_cells" -> ((s, d) =>
+      semAssign(s, d).groupBy("cell")
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("cell"), col("n_members"),
+          // `div`, not `/`: integral division keeps the BIGINT type (and
+          // exactness at 10⁹-member counts) the oracle's `//` has
+          expr("n_members * (n_members - 1) div 2").as("n_pairs"),
+          (col("n_members") > 4 * SEM_CELL).as("oversized"))
+        .orderBy("cell")),
 
     // #44 brute-force top-5 cosine neighbors, blocked by label (IVF-style:
     // label = coarse cell, probe within cell). Top-k via the custom
@@ -1769,39 +1903,88 @@ object LlmPipeline extends QueryPack {
        |  SELECT vec_id, embedding, cell FROM kranked
        |  WHERE arnk <= (SELECT np FROM nk))""".stripMargin
 
+  /** Constant-cell-size semantic quantizer CTE chain (mirrors
+    * [[semCentroids]]/[[semAssign]] stage for stage): k = ⌈N/c⌉ from
+    * count(*), seeds by md5('sem:'||vec_id) rank, init rank-1 assignment,
+    * decimal-mean Lloyd step, final ranking against the trained
+    * centroids. */
+  private val semCtesSql: String =
+    s"""smk AS (
+       |  SELECT CAST(ceil(count(*) / ${SEM_CELL}.0) AS INT) AS k FROM embeddings),
+       |sseeds AS (
+       |  SELECT embedding AS seed,
+       |   CAST(row_number() OVER (ORDER BY md5('sem:'||vec_id)) AS INT) AS cell
+       |  FROM embeddings
+       |  QUALIFY cell <= (SELECT k FROM smk)),
+       |siassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, s.cell,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+       |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+       |           list_transform(s.seed, x -> CAST(x AS DOUBLE)))
+       |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, s.cell ASC) AS irnk
+       |    FROM embeddings e CROSS JOIN sseeds s)
+       |  WHERE irnk = 1),
+       |scomp AS (
+       |  SELECT a.cell, t.d AS dim,
+       |   CAST(sum(CAST(e.embedding[t.d] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+       |  FROM embeddings e JOIN siassign a USING (vec_id), generate_series(1, 64) t(d)
+       |  GROUP BY a.cell, t.d),
+       |scent AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM scomp GROUP BY cell),
+       |sranked AS (
+       |  SELECT vec_id, embedding, cell,
+       |   CAST(row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC)
+       |    AS INT) AS arnk
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |     CAST(round(CAST(list_cosine_similarity(
+       |       list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
+       |      AS DECIMAL(38,6)), 4) AS DOUBLE) AS ccos
+       |    FROM embeddings e CROSS JOIN scent c)),
+       |sassigned AS (SELECT vec_id, embedding, cell FROM sranked WHERE arnk = 1)""".stripMargin
+
   /** PQ CTE chain (mirrors [[pqCodebooks]]/[[pqCodes]] stage for stage):
-    * md5-ranked seeds, per-subspace init assignment + decimal-mean Lloyd
-    * step, nibble-code encoding against the refined codebooks. */
-  private val pqCtesSql: String =
+    * md5-ranked seeds, then [[PQ_LLOYD]] per-subspace Lloyd iterations
+    * (rounded-L2 assignment + decimal-mean recompute) GENERATED as one
+    * CTE block per iteration, nibble-code encoding against the final
+    * codebooks. The loop count is the same constant both engines read,
+    * so the chains stay stage-for-stage identical at any T. */
+  private val pqCtesSql: String = {
+    val iters = (1 to PQ_LLOYD).map { tt =>
+      val prev = if (tt == 1) "pcb0" else s"pcb${tt - 1}"
+      s"""psd$tt AS (
+         |  SELECT es.vec_id, es.m, cb.c,
+         |   CAST(round(CAST(sum(power(es.sub[i.i] - cb.centroid[i.i], 2)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS sd
+         |  FROM esub es JOIN $prev cb ON es.m = cb.m, generate_series(1, $PQ_SUBDIM) i(i)
+         |  GROUP BY es.vec_id, es.m, cb.c),
+         |passign$tt AS (
+         |  SELECT vec_id, m, c FROM psd$tt
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY sd ASC, c ASC) = 1),
+         |pcomp$tt AS (
+         |  SELECT a.m, a.c, i.i,
+         |   CAST(sum(CAST(es.sub[i.i] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS v
+         |  FROM esub es JOIN passign$tt a USING (vec_id, m), generate_series(1, $PQ_SUBDIM) i(i)
+         |  GROUP BY a.m, a.c, i.i),
+         |pcb$tt AS (SELECT m, c, list(v ORDER BY i) AS centroid FROM pcomp$tt GROUP BY m, c)""".stripMargin
+    }.mkString(",\n")
     s"""pseeds AS (
        |  SELECT embedding AS seed,
        |   CAST(row_number() OVER (ORDER BY md5('pq:'||vec_id)) AS INT) AS c
        |  FROM embeddings
        |  QUALIFY c <= $PQ_K),
-       |subseeds AS (
+       |pcb0 AS (
        |  SELECT s.c, t.m,
        |   list_transform(list_slice(s.seed, $PQ_SUBDIM*t.m+1, $PQ_SUBDIM*t.m+$PQ_SUBDIM),
-       |     x -> CAST(x AS DOUBLE)) AS scent
+       |     x -> CAST(x AS DOUBLE)) AS centroid
        |  FROM pseeds s, generate_series(0, ${PQ_M - 1}) t(m)),
        |esub AS (
        |  SELECT e.vec_id, t.m,
        |   list_transform(list_slice(e.embedding, $PQ_SUBDIM*t.m+1, $PQ_SUBDIM*t.m+$PQ_SUBDIM),
        |     x -> CAST(x AS DOUBLE)) AS sub
        |  FROM embeddings e, generate_series(0, ${PQ_M - 1}) t(m)),
-       |psd0 AS (
-       |  SELECT es.vec_id, es.m, ss.c,
-       |   CAST(round(CAST(sum(power(es.sub[i.i] - ss.scent[i.i], 2)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS sd
-       |  FROM esub es JOIN subseeds ss ON es.m = ss.m, generate_series(1, $PQ_SUBDIM) i(i)
-       |  GROUP BY es.vec_id, es.m, ss.c),
-       |passign0 AS (
-       |  SELECT vec_id, m, c FROM psd0
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY sd ASC, c ASC) = 1),
-       |pcomp AS (
-       |  SELECT a.m, a.c, i.i,
-       |   CAST(sum(CAST(es.sub[i.i] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS v
-       |  FROM esub es JOIN passign0 a USING (vec_id, m), generate_series(1, $PQ_SUBDIM) i(i)
-       |  GROUP BY a.m, a.c, i.i),
-       |pcb AS (SELECT m, c, list(v ORDER BY i) AS centroid FROM pcomp GROUP BY m, c),
+       |$iters,
+       |pcb AS (SELECT m, c, centroid FROM pcb$PQ_LLOYD),
        |psdE AS (
        |  SELECT es.vec_id, es.m, cb.c,
        |   CAST(round(CAST(sum(power(es.sub[i.i] - cb.centroid[i.i], 2)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS sd
@@ -1810,6 +1993,7 @@ object LlmPipeline extends QueryPack {
        |pcodes AS (
        |  SELECT vec_id, m, c AS code FROM psdE
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY sd ASC, c ASC) = 1)""".stripMargin
+  }
 
   /** ADC + exact-rerank oracle tail (mirrors [[pqAdcRerank]]): expects a
     * `pqcands(qid, nid)` CTE in scope; per-subspace code distances, their
@@ -1917,23 +2101,23 @@ object LlmPipeline extends QueryPack {
          |WHERE $cosSql >= 0.99
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q_dedup_semantic" ->
-      s"""WITH $ivfkCtesSql,
+      s"""WITH $semCtesSql,
          |sdup AS (
          |  SELECT DISTINCT b.vec_id
-         |  FROM kassigned a JOIN kassigned b
+         |  FROM sassigned a JOIN sassigned b
          |   ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE ${r4sql("""list_cosine_similarity(
          |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
          |      list_transform(b.embedding, x -> CAST(x AS DOUBLE)))""")} >= $SEM_TAU)
          |SELECT k.vec_id, k.cell, (s.vec_id IS NOT NULL) AS dropped
-         |FROM kassigned k LEFT JOIN sdup s ON k.vec_id = s.vec_id
+         |FROM sassigned k LEFT JOIN sdup s ON k.vec_id = s.vec_id
          |ORDER BY k.vec_id""".stripMargin,
     "q_dedup_semantic_delta" ->
-      s"""WITH $ivfkCtesSql,
-         |bq AS (SELECT vec_id, embedding, cell FROM kassigned WHERE vec_id % 10 = 7),
+      s"""WITH $semCtesSql,
+         |bq AS (SELECT vec_id, embedding, cell FROM sassigned WHERE vec_id % 10 = 7),
          |sdup AS (
          |  SELECT DISTINCT a.vec_id
-         |  FROM bq a JOIN kassigned b
+         |  FROM bq a JOIN sassigned b
          |   ON a.cell = b.cell AND b.vec_id % 10 <> 7
          |  WHERE ${r4sql("""list_cosine_similarity(
          |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
@@ -1941,6 +2125,12 @@ object LlmPipeline extends QueryPack {
          |SELECT k.vec_id, k.cell, (s.vec_id IS NOT NULL) AS dropped
          |FROM bq k LEFT JOIN sdup s ON k.vec_id = s.vec_id
          |ORDER BY k.vec_id""".stripMargin,
+    "q_dedup_semantic_cells" ->
+      s"""WITH $semCtesSql
+         |SELECT cell, count(*) AS n_members,
+         | count(*) * (count(*) - 1) // 2 AS n_pairs,
+         | (count(*) > ${4 * SEM_CELL}) AS oversized
+         |FROM sassigned GROUP BY cell ORDER BY cell""".stripMargin,
     "q_sim_knn" ->
       s"""SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cosSql AS cos,
          | CAST(row_number() OVER (PARTITION BY a.vec_id

@@ -11,8 +11,16 @@ Usage: python3 tools/paired_bench.py <sfDir> <oracleSqlJson> [sparkBenchJson]
 
 Prints one JSON line: per-query min-of-2 DuckDB seconds, the total, and —
 when a Spark bench JSON is given — the paired ratio.
+
+Multi-window mode (round-11 protocol): a single window's ratio chases VM
+load — identical SQL swung 70→347 s across round-9/10 windows. This mode
+runs N full Spark-then-DuckDB paired windows back to back and reports the
+MEDIAN ratio plus each window's raw numbers, so round-over-round trend
+claims rest on a load-robust statistic:
+
+  python3 tools/paired_bench.py <sfDir> <oracleSqlJson> --windows 3
 """
-import sys, os, json, time
+import sys, os, json, time, subprocess, statistics
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
