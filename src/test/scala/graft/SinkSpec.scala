@@ -224,6 +224,43 @@ class SinkSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq == want)
   }
 
+  test("idempotent writeback pipeline: cdc_merge + scd2 through the upsert, re-run == no-op") {
+    // VERDICT r10 item 8 — the SNOWAV delete-overlap analog at production
+    // shape: a nightly load derives the CDC latest-state table and the
+    // SCD2 dimension from the same event/order history and upserts both
+    // into the store. The whole pipeline must be RE-RUNNABLE: a failed
+    // orchestrator retry replays it end-to-end, and the store must land
+    // byte-identical — no duplicates, no drift.
+    val url = s"jdbc:derby:/tmp/graft-derby/pipe${System.nanoTime()};create=true"
+    def snapshot(table: String): Seq[String] =
+      Sinks.readJdbc(spark, url, table).collect().map(_.toString).toSeq.sorted
+    def runPipeline(): Unit = {
+      val state = SparkEntry.queries("q_cdc_merge")(spark, sf)
+      Sinks.overwriteJdbcRange(state, url, "user_state", "user_id")
+      val dim = SparkEntry.queries("q_scd2")(spark, sf)
+        // Derby has no BOOLEAN-from-Spark mapping issue, but valid_to is
+        // nullable DATE and is_current BOOLEAN — exercise both through
+        // the store
+        .select(col("o_custkey"), col("island"), col("o_orderstatus"),
+          col("valid_from"), col("valid_to"), col("n_orders"), col("is_current"))
+      Sinks.overwriteJdbcRange(dim, url, "customer_scd2", "o_custkey")
+    }
+    runPipeline()
+    val state1 = snapshot("user_state"); val dim1 = snapshot("customer_scd2")
+    assert(state1.nonEmpty && dim1.nonEmpty)
+    runPipeline() // orchestrator retry: full replay
+    assert(snapshot("user_state") == state1, "cdc state drifted on re-run")
+    assert(snapshot("customer_scd2") == dim1, "scd2 dim drifted on re-run")
+    // partial replay (one key sub-range) must also land identically —
+    // the delete-overlap replaces exactly its own span
+    val half = SparkEntry.queries("q_cdc_merge")(spark, sf)
+      .where(col("user_id") <= 50)
+    if (half.count() > 0) {
+      Sinks.overwriteJdbcRange(half, url, "user_state", "user_id")
+      assert(snapshot("user_state") == state1, "partial replay drifted the store")
+    }
+  }
+
   test("compaction shrinks file count, preserves rows (flat and partitioned)") {
     def parquetFiles(dir: String): Seq[java.io.File] = {
       def walk(f: java.io.File): Seq[java.io.File] =
