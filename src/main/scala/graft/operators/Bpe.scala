@@ -69,9 +69,25 @@ object Bpe {
   /** Apply an ordered merge list to a symbol array (tokenize a word with a
     * trained vocabulary). Builds one fold per merge — fine for bounded
     * merge lists; a production tokenizer with thousands of merges applies
-    * them in rank batches with intermediate materialization. */
+    * them in rank batches with intermediate materialization
+    * ([[applyMergesBatched]]). */
   def applyMerges(sym: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(sym) { case (c, (a, b)) => mergeAdjacent(c, a, b) }
+
+  /** Apply a LONG merge list to a (w, sym, wc) vocabulary in rank batches
+    * with intermediate materialization — the production tokenizer shape
+    * [[applyMerges]]'s scaladoc promises. A single expression of n nested
+    * folds costs Catalyst O(n²)-ish analysis/codegen (measured: a 500-deep
+    * chain stalls the driver for minutes; 32-deep compiles in seconds), so
+    * each batch is one bounded expression and `localCheckpoint` truncates
+    * the logical plan between batches — analyzer cost stays O(batch) per
+    * step instead of O(total applied so far). */
+  def applyMergesBatched(vocab: DataFrame, merges: Seq[(String, String)],
+      batch: Int = 32): DataFrame =
+    merges.grouped(batch).foldLeft(vocab) { (v, g) =>
+      v.select(col("w"), applyMerges(col("sym"), g).as("sym"), col("wc"))
+        .localCheckpoint(true)
+    }
 
   /** Train `nMerges` strict-sequential BPE merges. Deterministic: argmax
     * by (count DESC, pair ASC). Stops early when no pair remains (fully
@@ -106,8 +122,15 @@ object Bpe {
     * artifacts: ≤ 4·batch ranked pairs per iteration. */
   def trainBatched(docs: DataFrame, nMerges: Int, batch: Int): Seq[(String, String)] = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    var vocab = initVocab(docs).persist()
-    vocab.count()
+    // localCheckpoint (eager), not persist: persist truncates EXECUTION
+    // but the logical plan still accumulates one batch-deep fold chain
+    // per iteration, so analyzer/codegen cost grows quadratically with
+    // merges learned — at 500 merges the driver stalls for minutes in
+    // analysis (measured r11). Checkpointing caps the plan at one batch.
+    // The checkpointed RDDs (one distinct-word table per batch) free on
+    // GC; a production run at thousands of merges would interleave
+    // explicit parquet materialization (Tables.memoizedOnDisk shape).
+    var vocab = initVocab(docs).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.size < nMerges && !done) {
@@ -130,15 +153,11 @@ object Bpe {
           }
         }
         merges ++= sel
-        val next = vocab
+        vocab = vocab
           .select(col("w"), applyMerges(col("sym"), sel.toSeq).as("sym"), col("wc"))
-          .persist()
-        next.count()
-        vocab.unpersist()
-        vocab = next
+          .localCheckpoint(true)
       }
     }
-    vocab.unpersist()
     merges.toSeq
   }
 }

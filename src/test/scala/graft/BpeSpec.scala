@@ -96,6 +96,49 @@ class BpeSpec extends AnyFunSuite {
     assert(leftover == 0, s"$leftover learned pairs still adjacent")
   }
 
+  test("corpus pair-universe exhaustion terminates training cleanly") {
+    // the synthetic documents corpus has 30 distinct words at EVERY sf —
+    // its total merge capacity is Σ_distinct(len−1) ≈ 89; asking for far
+    // more must drain the universe and stop, not loop or throw
+    val all = Bpe.trainBatched(docs, 500, 32)
+    assert(all.size < 150 && all.nonEmpty, s"${all.size} merges from a 30-word corpus")
+    val leftover = Bpe.pairCounts(
+      Bpe.initVocab(docs).select(col("w"),
+        Bpe.applyMerges(col("sym"), all).as("sym"), col("wc"))).count()
+    assert(leftover == 0, s"training stopped with $leftover pairs still mergeable")
+  }
+
+  test("production merge count: 500 merges at batch 32, lossless, bounded driver actions") {
+    // VERDICT r10 item 5 — the 50-merge proof says nothing about whether
+    // the driver loop dominates at a real vocabulary size, and the
+    // 30-word synthetic corpus exhausts at ~89 merges, so the 500-merge
+    // evidence needs a REAL vocabulary: a deterministic md5-derived
+    // corpus (16-letter alphabet, ~4.8k distinct words, ~25k-merge
+    // capacity) — the Zipf-bounded distinct-word table shape the trainer
+    // is built for. Sized so the interpreted fold evaluation (cost ∝
+    // distinct words × merges, the real per-batch execution cost) keeps
+    // the test inside the suite budget; wall time and actions/merge land
+    // in DESIGN.md.
+    val rich = spark.range(600).select(
+      concat_ws(" ", (0 until 8).map(i =>
+        translate(md5(concat(col("id").cast("string"), lit(s":$i"))),
+          "0123456789", "ghijklmnop")): _*).as("text"))
+    val t0 = System.nanoTime()
+    val m500 = Bpe.trainBatched(rich, 500, 32)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m500.size == 500, s"only ${m500.size} merges learned")
+    assert(m500.distinct.size == m500.size, "duplicate merge learned")
+    // lossless segmentation after the full 500-merge vocabulary, applied
+    // through the batched tokenizer (a single 500-deep fold expression is
+    // the Catalyst stall applyMergesBatched exists to avoid)
+    val broken500 = Bpe.applyMergesBatched(Bpe.initVocab(rich), m500)
+      .where(concat_ws("", col("sym")) =!= col("w")).count()
+    assert(broken500 == 0, s"$broken500 words not reconstructed at 500 merges")
+    val batches = math.ceil(m500.size / 32.0)
+    info(f"${m500.size} merges in $secs%.1f s — ${2 * batches + 1}%.0f actions, " +
+      f"${(2 * batches + 1) / m500.size}%.3f actions/merge")
+  }
+
   test("left-to-right non-overlapping merge convention; segmentation is lossless") {
     val tripleA = Bpe.mergeAdjacent(typedLit(Seq("a", "a", "a")), "a", "a")
     assert(spark.range(1).select(tripleA).collect()(0).getSeq[String](0) == Seq("aa", "a"))

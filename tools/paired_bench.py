@@ -43,15 +43,13 @@ def load_spark_bench(spark_json):
     return spark
 
 
-def main(sf_dir, oracle_path, spark_json=None):
-    spark = (load_spark_bench(spark_json)
-             if spark_json and os.path.exists(spark_json) else None)
+def duckdb_suite(sf_dir, oracle):
+    """One DuckDB pass over the oracle suite: per-query min-of-2 seconds."""
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    oracle = json.load(open(oracle_path))
     times = {}
     errors = 0
     for name, sql in sorted(oracle.items()):
@@ -69,6 +67,59 @@ def main(sf_dir, oracle_path, spark_json=None):
             best = dt if best is None else min(best, dt)
         if best is not None:
             times[name] = round(best, 3)
+    con.close()
+    return times, errors
+
+
+def run_windows(sf_dir, oracle_path, n_windows):
+    """Round-11 protocol: N back-to-back paired windows (Spark Bench via
+    sbt, then immediately the DuckDB suite), reporting the MEDIAN paired
+    ratio plus every window's raw numbers."""
+    oracle = json.load(open(oracle_path))
+    windows = []
+    for w in range(n_windows):
+        print(f"[paired] window {w + 1}/{n_windows}: spark bench...",
+              file=sys.stderr)
+        bench_out = f"/tmp/paired_bench_w{w}.json"
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        r = subprocess.run(
+            ["sbt", "-batch", "runMain graft.Bench"],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+        if r.returncode != 0:
+            sys.exit(f"paired_bench: sbt bench failed in window {w}:\n"
+                     + r.stdout[-2000:] + r.stderr[-2000:])
+        # Bench writes the untruncated line to BENCH_DETAIL.json
+        with open(bench_out, "w") as f:
+            f.write(open("BENCH_DETAIL.json").read())
+        spark = load_spark_bench(bench_out)
+        print(f"[paired] window {w + 1}/{n_windows}: duckdb suite...",
+              file=sys.stderr)
+        times, errors = duckdb_suite(sf_dir, oracle)
+        shared = set(times) & set(spark.get("queries", {}))
+        st = sum(spark["queries"][q] for q in shared)
+        dt = sum(times[q] for q in shared)
+        windows.append({
+            "spark_total_sec": round(st, 3), "duck_total_sec": round(dt, 3),
+            "duck_errors": errors, "paired_shared_queries": len(shared),
+            "ratio_spark_over_duck": round(st / dt, 3) if dt else None,
+            "duck_queries": times, "spark_queries":
+                {q: spark["queries"][q] for q in shared}})
+    ratios = [w["ratio_spark_over_duck"] for w in windows
+              if w["ratio_spark_over_duck"] is not None]
+    out = {"engine": "paired-windows", "sf": sf_dir, "n_windows": n_windows,
+           "median_ratio_spark_over_duck":
+               round(statistics.median(ratios), 3) if ratios else None,
+           "ratios": ratios, "windows": windows}
+    print(json.dumps(out))
+
+
+def main(sf_dir, oracle_path, spark_json=None):
+    spark = (load_spark_bench(spark_json)
+             if spark_json and os.path.exists(spark_json) else None)
+    oracle = json.load(open(oracle_path))
+    times, errors = duckdb_suite(sf_dir, oracle)
     total = round(sum(times.values()), 3)
     out = {"engine": "duckdb", "sf": sf_dir, "total_sec": total,
            "n_queries": len(times), "errors": errors, "queries": times}
@@ -94,9 +145,15 @@ def main(sf_dir, oracle_path, spark_json=None):
 
 if __name__ == "__main__":
     if not 3 <= len(sys.argv) <= 4:
-        sys.exit("usage: python3 tools/paired_bench.py <sfDir> <oracleSqlJson> [sparkBenchJson]")
+        sys.exit("usage: python3 tools/paired_bench.py <sfDir> <oracleSqlJson> "
+                 "[sparkBenchJson | --windows N]")
     if not os.path.isdir(sys.argv[1]):
         sys.exit(f"paired_bench: sfDir {sys.argv[1]} is not a directory")
     if not os.path.exists(sys.argv[2]):
         sys.exit(f"paired_bench: oracle json {sys.argv[2]} not found")
-    main(*sys.argv[1:])
+    if len(sys.argv) == 4 and sys.argv[3].startswith("--windows"):
+        arg = sys.argv[3].split("=", 1)
+        n = int(arg[1]) if len(arg) == 2 else 3
+        run_windows(sys.argv[1], sys.argv[2], n)
+    else:
+        main(*sys.argv[1:])
