@@ -492,19 +492,6 @@ object LlmPipeline extends QueryPack {
       .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
   }
 
-  /** [[ivfKScorePlan]] with a size-GATED build side instead of the forced
-    * broadcast — for quantizers whose centroid count grows linearly with
-    * N (the constant-cell-size semantic quantizer), where forcing the
-    * hint would OOM the driver past the broadcast budget. */
-  private def ivfKScorePlanGated(e: DataFrame, cents: DataFrame): DataFrame = {
-    val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
-    e.join(maybeBroadcast(cents), lit(true))
-      .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
-  }
-
   /** Top-`k` cells for an arbitrary vector set against the frozen
     * quantizer (k = 1 → rank-1 assignment; k = nprobe → probe list). */
   private def ivfKCellsFor(e: DataFrame, cents: DataFrame, k: Int): DataFrame =
@@ -526,62 +513,143 @@ object LlmPipeline extends QueryPack {
     * to k ≤ 2 ≈ all-pairs. */
   private val SEM_CELL = 64
 
-  /** Constant-cell-size quantizer for semantic dedup: same deterministic
-    * recipe as [[ivfKCentroids]] (md5-ranked seeds → rank-1 init assign →
-    * one decimal-mean Lloyd step), but k = ⌈N/[[SEM_CELL]]⌉ so EXPECTED
-    * cell size is the constant c rather than √N. Seed salt "sem:" keeps
-    * the seed sample independent of the ANN quantizer's. Artifact is
-    * k × 64 doubles — k grows linearly with N here (N = 10⁹, c = 4k →
-    * 250k rows, ~130 MB), so unlike the √N family the centroid table is
-    * size-gated ([[Tables.maybeBroadcast]]) everywhere it rides a join,
-    * with the shuffled-join fallback taking over past the budget. */
-  private def semCentroids(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem_centroids_nc${SEM_CELL}_lloyd1") {
+  /** TWO-LEVEL constant-cell-size quantizer for semantic dedup — the
+    * hierarchical (coarse→fine) formulation that keeps BOTH costs linear
+    * at k_total ∝ N:
+    *
+    *  - k_total = ⌈N/c⌉ fine cells of expected size c bound the dedup
+    *    pair join at O(N·c);
+    *  - a FLAT assignment against k_total centroids would itself cost
+    *    O(N·k_total) = O(N²/c) cosines — the same quadratic the pair
+    *    join was cured of. The two-level scheme scores each vector
+    *    against k1 = ⌈√k_total⌉ coarse centroids, then only against its
+    *    own coarse cell's ⌈n_g/c⌉ sub-centroids: O(N·√k_total) total,
+    *    the IMI/hierarchical-k-means shape production vector stores use.
+    *
+    * Both levels reuse the deterministic recipe ([[ivfKCentroids]]):
+    * md5-ranked seeds (salts "semc:"/"semf:"), rank-1 init assignment,
+    * one decimal-mean Lloyd step — coarse over the corpus, fine WITHIN
+    * each coarse cell (seed rank and Lloyd partition both scoped by g).
+    * The final cell id is g·1,000,000 + j, mirrored in the oracle. The
+    * fine-centroid artifact is k_total rows — data-proportional, so it
+    * rides joins size-gated ([[Tables.maybeBroadcast]]), keyed on g
+    * (equi-join, never a cross join). */
+  private def semCoarseCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem2_coarse_nc${SEM_CELL}_lloyd1") {
       val e = t(s, d, "embeddings")
-      val k = math.ceil(e.count().toDouble / SEM_CELL).toInt
+      val kTot = math.ceil(e.count().toDouble / SEM_CELL).toInt
+      val k1 = math.ceil(math.sqrt(kTot.toDouble)).toInt
       val seeds = e
         .select(col("vec_id"), col("embedding"),
-          md5(concat(lit("sem:"), col("vec_id").cast(StringType))).as("mk"))
-        .orderBy("mk").limit(k)
-        // k rows total — the unpartitioned rank window is bounded by N/c
+          md5(concat(lit("semc:"), col("vec_id").cast(StringType))).as("mk"))
+        .orderBy("mk").limit(k1)
+        // k1 = √(N/c) rows — the unpartitioned rank window is tiny
         .select(col("embedding").as("seed"),
           row_number().over(org.apache.spark.sql.expressions.Window.orderBy("mk"))
-            .as("cell"))
-      val init = e.join(maybeBroadcast(seeds),
-          // true cross join via always-true condition keeps the size gate:
-          // seeds is N/c rows (data-proportional), never force-broadcast
-          lit(true))
-        .select(col("vec_id"), col("cell"),
+            .as("g"))
+      val init = e.crossJoin(broadcast(seeds)) // √(N/c) rows: broadcast-safe
+        .select(col("vec_id"), col("g"),
           r4(cosine(col("embedding"), col("seed"))).as("scos"))
       val assign0 = org.apache.spark.sql.graftx.TopK.topKPerKey(init,
-          keyNames = Seq("vec_id"), orderBy = Seq("scos" -> false, "cell" -> true),
+          keyNames = Seq("vec_id"), orderBy = Seq("scos" -> false, "g" -> true),
           k = 1, rankName = "irnk")
-        .select(col("vec_id"), col("cell"))
+        .select(col("vec_id"), col("g"))
       val comp = e.join(assign0, "vec_id")
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
+        .select(col("g"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("g", "dim")
         .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"))
-      comp.groupBy("cell")
+      comp.groupBy("g")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           f => f.getField("m")).as("centroid"))
     }
 
-  /** Rank-1 assignment index over the constant-cell-size quantizer —
-    * the persisted artifact q_dedup_semantic's within-cell pair join and
-    * the ingest delta both probe. Scoring is the [[ivfKScorePlan]] manual
-    * dot/norm shape (double centroids × float embeddings), quantizer and
-    * broadcast policy swapped. Training/assignment cost is O(N·k) cosines
-    * like every flat quantizer; at k ∝ N the production recipe caps it by
-    * training on a fixed-size SAMPLE and assigning through a two-level
-    * coarse→fine quantizer (O(N·√k)) — the persisted-artifact contract
-    * here is unchanged by either refinement. */
-  private def semAssign(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem_assign_nc$SEM_CELL") {
-      val scored = ivfKScorePlanGated(t(s, d, "embeddings"), semCentroids(s, d))
+  /** Rounded cosine of a vector set against a (key, centroid) frame,
+    * joined on `joinKeys` (empty → gated cross join): the one scoring
+    * expression shape every sem-quantizer stage shares (manual dot/norm:
+    * centroids are double arrays, embeddings float). */
+  private def semScore(e: DataFrame, cents: DataFrame,
+      joinKeys: Seq[String], out: String): DataFrame = {
+    val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+    val joined = if (joinKeys.isEmpty) e.join(maybeBroadcast(cents), lit(true))
+      else e.join(maybeBroadcast(cents), joinKeys)
+    joined.select(e.columns.filterNot(_ == "embedding").map(col) ++
+      cents.columns.filter(c => !joinKeys.contains(c) && c != "centroid").map(col) :+
+      r4(dotc / (na * nb)).as(out): _*)
+  }
+
+  /** Coarse (level-1) assignment of the whole corpus: (vec_id, g). */
+  private def semCoarseAssign(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem2_coarse_assign_nc$SEM_CELL") {
+      val scored = semScore(t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        semCoarseCentroids(s, d), Seq.empty, "ccos")
       org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
-          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
           k = 1, rankName = "arnk")
-        .select(col("vec_id"), col("cell"))
+        .select(col("vec_id"), col("g"))
+    }
+
+  /** Fine (level-2) centroids, trained WITHIN each coarse cell: seed rank
+    * j is the md5 order within g, seed count ⌈n_g/c⌉ — exactly enough
+    * sub-cells for that cell's membership to average size c. */
+  private def semFineCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem2_fine_nc${SEM_CELL}_lloyd1") {
+      val wg = t(s, d, "embeddings").join(semCoarseAssign(s, d), "vec_id")
+        .select(col("vec_id"), col("g"), col("embedding"))
+      val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val seeds = wg
+        .withColumn("mk", md5(concat(lit("semf:"), col("vec_id").cast(StringType))))
+        .withColumn("j", row_number().over(byG.orderBy("mk")))
+        .withColumn("ng", count(lit(1)).over(byG))
+        // integer ceil-divide keeps both engines exact (no float ceil)
+        .where(col("j") <= expr(s"(ng + ${SEM_CELL - 1}) div $SEM_CELL"))
+        .select(col("g"), col("j"), col("embedding").as("seed"))
+      val init = wg.join(maybeBroadcast(seeds), "g")
+        .select(col("vec_id"), col("g"), col("j"),
+          r4(cosine(col("embedding"), col("seed"))).as("scos"))
+      val assign0 = org.apache.spark.sql.graftx.TopK.topKPerKey(init,
+          keyNames = Seq("vec_id"), orderBy = Seq("scos" -> false, "j" -> true),
+          k = 1, rankName = "irnk")
+        .select(col("vec_id"), col("g"), col("j"))
+      val comp = t(s, d, "embeddings").join(assign0, "vec_id")
+        .select(col("g"), col("j"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("g", "j", "dim")
+        .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"))
+      comp.groupBy("g", "j")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          f => f.getField("m")).as("centroid"))
+    }
+
+  /** Assign an arbitrary vector set through BOTH levels of the frozen
+    * quantizer: coarse rank-1, then fine rank-1 within that coarse cell
+    * only (an equi-join on g — each vector meets ~⌈n_g/c⌉ = O(√k_total)
+    * sub-centroids, never the full fine table). Shared by the corpus
+    * assignment and the ingest delta, so a fresh batch ranks cells
+    * identically to the corpus-build pass. */
+  private def semCellsFor(s: SparkSession, d: String, eIn: DataFrame): DataFrame = {
+    val g1 = org.apache.spark.sql.graftx.TopK.topKPerKey(
+        semScore(eIn.select(col("vec_id"), col("embedding")),
+          semCoarseCentroids(s, d), Seq.empty, "ccos"),
+        keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
+        k = 1, rankName = "arnk")
+      .select(col("vec_id"), col("g"))
+    val withG = eIn.select(col("vec_id"), col("embedding")).join(g1, "vec_id")
+    val scored = semScore(withG, semFineCentroids(s, d), Seq("g"), "fcos")
+    org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
+        keyNames = Seq("vec_id"), orderBy = Seq("fcos" -> false, "j" -> true),
+        k = 1, rankName = "arnk")
+      .select(col("vec_id"),
+        (col("g").cast(LongType) * 1000000L + col("j")).as("cell"))
+  }
+
+  /** Rank-1 two-level assignment index over the corpus — the persisted
+    * artifact q_dedup_semantic's within-cell pair join and the ingest
+    * delta both probe. */
+  private def semAssign(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem2_assign_nc$SEM_CELL") {
+      semCellsFor(s, d, t(s, d, "embeddings"))
     }
 
   /** Product-quantization geometry: [[PQ_M]] subspaces of [[PQ_SUBDIM]]
@@ -1016,11 +1084,7 @@ object LlmPipeline extends QueryPack {
     "q_dedup_semantic_delta" -> ((s, d) => {
       val isBatch = col("vec_id") % 10 === 7
       val e = t(s, d, "embeddings")
-      val batch = org.apache.spark.sql.graftx.TopK.topKPerKey(
-          ivfKScorePlanGated(e.where(isBatch), semCentroids(s, d)),
-          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
-          k = 1, rankName = "arnk")
-        .select(col("vec_id"), col("cell"))
+      val batch = semCellsFor(s, d, e.where(isBatch))
         .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       val corpus = t(s, d, "embeddings")
         .join(maybeBroadcast(semAssign(s, d).where(!isBatch)), "vec_id")
@@ -1903,46 +1967,85 @@ object LlmPipeline extends QueryPack {
        |  SELECT vec_id, embedding, cell FROM kranked
        |  WHERE arnk <= (SELECT np FROM nk))""".stripMargin
 
-  /** Constant-cell-size semantic quantizer CTE chain (mirrors
-    * [[semCentroids]]/[[semAssign]] stage for stage): k = ⌈N/c⌉ from
-    * count(*), seeds by md5('sem:'||vec_id) rank, init rank-1 assignment,
-    * decimal-mean Lloyd step, final ranking against the trained
-    * centroids. */
+  /** Two-level constant-cell-size semantic quantizer CTE chain (mirrors
+    * [[semCoarseCentroids]]→[[semCoarseAssign]]→[[semFineCentroids]]→
+    * [[semAssign]] stage for stage): k1 = ⌈√⌈N/c⌉⌉ coarse cells (seeds by
+    * md5('semc:') rank, rank-1 init, decimal-mean Lloyd), corpus coarse
+    * assignment, ⌈n_g/c⌉ fine seeds PER coarse cell by md5('semf:') rank
+    * within g, within-cell init + Lloyd, final rank-1 within the
+    * vector's own coarse cell; cell id = g·1,000,000 + j. */
   private val semCtesSql: String =
     s"""smk AS (
-       |  SELECT CAST(ceil(count(*) / ${SEM_CELL}.0) AS INT) AS k FROM embeddings),
-       |sseeds AS (
+       |  SELECT CAST(ceil(sqrt(ceil(count(*) / ${SEM_CELL}.0))) AS INT) AS k1
+       |  FROM embeddings),
+       |cseeds AS (
        |  SELECT embedding AS seed,
-       |   CAST(row_number() OVER (ORDER BY md5('sem:'||vec_id)) AS INT) AS cell
+       |   CAST(row_number() OVER (ORDER BY md5('semc:'||vec_id)) AS INT) AS g
        |  FROM embeddings
-       |  QUALIFY cell <= (SELECT k FROM smk)),
-       |siassign AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, s.cell,
+       |  QUALIFY g <= (SELECT k1 FROM smk)),
+       |ciassign AS (
+       |  SELECT vec_id, g FROM (
+       |    SELECT e.vec_id, s.g,
        |     row_number() OVER (PARTITION BY e.vec_id
        |       ORDER BY CAST(round(CAST(list_cosine_similarity(
        |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
        |           list_transform(s.seed, x -> CAST(x AS DOUBLE)))
-       |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, s.cell ASC) AS irnk
-       |    FROM embeddings e CROSS JOIN sseeds s)
+       |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, s.g ASC) AS irnk
+       |    FROM embeddings e CROSS JOIN cseeds s)
        |  WHERE irnk = 1),
-       |scomp AS (
-       |  SELECT a.cell, t.d AS dim,
+       |ccomp AS (
+       |  SELECT a.g, t.d AS dim,
        |   CAST(sum(CAST(e.embedding[t.d] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
-       |  FROM embeddings e JOIN siassign a USING (vec_id), generate_series(1, 64) t(d)
-       |  GROUP BY a.cell, t.d),
-       |scent AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM scomp GROUP BY cell),
-       |sranked AS (
-       |  SELECT vec_id, embedding, cell,
-       |   CAST(row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC)
-       |    AS INT) AS arnk
-       |  FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell,
-       |     CAST(round(CAST(list_cosine_similarity(
-       |       list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
-       |      AS DECIMAL(38,6)), 4) AS DOUBLE) AS ccos
-       |    FROM embeddings e CROSS JOIN scent c)),
-       |sassigned AS (SELECT vec_id, embedding, cell FROM sranked WHERE arnk = 1)""".stripMargin
+       |  FROM embeddings e JOIN ciassign a USING (vec_id), generate_series(1, 64) t(d)
+       |  GROUP BY a.g, t.d),
+       |ccent AS (SELECT g, list(m ORDER BY dim) AS centroid FROM ccomp GROUP BY g),
+       |cassign AS (
+       |  SELECT vec_id, g FROM (
+       |    SELECT e.vec_id, c.g,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+       |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
+       |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, c.g ASC) AS arnk
+       |    FROM embeddings e CROSS JOIN ccent c)
+       |  WHERE arnk = 1),
+       |wg AS (
+       |  SELECT e.vec_id, a.g, e.embedding
+       |  FROM embeddings e JOIN cassign a USING (vec_id)),
+       |fseeds AS (
+       |  SELECT g, j, embedding AS seed FROM (
+       |    SELECT g, embedding,
+       |     CAST(row_number() OVER (PARTITION BY g
+       |       ORDER BY md5('semf:'||vec_id)) AS INT) AS j,
+       |     count(*) OVER (PARTITION BY g) AS ng
+       |    FROM wg)
+       |  WHERE j <= (ng + ${SEM_CELL - 1}) // ${SEM_CELL}),
+       |fiassign AS (
+       |  SELECT vec_id, g, j FROM (
+       |    SELECT w.vec_id, w.g, s.j,
+       |     row_number() OVER (PARTITION BY w.vec_id
+       |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+       |           list_transform(w.embedding, x -> CAST(x AS DOUBLE)),
+       |           list_transform(s.seed, x -> CAST(x AS DOUBLE)))
+       |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, s.j ASC) AS irnk
+       |    FROM wg w JOIN fseeds s ON w.g = s.g)
+       |  WHERE irnk = 1),
+       |fcomp AS (
+       |  SELECT a.g, a.j, t.d AS dim,
+       |   CAST(sum(CAST(e.embedding[t.d] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+       |  FROM embeddings e JOIN fiassign a USING (vec_id), generate_series(1, 64) t(d)
+       |  GROUP BY a.g, a.j, t.d),
+       |fcent AS (SELECT g, j, list(m ORDER BY dim) AS centroid
+       |  FROM fcomp GROUP BY g, j),
+       |sassigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT w.vec_id, w.embedding,
+       |     CAST(w.g AS BIGINT) * 1000000 + f.j AS cell,
+       |     row_number() OVER (PARTITION BY w.vec_id
+       |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+       |           list_transform(w.embedding, x -> CAST(x AS DOUBLE)), f.centroid)
+       |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, f.j ASC) AS arnk
+       |    FROM wg w JOIN fcent f ON w.g = f.g)
+       |  WHERE arnk = 1)""".stripMargin
 
   /** PQ CTE chain (mirrors [[pqCodebooks]]/[[pqCodes]] stage for stage):
     * md5-ranked seeds, then [[PQ_LLOYD]] per-subspace Lloyd iterations

@@ -275,9 +275,9 @@ class LlmSpec extends AnyFunSuite {
     // every drop has a same-cell corpus witness at/above tau, computed
     // independently from the full verdict table's cells
     val cells = q("q_dedup_semantic").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.filter(_.getAs[Boolean]("dropped")).foreach { r =>
-      assert(cells(r.getLong(0)) == r.getInt(1), s"cell mismatch for ${r.getLong(0)}")
+      assert(cells(r.getLong(0)) == r.getLong(1), s"cell mismatch for ${r.getLong(0)}")
     }
   }
 
