@@ -89,13 +89,21 @@ object Bench {
     val spillProbe: String = try {
       val heavyFam = Seq("q_stream_watermark", "q_window_lag", "q_agg_hash",
         "q_assoc_rules", "q_profile_histogram", "q_window_cumsum")
+      // 512-row buffers: small enough that q_stream_watermark's 1000-row
+      // window buckets and the per-user event windows MUST spill, large
+      // enough that the spill-file count stays sane at sf0.1. The
+      // TungstenAggregate.testFallbackStartsAt conf SpillSpec uses at
+      // fixture scale is deliberately absent here: forcing sort-fallback
+      // on every aggregation across 32 concurrent sf0.1 tasks OOMs the
+      // unified memory region (observed exit 52 in the r11 window runs)
+      // — that conf is a test harness, not a production memory-pressure
+      // model.
       val spillConfs = Seq(
-        "spark.sql.windowExec.buffer.in.memory.threshold" -> "32",
-        "spark.sql.windowExec.buffer.spill.threshold" -> "32",
-        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "32",
-        "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "32",
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16",
-        "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "64,128")
+        "spark.sql.windowExec.buffer.in.memory.threshold" -> "512",
+        "spark.sql.windowExec.buffer.spill.threshold" -> "512",
+        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "512",
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "512",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1024")
       val base = heavyFam.map(n =>
         n -> SparkEntry.queries(n)(spark, sfDir).count()).toMap
       Thread.sleep(120); spillAcc.set(0)

@@ -281,6 +281,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic cells histogram: covers the corpus exactly, no oversized cell, consistent ids") {
+    // the O(N·c) contract is only as good as the histogram that audits
+    // it: memberships must sum to N (every vector in exactly one cell),
+    // the pair-volume column must be the exact n(n−1)/2, the oversize
+    // flag must mirror the 4c bound, and the composite cell id must
+    // decompose as g·10⁶ + j with sane levels
+    val cells = q("q_dedup_semantic_cells").collect()
+    val n = Tables.t(spark, sf, "embeddings").count()
+    assert(cells.map(_.getAs[Long]("n_members")).sum == n, "memberships != corpus")
+    cells.foreach { r =>
+      val m = r.getAs[Long]("n_members")
+      assert(r.getAs[Long]("n_pairs") == m * (m - 1) / 2)
+      assert(r.getAs[Boolean]("oversized") == (m > 256), s"flag at m=$m")
+      val cell = r.getAs[Long]("cell")
+      val g = cell / 1000000L; val j = cell % 1000000L
+      assert(g >= 1 && j >= 1, s"cell id $cell does not decompose into levels")
+    }
+    // the verdict table's cells are exactly the histogram's
+    val verdictCells = q("q_dedup_semantic").collect()
+      .map(_.getAs[Long]("cell")).toSet
+    assert(verdictCells == cells.map(_.getAs[Long]("cell")).toSet)
+  }
+
   test("IVF-PQ: valid output shape; ADC ranks true neighbors into the rerank set") {
     val rows = q("q_sim_ann_ivfpq").collect()
     assert(rows.nonEmpty)
