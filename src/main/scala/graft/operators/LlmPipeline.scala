@@ -1119,6 +1119,41 @@ object LlmPipeline extends QueryPack {
           (col("n_members") > 4 * SEM_CELL).as("oversized"))
         .orderBy("cell")),
 
+    // Semantic-dedup RECALL audit — the cross-cell blind spot as a
+    // number, not a comment: of all τ-pairs under the label-blocked
+    // truth definition (q_dedup_embcos's, the corpus-scale-tractable
+    // truth path), what fraction lands within one quantizer cell and is
+    // therefore visible to q_dedup_semantic? Truth generation is the
+    // label-blocked pair join (bounded like q_dedup_embcos — never
+    // all-pairs); the cell check is two narrow id joins against the
+    // persisted assignment. One row out: the SemDeDup recipe's
+    // documented trade, re-measured on every corpus so a quantizer
+    // regression (worse cells ⇒ more cross-cell misses) surfaces in the
+    // gate instead of hiding behind a hash-green verdict table.
+    // Absolute value is corpus- and τ-dependent: at this fixture's
+    // τ = 0.35 the "pairs" are merely similar (not near-duplicate), so
+    // many straddle cell boundaries (measured 0.35 at sf0.01); real
+    // deployments at τ ≥ 0.95 compare near-identical vectors that
+    // quantize together far more often. The tracked signal is the
+    // round-over-round TREND, not the absolute.
+    "q_dedup_semantic_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = semAssign(s, d)
+      val truth = e.as("x").join(maybeBroadcast(e.as("y")),
+          col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+        .where(r4(cosine(col("x.embedding"), col("y.embedding"))) >= SEM_TAU)
+        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      val caught = truth
+        .join(maybeBroadcast(a.select(col("vec_id").as("va"), col("cell").as("ca"))), "va")
+        .join(maybeBroadcast(a.select(col("vec_id").as("vb"), col("cell").as("cb"))), "vb")
+        .where(col("ca") === col("cb"))
+      // two 1-row aggregates — the bounded-crossJoin pattern
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .select(col("n_truth"), col("n_caught"),
+          r4(col("n_caught").cast(DoubleType) / col("n_truth")).as("cell_recall"))
+    }),
+
     // #44 brute-force top-5 cosine neighbors, blocked by label (IVF-style:
     // label = coarse cell, probe within cell). Top-k via the custom
     // TopKPerKey plan: the candidate pairs are generated map-side by the
@@ -2234,6 +2269,21 @@ object LlmPipeline extends QueryPack {
          | count(*) * (count(*) - 1) // 2 AS n_pairs,
          | (count(*) > ${4 * SEM_CELL}) AS oversized
          |FROM sassigned GROUP BY cell ORDER BY cell""".stripMargin,
+    "q_dedup_semantic_recall" ->
+      s"""WITH $semCtesSql,
+         |truthp AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |   ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE $cosSql >= $SEM_TAU),
+         |caught AS (
+         |  SELECT t.va FROM truthp t
+         |  JOIN sassigned x ON t.va = x.vec_id
+         |  JOIN sassigned y ON t.vb = y.vec_id
+         |  WHERE x.cell = y.cell)
+         |SELECT (SELECT count(*) FROM truthp) AS n_truth,
+         | (SELECT count(*) FROM caught) AS n_caught,
+         | ${r4sql("CAST((SELECT count(*) FROM caught) AS DOUBLE) / (SELECT count(*) FROM truthp)")} AS cell_recall""".stripMargin,
     "q_sim_knn" ->
       s"""SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cosSql AS cos,
          | CAST(row_number() OVER (PARTITION BY a.vec_id
