@@ -255,6 +255,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p) // persisted quantizer index, not recomputed
   }
 
+  test("q_dedup_semantic_recall: label-blocked truth join, id joins off the persisted index") {
+    val p = plan("q_dedup_semantic_recall").split("== Initial Plan ==").head
+    // truth pairs come from an equi-join on label (never all-pairs); the
+    // cell check joins narrow ids against the cached assignment; the only
+    // nested-loop join is the two-1-row-aggregates cross (bounded by
+    // construction)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("q_text_bpe_pairs: one corpus-scale shuffle (word count), partial aggs throughout") {
     val p = plan("q_text_bpe_pairs").split("== Initial Plan ==").head
     // word counts and pair counts both partial-aggregate map-side; top-20
