@@ -808,6 +808,70 @@ object LlmPipeline extends QueryPack {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Window width (tokens) for substring-level dedup: a token position is
+    * "duplicated" iff some [[SUBSTR_W]]-token window covering it occurs in
+    * ≥ 2 distinct documents. This is the fixed-width rolling-window
+    * surrogate for suffix-array ExactSubstr dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §4.1,
+    * which uses a 50-TOKEN threshold): every duplicated span of length
+    * ≥ W is found exactly (it contains a duplicated W-window), spans
+    * shorter than W are ignored by design — the same semantics as the
+    * paper's threshold, at O(total tokens) postings instead of a suffix
+    * array, and embarrassingly shuffle-parallel by window hash. */
+  private val SUBSTR_W = 8
+
+  /** (doc_id, n_toks, start, gh) — every width-[[SUBSTR_W]] token window,
+    * keyed by its md5. Disk-backed: the postings table IS the substring
+    * index (O(total tokens) rows — the same asymptotic footprint as the
+    * suffix array it replaces), built once and probed by both the full
+    * corpus query and the per-ingest delta. The transform+posexplode pair
+    * is scan-side (zero joins); md5 runs once per window before the hash
+    * shuffle, so the exchange carries 32-hex keys, never window text. */
+  private def substrPostings(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"substr_postings_w$SUBSTR_W") {
+      t(s, d, "documents")
+        .repartition(col("doc_id")) // single-row-group file → parallelize windowing
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .where(size(col("tk")) >= SUBSTR_W)
+        .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"),
+          posexplode(transform(
+              sequence(lit(0), size(col("tk")) - lit(SUBSTR_W)),
+              i => md5(concat_ws(" ", slice(col("tk"), i + lit(1), lit(SUBSTR_W))))))
+            .as(Seq("start", "gh")))
+    }
+
+  /** Collapse duplicated window starts to per-doc span stats. Interval
+    * union is ONE gaps-and-islands window pass (partitioned by doc —
+    * never a global sort): a start strictly beyond the running max stop
+    * opens a new island, islands aggregate to disjoint spans, spans to
+    * per-doc duplicated-token counts. Per-doc window volume is bounded by
+    * the doc's own window count, so the pass scales with documents, not
+    * with the corpus pair structure. */
+  private def substrSpanStats(marked: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start")
+    val isl = marked
+      .withColumn("stop", col("start") + lit(SUBSTR_W - 1))
+      .withColumn("prev_max", max(col("stop"))
+        .over(byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_max").isNull || col("start") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_isl"))
+        .over(byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    isl.groupBy("doc_id", "island")
+      .agg(max(col("n_toks")).as("n_toks"), min(col("start")).as("s"),
+        max(col("stop")).as("e"), count(lit(1)).as("ng"))
+      .groupBy("doc_id")
+      .agg(max(col("n_toks")).as("n_toks"), sum(col("ng")).as("dup_grams"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - lit(SUBSTR_W - 1L)).as("n_grams"),
+        col("dup_grams"), col("n_spans"), col("dup_tokens"),
+        r4(col("dup_tokens").cast(DoubleType) / col("n_toks")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   def queries: Seq[(String, Fn)] = Seq(
     // #42 exact dedup by normalized content hash; keeper = min doc_id.
     "q_dedup_exact" -> ((s, d) =>
@@ -870,6 +934,41 @@ object LlmPipeline extends QueryPack {
         .where(col("cont") >= 0.9)
         .select("doc_a", "doc_b", "cont")
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Substring-level dedup (ExactSubstr at fixed window width): per-doc
+    // duplicated-SPAN report — which token ranges of each document also
+    // occur verbatim in another document. Doc-level dedup (exact/near
+    // above) misses partial duplication: a unique doc that embeds a 40%
+    // verbatim excerpt keeps all its tokens; this query prices the
+    // excerpt. Shape: postings groupBy(window hash) finds cross-doc
+    // windows, an id-only join marks duplicated starts, and a per-doc
+    // gaps-and-islands pass unions overlapping windows into disjoint
+    // spans — O(total tokens) shuffle rows end to end, no pair join at
+    // all (the window hash is the rendezvous, exactly the suffix-array
+    // role). dup_ratio is the fraction of the doc's tokens a training
+    // pipeline would cut (or downweight) under ExactSubstr policy.
+    "q_dedup_substring" -> ((s, d) => {
+      val p = substrPostings(s, d)
+      val dup = p.groupBy("gh")
+        .agg(count_distinct(col("doc_id")).as("ndocs"))
+        .where(col("ndocs") >= 2)
+        .select("gh")
+      substrSpanStats(p.join(dup, "gh"))
+    }),
+
+    // Ingest face of substring dedup: a new crawl batch (doc_id%10=7, the
+    // family convention) against the STANDING corpus's persisted postings
+    // index — a batch position is duplicated iff its window already
+    // exists corpus-side (within-batch repeats are the next full pass's
+    // job, mirroring q_dedup_minhash_delta's cross-side contract). Cost
+    // per ingest: O(batch windows) probe rows against the hash-bucketed
+    // index, independent of corpus size; the span union then runs on
+    // batch docs only.
+    "q_dedup_substring_delta" -> ((s, d) => {
+      val p = substrPostings(s, d)
+      val corpusGh = p.where(col("doc_id") % 10 =!= 7).select("gh").distinct()
+      substrSpanStats(p.where(col("doc_id") % 10 === 7).join(corpusGh, "gh"))
     }),
 
     // MinHash(k=8) + LSH(4 bands × 2 rows): candidates share a band bucket;
@@ -2163,6 +2262,46 @@ object LlmPipeline extends QueryPack {
        |WHERE rnk <= 3
        |ORDER BY vec_id, rnk""".stripMargin
 
+  /** Oracle mirror of [[substrPostings]]: every width-[[SUBSTR_W]] token
+    * window keyed by md5 (generate_series is stop-inclusive, matching
+    * Spark's `sequence`; both engines join tokens with a single space
+    * before hashing). */
+  private val substrGramsSql: String =
+    s"""stoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SUBSTR_W),
+       |sgpos AS (
+       |  SELECT doc_id, len(tk) AS n_toks, tk,
+       |   unnest(generate_series(0, len(tk) - $SUBSTR_W)) AS start
+       |  FROM stoks),
+       |sgrams AS (
+       |  SELECT doc_id, n_toks, start,
+       |   md5(array_to_string(tk[start + 1 : start + $SUBSTR_W], ' ')) AS gh
+       |  FROM sgpos)""".stripMargin
+
+  /** Oracle mirror of [[substrSpanStats]] — expects a
+    * `smark(doc_id, n_toks, start, stop)` CTE of duplicated window starts. */
+  private val substrSpanSql: String =
+    s"""sw1 AS (
+       |  SELECT *, max(stop) OVER (PARTITION BY doc_id ORDER BY start
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM smark),
+       |sw2 AS (SELECT *, CASE WHEN prev_max IS NULL OR start > prev_max
+       |    THEN 1 ELSE 0 END AS new_isl FROM sw1),
+       |sw3 AS (SELECT *, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM sw2),
+       |sspans AS (
+       |  SELECT doc_id, max(n_toks) AS n_toks, island,
+       |   min(start) AS s, max(stop) AS e, count(*) AS ng
+       |  FROM sw3 GROUP BY doc_id, island)
+       |SELECT doc_id, CAST(max(n_toks) AS BIGINT) AS n_toks,
+       | CAST(max(n_toks) - ${SUBSTR_W - 1} AS BIGINT) AS n_grams,
+       | CAST(sum(ng) AS BIGINT) AS dup_grams,
+       | CAST(count(*) AS BIGINT) AS n_spans,
+       | CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+       | ${r4sql("CAST(sum(e - s + 1) AS DOUBLE) / max(n_toks)")} AS dup_ratio
+       |FROM sspans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def oracle: Seq[(String, String)] = Seq(
     "q_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keeper,
@@ -2195,6 +2334,22 @@ object LlmPipeline extends QueryPack {
          |FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id JOIN cnt cb ON i.doc_b = cb.doc_id
          |WHERE ${r4sql("CAST(i.n_inter AS DOUBLE) / least(ca.n_sh, cb.n_sh)")} >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_substring" ->
+      s"""WITH $substrGramsSql,
+         |sdupg AS (SELECT gh FROM sgrams GROUP BY gh
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |smark AS (
+         |  SELECT g.doc_id, g.n_toks, g.start, g.start + ${SUBSTR_W - 1} AS stop
+         |  FROM sgrams g JOIN sdupg USING (gh)),
+         |$substrSpanSql""".stripMargin,
+    "q_dedup_substring_delta" ->
+      s"""WITH $substrGramsSql,
+         |scgh AS (SELECT DISTINCT gh FROM sgrams WHERE doc_id % 10 <> 7),
+         |smark AS (
+         |  SELECT g.doc_id, g.n_toks, g.start, g.start + ${SUBSTR_W - 1} AS stop
+         |  FROM sgrams g JOIN scgh USING (gh)
+         |  WHERE g.doc_id % 10 = 7),
+         |$substrSpanSql""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $docShinglesCtes,
          |$minhashSigsSql,

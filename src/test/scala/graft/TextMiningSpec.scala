@@ -239,4 +239,67 @@ class TextMiningSpec extends AnyFunSuite {
     assert(got.values.sum == docs.length, "docs not conserved")
     langs.foreach(l => assert(got.getOrElse((l, l), 0L) >= 0L))
   }
+
+  private def substrRows(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+
+  test("q_dedup_substring matches closed forms: span union, disjoint islands, overlap merge") {
+    def d(id: Long, text: String) =
+      (id, text, "en", "s", text.length.toLong)
+    val r1 = "a b c d e f g h"                     // 8-token run shared 1↔2
+    val r2 = "p q r s t u v w"                     // run shared 4↔5
+    val r3 = "k l m n o k2 l2 m2"                  // run shared 4↔6
+    val c9 = "c1 c2 c3 c4 c5 c6 c7 c8 c9"          // 9-token run shared 7↔8
+    val dir = docsDir(Seq(
+      d(1L, s"$r1 x1 x2 x3 x4"),                   // run at [0,7] of 12
+      d(2L, s"z1 z2 $r1 z3"),                      // run at [2,9] of 11
+      d(3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),     // unique: absent
+      d(4L, s"$r2 g1 g2 $r3"),                     // TWO disjoint islands
+      d(5L, s"$r2 h1 h2 h3 h4 h5 h6 h7 h8 h9"),
+      d(6L, s"$r3 i1 i2 i3 i4 i5 i6 i7 i8 i9"),
+      d(7L, s"$c9 j1"),                            // 2 overlapping windows → 1 island
+      d(8L, s"k1 $c9")))
+    val got = substrRows("q_dedup_substring", dir)
+    // (n_toks, n_grams, dup_grams, n_spans, dup_tokens, dup_ratio)
+    assert(got.keySet == Set(1L, 2L, 4L, 5L, 6L, 7L, 8L))
+    assert(got(1L) == ((12L, 5L, 1L, 1L, 8L, 0.6667)))
+    assert(got(2L) == ((11L, 4L, 1L, 1L, 8L, 0.7273)))
+    assert(got(4L) == ((18L, 11L, 2L, 2L, 16L, 0.8889)), s"doc 4: ${got(4L)}")
+    assert(got(5L) == ((17L, 10L, 1L, 1L, 8L, 0.4706)))
+    assert(got(6L) == ((17L, 10L, 1L, 1L, 8L, 0.4706)))
+    assert(got(7L) == ((10L, 3L, 2L, 1L, 9L, 0.9)), s"doc 7: ${got(7L)}")
+    assert(got(8L) == ((10L, 3L, 2L, 1L, 9L, 0.9)))
+  }
+
+  test("q_dedup_substring_delta marks batch-vs-corpus windows only, never within-batch") {
+    def d(id: Long, text: String) =
+      (id, text, "en", "s", text.length.toLong)
+    val r1 = "a b c d e f g h"
+    val rb = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val dir = docsDir(Seq(
+      d(1L, s"$r1 c1 c2"),                          // corpus holds r1
+      d(2L, "d1 d2 d3 d4 d5 d6 d7 d8"),             // corpus, unique
+      d(7L, s"$r1 $rb"),                            // batch: r1 hits corpus
+      d(17L, s"$rb e1 e2 e3 e4 e5 e6 e7 e8")))      // batch: rb only in batch
+    val got = substrRows("q_dedup_substring_delta", dir)
+    // only doc 7's r1 window [0,7] is corpus-duplicated; rb (shared with
+    // batch-mate 17 only) is out of the delta's cross-side contract
+    assert(got.keySet == Set(7L), s"got $got")
+    assert(got(7L) == ((16L, 9L, 1L, 1L, 8L, 0.5)), s"doc 7: ${got(7L)}")
+  }
+
+  test("q_dedup_substring invariants hold on the corpus: 8·n_spans <= dup_tokens <= min(n_toks, 8·dup_grams)") {
+    val rows = substrRows("q_dedup_substring", sf)
+    assert(rows.nonEmpty, "sf corpus has no duplicated spans — fixture drifted")
+    rows.foreach { case (id, (nToks, nGrams, dupGrams, nSpans, dupToks, ratio)) =>
+      assert(nGrams == nToks - 7, s"doc $id")
+      assert(dupGrams >= 1L && dupGrams <= nGrams, s"doc $id")
+      assert(nSpans >= 1L && nSpans <= dupGrams, s"doc $id")
+      assert(dupToks >= 8L * nSpans, s"doc $id: islands shorter than the window")
+      assert(dupToks <= math.min(nToks, 8L * dupGrams), s"doc $id: union overcounts")
+      assert(math.abs(ratio - dupToks.toDouble / nToks) < 1e-3, s"doc $id ratio")
+    }
+  }
 }
