@@ -486,6 +486,46 @@ object Aggregations extends QueryPack {
         r4((u - mu) / sqrt(sigma2)).as("z"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov test: click vs purchase event values.
+    // Same scale posture as q_stats_mannwhitney: the corpus collapses to
+    // the distinct-VALUE histogram first (values are a fixed 2-decimal
+    // grid, so the histogram is bounded by the grid, not by N — one
+    // map-side-combinable aggregate), ECDFs are integer running counts
+    // over that bounded histogram, and D = max |F_A − F_B| evaluated at
+    // the observed jump points — which is exactly where the two-sample D
+    // attains its max, so the statistic is EXACT, not binned. The one
+    // single-partition window runs over histogram rows only (the
+    // Mann-Whitney precedent). The α=0.05 threshold uses the literal
+    // c(α)=1.3581 (= sqrt(-ln(0.025)/2)) rather than computing ln/sqrt
+    // cross-engine, and the verdict compares the ROUNDED emitted values
+    // (the PSI verdict-consistency rule), so reject_05 can never disagree
+    // with the numbers a user reads off the row.
+    "q_stats_ks" -> ((s, d) => {
+      val hist = t(s, d, "events")
+        .where(col("event_type").isin(KS_TYPE_A, KS_TYPE_B) &&
+          col("value").isNotNull)
+        .groupBy(col("value").as("v"))
+        .agg(count_if(col("event_type") === KS_TYPE_A).as("na"),
+          count_if(col("event_type") === KS_TYPE_B).as("nb"))
+      val run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val full = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ecdf = hist
+        .withColumn("cuma", sum("na").over(run))
+        .withColumn("cumb", sum("nb").over(run))
+        .withColumn("ta", sum("na").over(full))
+        .withColumn("tb", sum("nb").over(full))
+      ecdf
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+          r4(max(abs(col("cuma").cast(DoubleType) / col("ta") -
+            col("cumb").cast(DoubleType) / col("tb")))).as("ks_stat"))
+        .select(lit(KS_TYPE_A).as("type_a"), lit(KS_TYPE_B).as("type_b"),
+          col("n_a"), col("n_b"), col("ks_stat"),
+          r4(lit(1.3581) * sqrt((col("n_a") + col("n_b")).cast(DoubleType) /
+            (col("n_a") * col("n_b")))).as("d_crit_05"))
+        .withColumn("reject_05", col("ks_stat") > col("d_crit_05"))
+    }),
+
     // Poisson bootstrap of the per-priority mean order value — THE
     // resampling scheme that survives scale: a true bootstrap needs a
     // global multinomial draw (coordination across the whole dataset);
@@ -536,6 +576,10 @@ object Aggregations extends QueryPack {
   /** q_stats_mannwhitney group pair (l_returnflag values). */
   private val MW_FLAG_A = "A"
   private val MW_FLAG_B = "R"
+
+  /** q_stats_ks sample pair (event_type values). */
+  private val KS_TYPE_A = "click"
+  private val KS_TYPE_B = "purchase"
 
   /** Skewness and excess kurtosis per return flag from raw power sums —
     * the q_agg_stats recomposition extended to 3rd/4th moments: ONE
@@ -831,6 +875,32 @@ object Aggregations extends QueryPack {
          |SELECT '$MW_FLAG_A' AS flag_a, '$MW_FLAG_B' AS flag_b, n_a, n_b,
          | ${r4sql("u")} AS u_stat, ${r4sql("(u - mu) / sqrt(sigma2)")} AS z
          |FROM g""".stripMargin,
+    "q_stats_ks" ->
+      s"""WITH hist AS (
+         |  SELECT value AS v,
+         |   count(*) FILTER (WHERE event_type = '$KS_TYPE_A') AS na,
+         |   count(*) FILTER (WHERE event_type = '$KS_TYPE_B') AS nb
+         |  FROM events
+         |  WHERE event_type IN ('$KS_TYPE_A', '$KS_TYPE_B') AND value IS NOT NULL
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT *,
+         |   CAST(sum(na) OVER (ORDER BY v
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+         |   CAST(sum(nb) OVER (ORDER BY v
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb,
+         |   CAST(sum(na) OVER () AS BIGINT) AS ta,
+         |   CAST(sum(nb) OVER () AS BIGINT) AS tb
+         |  FROM hist),
+         |agg AS (
+         |  SELECT max(ta) AS n_a, max(tb) AS n_b,
+         |   ${r4sql("max(abs(CAST(cuma AS DOUBLE) / ta - CAST(cumb AS DOUBLE) / tb))")} AS ks_stat
+         |  FROM c),
+         |f AS (
+         |  SELECT '$KS_TYPE_A' AS type_a, '$KS_TYPE_B' AS type_b, n_a, n_b, ks_stat,
+         |   ${r4sql("1.3581 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))")} AS d_crit_05
+         |  FROM agg)
+         |SELECT *, ks_stat > d_crit_05 AS reject_05 FROM f""".stripMargin,
     "q_stats_bootstrap" ->
       s"""WITH rep AS (
          |  SELECT prio, b,

@@ -1113,4 +1113,51 @@ class PropertySpec extends AnyFunSuite {
       assert(ms.find(_._4.isEmpty).get._2 == firstMonth, s"$supp: null prev must be first month")
     }
   }
+
+  /** events.parquet fixture dir for the KS test: (type, value) pairs. */
+  private def ksEventsDir(rows: Seq[(String, Double)]): String = {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-ks").toString
+    rows.zipWithIndex.map { case ((ty, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), i.toLong % 7, ty, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_stats_ks == brute-force ECDF sup-distance on the raw rows") {
+    val row = q("q_stats_ks").collect()(0)
+    val (nA, nB, ks, crit, rej) = (row.getLong(2), row.getLong(3),
+      row.getDouble(4), row.getDouble(5), row.getBoolean(6))
+    val vals = graft.Tables.t(spark, sf, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val as = vals.filter(_._1 == "click").map(_._2).sorted
+    val bs = vals.filter(_._1 == "purchase").map(_._2).sorted
+    assert(nA == as.length && nB == bs.length)
+    val dRef = (as ++ bs).distinct.map { x =>
+      math.abs(as.count(_ <= x).toDouble / as.length -
+        bs.count(_ <= x).toDouble / bs.length)
+    }.max
+    assert(math.abs(ks - dRef) <= 5e-4, s"D $ks vs brute-force $dRef")
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(rej == (ks > crit), "verdict must follow the emitted rounded values")
+  }
+
+  test("q_stats_ks closed forms: disjoint samples reject, identical samples give D=0") {
+    // 100 clicks at 1.0 vs 100 purchases at 2.0: D = 1, crit ≈ 0.1921
+    val disjoint = SparkEntry.queries("q_stats_ks")(spark, ksEventsDir(
+      Seq.fill(100)(("click", 1.0)) ++ Seq.fill(100)(("purchase", 2.0)))).collect()(0)
+    assert((disjoint.getLong(2), disjoint.getLong(3)) == ((100L, 100L)))
+    assert(disjoint.getDouble(4) == 1.0, s"D=${disjoint.getDouble(4)}")
+    assert(disjoint.getDouble(5) == 0.1921)
+    assert(disjoint.getBoolean(6), "disjoint samples must reject H0")
+    // identical samples: D = 0, never rejected
+    val same = SparkEntry.queries("q_stats_ks")(spark, ksEventsDir(
+      (1 to 4).flatMap(v => Seq(("click", v.toDouble), ("purchase", v.toDouble))))).collect()(0)
+    assert(same.getDouble(4) == 0.0)
+    assert(!same.getBoolean(6))
+  }
 }
