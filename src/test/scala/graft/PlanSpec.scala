@@ -501,4 +501,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"corpus must not shuffle for the baseline join:\n$p")
   }
+
+  test("q_dedup_substring: dup-mark join broadcasts ids; one doc exchange feeds windows AND aggs") {
+    val p = plan("q_dedup_substring")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the duplicated-hash set joins back as a broadcast of 32-hex ids —
+    // never a shuffle of the postings against themselves, and no pair join
+    assert(finalPlan.contains("BroadcastHashJoin"), p)
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
+    // gaps-and-islands (2 windows) + both per-doc aggregates all ride ONE
+    // hashpartitioning(doc_id) exchange; the only other hash exchanges are
+    // the gh-rendezvous agg and the artifact build's doc repartition
+    val docExch = "Exchange hashpartitioning\\(doc_id".r.findAllIn(finalPlan).size
+    assert(docExch <= 1, s"windows+aggs must share one doc_id exchange:\n$p")
+  }
 }
