@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryPack, Tables}
 import graft.Tables._
 import graft.functions.WeightedMean
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
@@ -526,6 +526,66 @@ object Aggregations extends QueryPack {
         .withColumn("reject_05", col("ks_stat") > col("d_crit_05"))
     }),
 
+    // Distributed logistic regression (purchase-vs-click on event value)
+    // by IRLS/Newton — GLM FITTING as aggregates, extending the
+    // q_stats_ols normal-equations pattern to a non-Gaussian link: each
+    // iteration is ONE map pass computing per-row working weights
+    // wt = μ(1−μ) and responses z = η + (y−μ)/wt, then ONE 1-row
+    // weighted-sufficient-statistics aggregate (decimal partials,
+    // map-side combinable), and the 2×2 weighted normal equations solve
+    // in closed form. Model state is two doubles re-broadcast per
+    // iteration — T iterations = T passes at any N, no gradient schedule,
+    // no driver-side data. Cross-engine determinism: libm exp differs
+    // between engines in ~0.2% of arguments (measured), so μ is pinned to
+    // 10 decimal places through DECIMAL before ANY downstream arithmetic,
+    // and coefficients to 8 before re-entering η — every term the decimal
+    // sums see is bit-identical on both engines. wt is bounded away from
+    // 0 here (|η| stays ≪ 10 on this data; a production guard would clamp
+    // μ to [ε, 1−ε]).
+    "q_ml_logreg" -> ((s, d) => {
+      val d18 = DecimalType(38, 18)
+      def dsum18(c: Column) = sum(c.cast(d18)).cast(DoubleType)
+      def r10c(c: Column) = round(c.cast(DecimalType(38, 12)), 10).cast(DoubleType)
+      def r8c(c: Column) = round(c.cast(DecimalType(38, 12)), 8).cast(DoubleType)
+      val base = t(s, d, "events")
+        .where(col("event_type").isin(KS_TYPE_A, KS_TYPE_B) &&
+          col("value").isNotNull)
+        .select((col("event_type") === KS_TYPE_B).cast(DoubleType).as("y"),
+          col("value").as("x"))
+      var coef = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"))
+      for (_ <- 1 to LOGREG_T) {
+        val it = base.crossJoin(broadcast(coef))
+          .withColumn("eta", col("w0") + col("w1") * col("x"))
+          .withColumn("mu", r10c(lit(1.0) / (lit(1.0) + exp(-col("eta")))))
+          .withColumn("wt", col("mu") * (lit(1.0) - col("mu")))
+          .withColumn("z", col("eta") +
+            (col("y") - col("mu")) / (col("mu") * (lit(1.0) - col("mu"))))
+        val suff = it.agg(dsum18(col("wt")).as("sw"),
+          dsum18(col("wt") * col("x")).as("swx"),
+          dsum18(col("wt") * col("x") * col("x")).as("swxx"),
+          dsum18(col("wt") * col("z")).as("swz"),
+          dsum18(col("wt") * col("x") * col("z")).as("swxz"))
+        val w1n = (col("sw") * col("swxz") - col("swx") * col("swz")) /
+          (col("sw") * col("swxx") - col("swx") * col("swx"))
+        coef = suff.select(
+          r8c((col("swz") - w1n * col("swx")) / col("sw")).as("w0"),
+          r8c(w1n).as("w1"))
+      }
+      val scored = base.crossJoin(broadcast(coef))
+        .withColumn("eta", col("w0") + col("w1") * col("x"))
+        .withColumn("mu", r10c(lit(1.0) / (lit(1.0) + exp(-col("eta")))))
+      scored
+        .agg(count_if(col("y") === 0.0).as("n_neg"),
+          count_if(col("y") === 1.0).as("n_pos"),
+          max(col("w0")).as("w0"), max(col("w1")).as("w1"),
+          r4(dsum18(when(col("y") === 1.0, log(col("mu")))
+            .otherwise(log(lit(1.0) - col("mu"))))).as("ll"),
+          count_if((col("mu") >= 0.5) === (col("y") === 1.0)).as("n_correct"))
+        .select(lit(KS_TYPE_A).as("type_neg"), lit(KS_TYPE_B).as("type_pos"),
+          col("n_neg"), col("n_pos"), col("w0"), col("w1"), col("ll"),
+          col("n_correct"))
+    }),
+
     // Poisson bootstrap of the per-priority mean order value — THE
     // resampling scheme that survives scale: a true bootstrap needs a
     // global multinomial draw (coordination across the whole dataset);
@@ -580,6 +640,12 @@ object Aggregations extends QueryPack {
   /** q_stats_ks sample pair (event_type values). */
   private val KS_TYPE_A = "click"
   private val KS_TYPE_B = "purchase"
+
+  /** q_ml_logreg IRLS iteration count (each = one pass + one 1-row agg;
+    * Newton converges quadratically, so the reported 4dp stabilizes well
+    * inside 3 on this data — PropertySpec pins it against a plain-Scala
+    * reference at exactly T iterations either way). */
+  private val LOGREG_T = 3
 
   /** Skewness and excess kurtosis per return flag from raw power sums —
     * the q_agg_stats recomposition extended to 3rd/4th moments: ONE
@@ -901,6 +967,50 @@ object Aggregations extends QueryPack {
          |   ${r4sql("1.3581 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))")} AS d_crit_05
          |  FROM agg)
          |SELECT *, ks_stat > d_crit_05 AS reject_05 FROM f""".stripMargin,
+    "q_ml_logreg" -> {
+      def r10s(e: String) = s"CAST(round(CAST($e AS DECIMAL(38,12)), 10) AS DOUBLE)"
+      def r8s(e: String) = s"CAST(round(CAST($e AS DECIMAL(38,12)), 8) AS DOUBLE)"
+      def ds18(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
+      val w1s = "(sw * swxz - swx * swz) / (sw * swxx - swx * swx)"
+      // one CTE block per IRLS iteration — both engines stay
+      // stage-identical at any T (the Lloyd-unroll convention)
+      val iters = (1 to LOGREG_T).map { i =>
+        s"""e$i AS (
+           |  SELECT y, x, w0 + w1 * x AS eta,
+           |   ${r10s("1.0 / (1.0 + exp(-(w0 + w1 * x)))")} AS mu
+           |  FROM pts, c${i - 1}),
+           |t$i AS (
+           |  SELECT y, x, eta, mu, mu * (1.0 - mu) AS wt,
+           |   eta + (y - mu) / (mu * (1.0 - mu)) AS z
+           |  FROM e$i),
+           |s$i AS (
+           |  SELECT ${ds18("wt")} AS sw, ${ds18("wt * x")} AS swx,
+           |   ${ds18("wt * x * x")} AS swxx, ${ds18("wt * z")} AS swz,
+           |   ${ds18("wt * x * z")} AS swxz
+           |  FROM t$i),
+           |c$i AS (
+           |  SELECT ${r8s(s"(swz - ($w1s) * swx) / sw")} AS w0,
+           |   ${r8s(w1s)} AS w1
+           |  FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS (
+         |  SELECT CAST(event_type = '$KS_TYPE_B' AS DOUBLE) AS y, value AS x
+         |  FROM events
+         |  WHERE event_type IN ('$KS_TYPE_A', '$KS_TYPE_B') AND value IS NOT NULL),
+         |c0 AS (SELECT 0.0 AS w0, 0.0 AS w1),
+         |$iters,
+         |ef AS (
+         |  SELECT y, x, w0, w1, w0 + w1 * x AS eta,
+         |   ${r10s("1.0 / (1.0 + exp(-(w0 + w1 * x)))")} AS mu
+         |  FROM pts, c$LOGREG_T)
+         |SELECT '$KS_TYPE_A' AS type_neg, '$KS_TYPE_B' AS type_pos,
+         | CAST(count(*) FILTER (WHERE y = 0.0) AS BIGINT) AS n_neg,
+         | CAST(count(*) FILTER (WHERE y = 1.0) AS BIGINT) AS n_pos,
+         | max(w0) AS w0, max(w1) AS w1,
+         | ${r4sql(ds18("CASE WHEN y = 1.0 THEN ln(mu) ELSE ln(1.0 - mu) END"))} AS ll,
+         | CAST(count(*) FILTER (WHERE (mu >= 0.5) = (y = 1.0)) AS BIGINT) AS n_correct
+         |FROM ef""".stripMargin
+    },
     "q_stats_bootstrap" ->
       s"""WITH rep AS (
          |  SELECT prio, b,

@@ -1146,6 +1146,56 @@ class PropertySpec extends AnyFunSuite {
     assert(rej == (ks > crit), "verdict must follow the emitted rounded values")
   }
 
+  test("q_ml_logreg == plain-Scala IRLS at the same iteration/rounding schedule") {
+    val row = q("q_ml_logreg").collect()(0)
+    val (w0, w1, ll, nCorrect) =
+      (row.getDouble(4), row.getDouble(5), row.getDouble(6), row.getLong(7))
+    val pts = graft.Tables.t(spark, sf, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select((col("event_type") === "purchase").cast("double"), col("value"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def r(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var (a, b) = (0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val rows = pts.map { case (y, x) =>
+        val eta = a + b * x
+        val mu = r(1.0 / (1.0 + math.exp(-eta)), 10)
+        val wt = mu * (1.0 - mu)
+        (x, wt, eta + (y - mu) / wt)
+      }
+      val sw = rows.map(_._2).sum
+      val swx = rows.map(t => t._2 * t._1).sum
+      val swxx = rows.map(t => t._2 * t._1 * t._1).sum
+      val swz = rows.map(t => t._2 * t._3).sum
+      val swxz = rows.map(t => t._2 * t._1 * t._3).sum
+      val b1 = (sw * swxz - swx * swz) / (sw * swxx - swx * swx)
+      a = r((swz - b1 * swx) / sw, 8); b = r(b1, 8)
+    }
+    // plain double sums vs the query's decimal partials: agree to ~1e-6
+    assert(math.abs(w0 - a) < 1e-5, s"w0 $w0 vs reference $a")
+    assert(math.abs(w1 - b) < 1e-5, s"w1 $w1 vs reference $b")
+    val llRef = pts.map { case (y, x) =>
+      val mu = r(1.0 / (1.0 + math.exp(-(a + b * x))), 10)
+      if (y == 1.0) math.log(mu) else math.log(1.0 - mu)
+    }.sum
+    assert(math.abs(ll - llRef) < 1e-2, s"ll $ll vs reference $llRef")
+    assert(nCorrect >= 0 && nCorrect <= pts.length)
+  }
+
+  test("q_ml_logreg learns a separable fixture: positive slope, high accuracy") {
+    // clicks cluster at low values, purchases at high — w1 must come out
+    // positive and the 0.5-threshold classifier nearly perfect
+    val dir = ksEventsDir(
+      (1 to 50).map(i => ("click", 10.0 + (i % 10))) ++
+      (1 to 50).map(i => ("purchase", 40.0 + (i % 10))))
+    val row = SparkEntry.queries("q_ml_logreg")(spark, dir).collect()(0)
+    assert((row.getLong(2), row.getLong(3)) == ((50L, 50L)))
+    assert(row.getDouble(5) > 0.0, s"slope ${row.getDouble(5)} must be positive")
+    assert(row.getLong(7) >= 95L, s"accuracy ${row.getLong(7)}/100 too low")
+    assert(row.getDouble(6) <= 0.0, "log-likelihood must be non-positive")
+  }
+
   test("q_stats_ks closed forms: disjoint samples reject, identical samples give D=0") {
     // 100 clicks at 1.0 vs 100 purchases at 2.0: D = 1, crit ≈ 0.1921
     val disjoint = SparkEntry.queries("q_stats_ks")(spark, ksEventsDir(
