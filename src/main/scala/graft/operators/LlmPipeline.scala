@@ -575,9 +575,9 @@ object LlmPipeline extends QueryPack {
     val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
     val joined = if (joinKeys.isEmpty) e.join(maybeBroadcast(cents), lit(true))
       else e.join(maybeBroadcast(cents), joinKeys)
-    joined.select(e.columns.filterNot(_ == "embedding").map(col) ++
+    joined.select((e.columns.filterNot(_ == "embedding").map(col) ++
       cents.columns.filter(c => !joinKeys.contains(c) && c != "centroid").map(col) :+
-      r4(dotc / (na * nb)).as(out): _*)
+      r4(dotc / (na * nb)).as(out)).toIndexedSeq: _*)
   }
 
   /** Coarse (level-1) assignment of the whole corpus: (vec_id, g). */
