@@ -61,7 +61,82 @@ object Vectors extends QueryPack {
         .withColumn("qvec", quantize(col("embedding"), col("maxabs")))
     }
 
+  /** q_ml_pca_power geometry: embedding dim and power-iteration count. */
+  private val PCA_DIM = 64
+  private val PCA_T = 3
+
+  private val d18 = DecimalType(38, 18)
+  private def dsum18(c: Column): Column = sum(c.cast(d18)).cast(DoubleType)
+  private def r10c(c: Column): Column =
+    round(c.cast(DecimalType(38, 12)), 10).cast(DoubleType)
+  private def r8c(c: Column): Column =
+    round(c.cast(DecimalType(38, 12)), 8).cast(DoubleType)
+
+  /** (vec_id, dim, mu, c): the mean-centered exploded embedding table —
+    * the one N×64-row intermediate every PCA pass reads. Partitioned by
+    * vec_id and memoized, so each iteration's per-vector dot aggregate
+    * rides the existing partitioning and only the 64-row per-dimension
+    * sums cross the wire. Dimension means are decimal-exact then pinned
+    * to 10dp, so centered values are bit-identical cross-engine. */
+  private def centered(s: SparkSession, d: String): DataFrame =
+    Tables.memoized(s, d, "pca_centered") {
+      val ex = t(s, d, "embeddings")
+        .repartition(col("vec_id")) // single-row-group file → parallelize
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim0", "xf")))
+        .select(col("vec_id"), (col("dim0") + 1).cast(LongType).as("dim"),
+          col("xf").cast(DoubleType).as("xj"))
+      val mu = ex.groupBy("dim")
+        .agg(r10c(dsum18(col("xj")) / count(lit(1))).as("mu"))
+      ex.join(broadcast(mu), "dim")
+        .select(col("vec_id"), col("dim"), col("mu"),
+          (col("xj") - col("mu")).as("c"))
+    }
+
   def queries: Seq[(String, Fn)] = Seq(
+    // Top principal component by distributed POWER ITERATION — the
+    // dimensionality-reduction primitive an embedding store runs before
+    // choosing PQ subspaces or whitening. Each iteration is two
+    // co-partitioned aggregates over the memoized centered table: s_i =
+    // (x_i−μ)·v per vector (N scalars, no reshuffle — cent is already
+    // vec_id-partitioned), then w_j = Σ_i c_ij·s_i per dimension (64
+    // decimal sums); v ← w/‖w‖ renormalizes on a 64-row frame. Model
+    // state is a 64-double broadcast per iteration — T iterations = 2T
+    // bounded-output aggregates at any N, the classic scale shape
+    // (deflation against the persisted component extends this to top-k).
+    // Cross-engine: every sum rides order-immune DECIMAL(38,18) partials,
+    // s is pinned to 8dp and v to 10dp before re-entering the next pass,
+    // and the only libm call is sqrt — correctly rounded per IEEE-754, so
+    // bit-identical. Eigenvalue = Rayleigh quotient Σs²/(N−1) at the
+    // final v; evr = its share of total variance.
+    "q_ml_pca_power" -> ((s, d) => {
+      val cent = centered(s, d)
+      var v: DataFrame = s.range(1, PCA_DIM + 1)
+        .select(col("id").as("dim"), lit(0.125).as("v")) // unit: 64·(1/8)²=1
+      for (_ <- 1 to PCA_T) {
+        val si = cent.join(broadcast(v), "dim")
+          .groupBy("vec_id").agg(r8c(dsum18(col("c") * col("v"))).as("sc"))
+        val w = cent.join(si, "vec_id")
+          .groupBy("dim").agg(dsum18(col("c") * col("sc")).as("w"))
+        val nrm = w.agg(sqrt(dsum18(col("w") * col("w"))).as("nrm"))
+        v = w.crossJoin(broadcast(nrm)) // 64 rows × 1 row
+          .select(col("dim"), r10c(col("w") / col("nrm")).as("v"))
+      }
+      val sf = cent.join(broadcast(v), "dim")
+        .groupBy("vec_id").agg(r8c(dsum18(col("c") * col("v"))).as("sc"))
+      val lam = sf.agg(
+        (dsum18(col("sc") * col("sc")) / (count(lit(1)) - 1)).as("eigval"))
+      val tv = cent.agg((dsum18(col("c") * col("c")) /
+        (count(lit(1)) / lit(PCA_DIM) - 1)).as("var_total"))
+      cent.groupBy("dim").agg(max(col("mu")).as("mu"))
+        .join(v, "dim")
+        .crossJoin(broadcast(lam)).crossJoin(broadcast(tv)) // 1-row scalars
+        .select(col("dim"), r4(col("mu")).as("mu"), r4(col("v")).as("loading"),
+          r4(col("eigval")).as("eigval"), r4(col("var_total")).as("var_total"),
+          r4(col("eigval") / col("var_total")).as("evr"))
+        .orderBy("dim")
+    }),
+
     // int8 quantization quality report: per-vector integer invariants
     // (exact on both engines) + reconstruction MSE. One narrow map over
     // the vector table; zero shuffles before the final sort.
@@ -135,7 +210,48 @@ object Vectors extends QueryPack {
   private val cosSql =
     "CAST(round(CAST(list_cosine_similarity(list_transform(a.emb_a, x -> CAST(x AS DOUBLE)), list_transform(a.emb_b, x -> CAST(x AS DOUBLE))) AS DECIMAL(38,6)), 4) AS DOUBLE)"
 
+  /** Oracle mirror of [[centered]] + the unrolled power iterations. */
+  private def pcaSql: String = {
+    def r10s(e: String) = s"CAST(round(CAST($e AS DECIMAL(38,12)), 10) AS DOUBLE)"
+    def r8s(e: String) = s"CAST(round(CAST($e AS DECIMAL(38,12)), 8) AS DOUBLE)"
+    def ds18(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
+    val iters = (1 to PCA_T).map { i =>
+      s"""si$i AS (
+         |  SELECT c.vec_id, ${r8s(s"${ds18("c.c * v.v")}")} AS sc
+         |  FROM cent c JOIN v${i - 1} v USING (dim) GROUP BY c.vec_id),
+         |w$i AS (
+         |  SELECT c.dim, ${ds18("c.c * s.sc")} AS w
+         |  FROM cent c JOIN si$i s USING (vec_id) GROUP BY c.dim),
+         |n$i AS (SELECT sqrt(${ds18("w * w")}) AS nrm FROM w$i),
+         |v$i AS (SELECT dim, ${r10s("w / nrm")} AS v FROM w$i, n$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cexp AS (
+       |  SELECT vec_id, d.d AS dim, CAST(embedding[d.d] AS DOUBLE) AS xj
+       |  FROM embeddings, generate_series(1, $PCA_DIM) d(d)),
+       |mu AS (
+       |  SELECT dim, ${r10s(s"${ds18("xj")} / count(*)")} AS mu
+       |  FROM cexp GROUP BY dim),
+       |cent AS (
+       |  SELECT c.vec_id, c.dim, m.mu, c.xj - m.mu AS c
+       |  FROM cexp c JOIN mu m USING (dim)),
+       |v0 AS (SELECT d.d AS dim, 0.125 AS v FROM generate_series(1, $PCA_DIM) d(d)),
+       |$iters,
+       |sf AS (
+       |  SELECT c.vec_id, ${r8s(s"${ds18("c.c * v.v")}")} AS sc
+       |  FROM cent c JOIN v$PCA_T v USING (dim) GROUP BY c.vec_id),
+       |lam AS (SELECT ${ds18("sc * sc")} / (count(*) - 1) AS eigval FROM sf),
+       |tv AS (SELECT ${ds18("c * c")} / (count(*) / $PCA_DIM - 1) AS var_total
+       |  FROM cent),
+       |md AS (SELECT dim, max(mu) AS mu FROM cent GROUP BY dim)
+       |SELECT md.dim, ${r4sql("md.mu")} AS mu, ${r4sql("v.v")} AS loading,
+       | ${r4sql("eigval")} AS eigval, ${r4sql("var_total")} AS var_total,
+       | ${r4sql("eigval / var_total")} AS evr
+       |FROM md JOIN v$PCA_T v USING (dim), lam, tv
+       |ORDER BY dim""".stripMargin
+  }
+
   def oracle: Seq[(String, String)] = Seq(
+    "q_ml_pca_power" -> pcaSql,
     "q_emb_quantize" ->
       s"""WITH $qCtes
          |SELECT vec_id, label,

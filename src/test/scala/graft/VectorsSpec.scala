@@ -80,4 +80,66 @@ class VectorsSpec extends AnyFunSuite {
     assert("TopKPerKeyFinal".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("WindowExec"), p)
   }
+
+  test("q_ml_pca_power == plain-Scala power iteration at the same schedule") {
+    val rows = q("q_ml_pca_power").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(5)))
+      .toMap
+    assert(rows.size == 64)
+    // unit-norm loading (to the emitted 4dp)
+    val norm2 = rows.values.map(t => t._1 * t._1).sum
+    assert(math.abs(norm2 - 1.0) < 1e-2, s"loading norm² $norm2")
+    // plain-Scala reference: same centering, T=3, same rounding schedule
+    def r(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = Tables.t(spark, sf, "embeddings").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = xs.length
+    val mu = Array.tabulate(64)(j => r(xs.map(_(j)).sum / n, 10))
+    val c = xs.map(x => Array.tabulate(64)(j => x(j) - mu(j)))
+    var v = Array.fill(64)(0.125)
+    for (_ <- 1 to 3) {
+      val s = c.map(ci => r(ci.zip(v).map { case (a, b) => a * b }.sum, 8))
+      val w = Array.tabulate(64)(j => c.zip(s).map { case (ci, si) => ci(j) * si }.sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(x => r(x / nrm, 10))
+    }
+    val s = c.map(ci => r(ci.zip(v).map { case (a, b) => a * b }.sum, 8))
+    val lam = s.map(x => x * x).sum / (n - 1)
+    val tv = c.flatten.map(x => x * x).sum / (n - 1)
+    rows.foreach { case (dim, (loading, eig, evr)) =>
+      // plain double sums vs the query's decimal partials: ~1e-6 agreement
+      assert(math.abs(loading - v(dim.toInt - 1)) < 1e-3,
+        s"dim $dim loading $loading vs reference ${v(dim.toInt - 1)}")
+      assert(math.abs(eig - lam) < 1e-3, s"eigval $eig vs reference $lam")
+      assert(math.abs(evr - lam / tv) < 1e-3, s"evr $evr vs reference ${lam / tv}")
+    }
+  }
+
+  test("q_ml_pca_power recovers a planted dominant direction") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-pca").toString
+    // large deterministic spread along e1, small INDEPENDENT spread along
+    // e2, zero elsewhere → PC1 must align with e1 and explain almost all
+    // variance; dims 3..64 are constant, so their loadings must be 0
+    val rows = (1 to 100).map { i =>
+      val t = (i % 10 + 1) * 0.2 * (if (i % 2 == 0) 1.0 else -1.0)
+      val u = 0.1 * (if ((i / 2) % 2 == 0) 1.0 else -1.0)
+      val vec = Array.fill(64)(0.0f)
+      vec(0) = (t * 2.0).toFloat
+      vec(1) = u.toFloat
+      (i.toLong, vec.toSeq, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q_ml_pca_power")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(5))).toMap
+    assert(got.size == 64)
+    assert(math.abs(got(1L)._1) > 0.99,
+      s"PC1 must align with e1, loading ${got(1L)._1}")
+    assert(math.abs(got(2L)._1) < 0.15, s"e2 loading ${got(2L)._1} too large")
+    (3L to 64L).foreach(d => assert(got(d)._1 == 0.0, s"dim $d leaked ${got(d)._1}"))
+    assert(got(1L)._2 > 0.95, s"evr ${got(1L)._2} must be dominated by e1")
+  }
 }
