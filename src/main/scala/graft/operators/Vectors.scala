@@ -93,6 +93,32 @@ object Vectors extends QueryPack {
           (col("xj") - col("mu")).as("c"))
     }
 
+  /** (dim, mu, v): the trained rank-1 PCA model — dimension means plus
+    * the unit top-component from [[PCA_T]] power iterations — persisted
+    * as a 64-row disk artifact (constant-size, broadcast-safe at any
+    * corpus scale). Training reads the memoized centered table; the full
+    * report query and the per-ingest projection both probe the FROZEN
+    * artifact, the same train-once/apply-per-ingest lifecycle as the
+    * ANN quantizers. The iteration count is part of the stage name, so
+    * retuning mints a new artifact. */
+  private def pcaComponent(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"pca_component_t$PCA_T") {
+      val cent = centered(s, d)
+      var v: DataFrame = s.range(1, PCA_DIM + 1)
+        .select(col("id").as("dim"), lit(0.125).as("v")) // unit: 64·(1/8)²=1
+      for (_ <- 1 to PCA_T) {
+        val si = cent.join(broadcast(v), "dim")
+          .groupBy("vec_id").agg(r8c(dsum18(col("c") * col("v"))).as("sc"))
+        val w = cent.join(si, "vec_id")
+          .groupBy("dim").agg(dsum18(col("c") * col("sc")).as("w"))
+        val nrm = w.agg(sqrt(dsum18(col("w") * col("w"))).as("nrm"))
+        v = w.crossJoin(broadcast(nrm)) // 64 rows × 1 row
+          .select(col("dim"), r10c(col("w") / col("nrm")).as("v"))
+      }
+      cent.groupBy("dim").agg(max(col("mu")).as("mu")).join(v, "dim")
+        .select(col("dim"), col("mu"), col("v"))
+    }
+
   def queries: Seq[(String, Fn)] = Seq(
     // Top principal component by distributed POWER ITERATION — the
     // dimensionality-reduction primitive an embedding store runs before
@@ -111,30 +137,45 @@ object Vectors extends QueryPack {
     // final v; evr = its share of total variance.
     "q_ml_pca_power" -> ((s, d) => {
       val cent = centered(s, d)
-      var v: DataFrame = s.range(1, PCA_DIM + 1)
-        .select(col("id").as("dim"), lit(0.125).as("v")) // unit: 64·(1/8)²=1
-      for (_ <- 1 to PCA_T) {
-        val si = cent.join(broadcast(v), "dim")
-          .groupBy("vec_id").agg(r8c(dsum18(col("c") * col("v"))).as("sc"))
-        val w = cent.join(si, "vec_id")
-          .groupBy("dim").agg(dsum18(col("c") * col("sc")).as("w"))
-        val nrm = w.agg(sqrt(dsum18(col("w") * col("w"))).as("nrm"))
-        v = w.crossJoin(broadcast(nrm)) // 64 rows × 1 row
-          .select(col("dim"), r10c(col("w") / col("nrm")).as("v"))
-      }
-      val sf = cent.join(broadcast(v), "dim")
+      val comp = pcaComponent(s, d)
+      val sf = cent.join(broadcast(comp.select("dim", "v")), "dim")
         .groupBy("vec_id").agg(r8c(dsum18(col("c") * col("v"))).as("sc"))
       val lam = sf.agg(
         (dsum18(col("sc") * col("sc")) / (count(lit(1)) - 1)).as("eigval"))
       val tv = cent.agg((dsum18(col("c") * col("c")) /
         (count(lit(1)) / lit(PCA_DIM) - 1)).as("var_total"))
-      cent.groupBy("dim").agg(max(col("mu")).as("mu"))
-        .join(v, "dim")
+      comp
         .crossJoin(broadcast(lam)).crossJoin(broadcast(tv)) // 1-row scalars
         .select(col("dim"), r4(col("mu")).as("mu"), r4(col("v")).as("loading"),
           r4(col("eigval")).as("eigval"), r4(col("var_total")).as("var_total"),
           r4(col("eigval") / col("var_total")).as("evr"))
         .orderBy("dim")
+    }),
+
+    // Apply face of PCA: project an ingest batch (vec_id%10=7, the family
+    // convention) onto the FROZEN persisted component — (μ, v) is the
+    // 64-row artifact q_ml_pca_power trained, so scoring a batch costs
+    // O(batch·64) and never touches the corpus (the quantizer-delta
+    // lifecycle: train once per snapshot, apply per ingest). Emits the
+    // PC1 score and the off-component residual norm ‖c‖² − score² — the
+    // reconstruction error of the rank-1 model, an outlier signal.
+    "q_ml_pca_project" -> ((s, d) => {
+      val comp = pcaComponent(s, d)
+      val batch = t(s, d, "embeddings")
+        .where(col("vec_id") % 10 === 7)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim0", "xf")))
+        .select(col("vec_id"), (col("dim0") + 1).cast(LongType).as("dim"),
+          col("xf").cast(DoubleType).as("xj"))
+      val proj = batch.join(broadcast(comp), "dim")
+        .withColumn("c", col("xj") - col("mu"))
+        .groupBy("vec_id")
+        .agg(r8c(dsum18(col("c") * col("v"))).as("score"),
+          dsum18(col("c") * col("c")).as("ss"))
+      proj.select(col("vec_id"), col("score"),
+          r4(sqrt(greatest(col("ss") - col("score") * col("score"),
+            lit(0.0)))).as("resid"))
+        .orderBy("vec_id")
     }),
 
     // int8 quantization quality report: per-vector integer invariants
@@ -210,11 +251,14 @@ object Vectors extends QueryPack {
   private val cosSql =
     "CAST(round(CAST(list_cosine_similarity(list_transform(a.emb_a, x -> CAST(x AS DOUBLE)), list_transform(a.emb_b, x -> CAST(x AS DOUBLE))) AS DECIMAL(38,6)), 4) AS DOUBLE)"
 
-  /** Oracle mirror of [[centered]] + the unrolled power iterations. */
-  private def pcaSql: String = {
-    def r10s(e: String) = s"CAST(round(CAST($e AS DECIMAL(38,12)), 10) AS DOUBLE)"
-    def r8s(e: String) = s"CAST(round(CAST($e AS DECIMAL(38,12)), 8) AS DOUBLE)"
-    def ds18(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
+  private def r10s(e: String) = s"CAST(round(CAST($e AS DECIMAL(38,12)), 10) AS DOUBLE)"
+  private def r8s(e: String) = s"CAST(round(CAST($e AS DECIMAL(38,12)), 8) AS DOUBLE)"
+  private def ds18(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
+
+  /** Oracle mirror of [[centered]] + [[pcaComponent]]: centering CTEs and
+    * one CTE block per unrolled power iteration; `v$PCA_T` / `md` are the
+    * trained component both oracle tails probe. */
+  private def pcaCtes: String = {
     val iters = (1 to PCA_T).map { i =>
       s"""si$i AS (
          |  SELECT c.vec_id, ${r8s(s"${ds18("c.c * v.v")}")} AS sc
@@ -225,7 +269,7 @@ object Vectors extends QueryPack {
          |n$i AS (SELECT sqrt(${ds18("w * w")}) AS nrm FROM w$i),
          |v$i AS (SELECT dim, ${r10s("w / nrm")} AS v FROM w$i, n$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cexp AS (
+    s"""cexp AS (
        |  SELECT vec_id, d.d AS dim, CAST(embedding[d.d] AS DOUBLE) AS xj
        |  FROM embeddings, generate_series(1, $PCA_DIM) d(d)),
        |mu AS (
@@ -236,22 +280,39 @@ object Vectors extends QueryPack {
        |  FROM cexp c JOIN mu m USING (dim)),
        |v0 AS (SELECT d.d AS dim, 0.125 AS v FROM generate_series(1, $PCA_DIM) d(d)),
        |$iters,
+       |md AS (SELECT dim, max(mu) AS mu FROM cent GROUP BY dim)""".stripMargin
+  }
+
+  private def pcaSql: String =
+    s"""WITH $pcaCtes,
        |sf AS (
        |  SELECT c.vec_id, ${r8s(s"${ds18("c.c * v.v")}")} AS sc
        |  FROM cent c JOIN v$PCA_T v USING (dim) GROUP BY c.vec_id),
        |lam AS (SELECT ${ds18("sc * sc")} / (count(*) - 1) AS eigval FROM sf),
        |tv AS (SELECT ${ds18("c * c")} / (count(*) / $PCA_DIM - 1) AS var_total
-       |  FROM cent),
-       |md AS (SELECT dim, max(mu) AS mu FROM cent GROUP BY dim)
+       |  FROM cent)
        |SELECT md.dim, ${r4sql("md.mu")} AS mu, ${r4sql("v.v")} AS loading,
        | ${r4sql("eigval")} AS eigval, ${r4sql("var_total")} AS var_total,
        | ${r4sql("eigval / var_total")} AS evr
        |FROM md JOIN v$PCA_T v USING (dim), lam, tv
        |ORDER BY dim""".stripMargin
-  }
+
+  /** Oracle tail of the ingest projection: batch rows centered against
+    * the trained (μ, v) and scored; residual = √(‖c‖² − score²). */
+  private def pcaProjectSql: String =
+    s"""WITH $pcaCtes,
+       |bf AS (
+       |  SELECT c.vec_id, ${r8s(s"${ds18("c.c * v.v")}")} AS score,
+       |   ${ds18("c.c * c.c")} AS ss
+       |  FROM cent c JOIN v$PCA_T v USING (dim)
+       |  WHERE c.vec_id % 10 = 7 GROUP BY c.vec_id)
+       |SELECT vec_id, score,
+       | ${r4sql("sqrt(greatest(ss - score * score, 0.0))")} AS resid
+       |FROM bf ORDER BY vec_id""".stripMargin
 
   def oracle: Seq[(String, String)] = Seq(
     "q_ml_pca_power" -> pcaSql,
+    "q_ml_pca_project" -> pcaProjectSql,
     "q_emb_quantize" ->
       s"""WITH $qCtes
          |SELECT vec_id, label,

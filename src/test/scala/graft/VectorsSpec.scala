@@ -116,6 +116,28 @@ class VectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ml_pca_project scores the batch against the frozen component (Pythagoras + reference)") {
+    val comp = q("q_ml_pca_power").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap // dim -> (mu, loading)
+    val got = q("q_ml_pca_project").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.forall(_._1 % 10 == 7), "batch contract: vec_id%10=7 only")
+    val xs = Tables.t(spark, sf, "embeddings").where(col("vec_id") % 10 === 7)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(got.map(_._1).toSet == xs.keySet)
+    got.foreach { case (id, score, resid) =>
+      val c = Array.tabulate(64)(j => xs(id)(j) - comp(j + 1L)._1)
+      val scoreRef = c.zipWithIndex.map { case (cj, j) => cj * comp(j + 1L)._2 }.sum
+      // emitted 4dp component vs the artifact's 10dp: tolerance covers it
+      assert(math.abs(score - scoreRef) < 5e-3, s"vec $id score $score vs ref $scoreRef")
+      assert(resid >= 0.0, s"vec $id resid $resid")
+      val ss = c.map(x => x * x).sum
+      assert(math.abs(score * score + resid * resid - ss) < 1e-2,
+        s"vec $id Pythagoras: $score² + $resid² ≠ $ss")
+    }
+  }
+
   test("q_ml_pca_power recovers a planted dominant direction") {
     import spark.implicits._
     import java.nio.file.Files
