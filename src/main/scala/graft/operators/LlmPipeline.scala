@@ -827,18 +827,25 @@ object LlmPipeline extends QueryPack {
     * corpus query and the per-ingest delta. The transform+posexplode pair
     * is scan-side (zero joins); md5 runs once per window before the hash
     * shuffle, so the exchange carries 32-hex keys, never window text. */
-  private def substrPostings(s: SparkSession, d: String): DataFrame =
+  private[graft] def substrPostings(s: SparkSession, d: String): DataFrame =
     Tables.memoizedOnDisk(s, d, s"substr_postings_w$SUBSTR_W") {
-      t(s, d, "documents")
-        .repartition(col("doc_id")) // single-row-group file → parallelize windowing
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-        .where(size(col("tk")) >= SUBSTR_W)
-        .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"),
-          posexplode(transform(
-              sequence(lit(0), size(col("tk")) - lit(SUBSTR_W)),
-              i => md5(concat_ws(" ", slice(col("tk"), i + lit(1), lit(SUBSTR_W))))))
-            .as(Seq("start", "gh")))
+      substrGramsPlan(t(s, d, "documents")
+        .repartition(col("doc_id"))) // single-row-group file → parallelize windowing
     }
+
+  /** The window projection alone — a pure generator/map plan, so it is
+    * valid on a STREAMING frame too: streaming.Streams.substrDupAgainstIndex
+    * windows each incoming micro-batch with this exact plan before probing
+    * the persisted postings index. */
+  private[graft] def substrGramsPlan(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= SUBSTR_W)
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"),
+        posexplode(transform(
+            sequence(lit(0), size(col("tk")) - lit(SUBSTR_W)),
+            i => md5(concat_ws(" ", slice(col("tk"), i + lit(1), lit(SUBSTR_W))))))
+          .as(Seq("start", "gh")))
 
   /** Collapse duplicated window starts to per-doc span stats. Interval
     * union is ONE gaps-and-islands window pass (partitioned by doc —

@@ -179,6 +179,24 @@ object Streams {
       .withColumn("is_novel", col("in_corpus").isNull)
       .drop("in_corpus")
 
+  /** Stream-static substring-duplication probe — the streaming face of
+    * q_dedup_substring_delta: each incoming document micro-batch windows
+    * FRESH (a pure generator projection, valid on a streaming frame),
+    * probes the PERSISTED corpus postings index by window hash, and flags
+    * every window start whose 8-gram already exists corpus-side.
+    * STATELESS — no watermark, no state store; the disk index is the
+    * state, so cost per micro-batch is O(batch windows) regardless of
+    * corpus size. Per-doc span UNION stays a batch concern (it needs a
+    * per-doc ordered pass, i.e. a stateful aggregation, and the batch
+    * twin already prices spans); the stream emits the per-window verdict
+    * a quarantine/routing sink acts on. */
+  def substrDupAgainstIndex(docs: DataFrame, corpusGrams: DataFrame): DataFrame =
+    graft.operators.LlmPipeline.substrGramsPlan(docs)
+      .join(corpusGrams.select(col("gh")).distinct().withColumn("dup", lit(true)),
+        Seq("gh"), "left_outer")
+      .withColumn("is_dup", col("dup").isNotNull)
+      .drop("dup")
+
   /** Stream-static ANN probe — the streaming face of the vector-ingest
     * delta (q_sim_ann_ivfpq_delta / q_sim_ann_lsh_delta): each incoming
     * embedding micro-batch buckets FRESH against the deterministic

@@ -143,6 +143,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-static substring probe: flags == the batch delta's dup_grams, stream == batch plan") {
+    val corpusGrams = graft.operators.LlmPipeline.substrPostings(spark, sf)
+      .where(col("doc_id") % 10 =!= 7)
+    val batch = Tables.t(spark, sf, "documents").where(col("doc_id") % 10 === 7)
+    val dir = Files.createTempDirectory("graft-substream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val qy = Streams.substrDupAgainstIndex(stream, corpusGrams)
+      .writeStream.format("memory").queryName("subprobe")
+      .outputMode("append").option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination(120000)
+    val got = spark.table("subprobe").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getString(0), r.getBoolean(4)))
+    assert(got.nonEmpty && got.forall(_._1 % 10 == 7))
+    // per-doc flagged-window counts == the oracle-checked batch twin
+    val flagged = got.filter(_._4).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = SparkEntry.queries("q_dedup_substring_delta")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> dup_grams
+    assert(flagged == want, s"stream flags $flagged vs batch twin $want")
+    // row-identical to the same operator run as a plain batch plan
+    val wantRows = Streams.substrDupAgainstIndex(spark.read.parquet(dir), corpusGrams)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getString(0), r.getBoolean(4)))
+    assert(got.sorted.sameElements(wantRows.sorted))
+  }
+
   test("stream-static ANN probe against the persisted LSH index matches the batch formulation") {
     // materialize (or reuse) the disk-backed multi-table LSH index
     val corpusIndex = graft.operators.LlmPipeline.lshMultiBuckets(spark, sf)
