@@ -156,7 +156,7 @@ class StreamingSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow()).start()
     qy.awaitTermination(120000)
     val got = spark.table("subprobe").collect()
-      .map(r => (r.getLong(1), r.getLong(3), r.getString(0), r.getBoolean(4)))
+      .map(r => (r.getLong(1), r.getInt(3).toLong, r.getString(0), r.getBoolean(4)))
     assert(got.nonEmpty && got.forall(_._1 % 10 == 7))
     // per-doc flagged-window counts == the oracle-checked batch twin
     val flagged = got.filter(_._4).groupBy(_._1).view.mapValues(_.size.toLong).toMap
@@ -165,7 +165,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged == want, s"stream flags $flagged vs batch twin $want")
     // row-identical to the same operator run as a plain batch plan
     val wantRows = Streams.substrDupAgainstIndex(spark.read.parquet(dir), corpusGrams)
-      .collect().map(r => (r.getLong(1), r.getLong(3), r.getString(0), r.getBoolean(4)))
+      .collect().map(r => (r.getLong(1), r.getInt(3).toLong, r.getString(0), r.getBoolean(4)))
     assert(got.sorted.sameElements(wantRows.sorted))
   }
 
