@@ -652,6 +652,33 @@ object LlmPipeline extends QueryPack {
       semCellsFor(s, d, t(s, d, "embeddings"))
     }
 
+  /** Top-2 fine-cell assignment of the corpus (search face): rank-1 is
+    * the OWNER cell (the keeper-bookkeeping artifact above), rank-2 adds
+    * the runner-up fine cell within the same coarse group — the same
+    * top-2-assignment dial that closed the ANN cell-boundary blind spot
+    * in round 10 (RECALL ivf_k 0.56 → 0.94), here aimed at the measured
+    * q_dedup_semantic_recall gap (τ-pairs straddling a cell boundary are
+    * invisible to the rank-1 pair join). ≤ 2 rows per vector, so the
+    * within-cell pair volume stays O(N·c) with a ≤4× constant. */
+  private def semAssign2(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem2_assign_top2_nc$SEM_CELL") {
+      val e = t(s, d, "embeddings")
+      val g1 = org.apache.spark.sql.graftx.TopK.topKPerKey(
+          semScore(e.select(col("vec_id"), col("embedding")),
+            semCoarseCentroids(s, d), Seq.empty, "ccos"),
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
+          k = 1, rankName = "arnk")
+        .select(col("vec_id"), col("g"))
+      val withG = e.select(col("vec_id"), col("embedding")).join(g1, "vec_id")
+      val scored = semScore(withG, semFineCentroids(s, d), Seq("g"), "fcos")
+      org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
+          keyNames = Seq("vec_id"), orderBy = Seq("fcos" -> false, "j" -> true),
+          k = 2, rankName = "arnk")
+        .select(col("vec_id"),
+          (col("g").cast(LongType) * 1000000L + col("j")).as("cell"),
+          col("arnk"))
+    }
+
   /** Product-quantization geometry: [[PQ_M]] subspaces of [[PQ_SUBDIM]]
     * dims, [[PQ_K]] codes per subspace — a vector compresses to 8 nibble
     * codes (4 bytes vs 256), and approximate distances are sums of
@@ -1178,6 +1205,31 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // Multiprobe semantic dedup: the pair join runs over the TOP-2 cell
+    // assignment (owner + runner-up fine cell), so a τ-pair that
+    // straddles one cell boundary still meets in the runner-up cell of
+    // either side — directly closing the measured cross-cell blind spot
+    // (q_dedup_semantic_recall: only 0.35/0.14 of τ-pairs share a rank-1
+    // cell at sf0.01/sf0.1). Recall is strictly ≥ the rank-1 query's by
+    // construction (rank-1 pairs are a subset — LlmSpec asserts the
+    // dropped-set superset); cost stays O(N·c) with a ≤4× constant from
+    // the doubled assignment. Output contract matches q_dedup_semantic:
+    // one row per vector with its OWNER cell and the drop verdict.
+    "q_dedup_semantic_mp" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val withCell = e.join(maybeBroadcast(semAssign2(s, d)), "vec_id")
+      val dup = withCell.as("a").join(maybeBroadcast(withCell.as("b")),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .where(r4(cosine(col("a.embedding"), col("b.embedding"))) >= SEM_TAU)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      e.join(maybeBroadcast(semAssign2(s, d).where(col("arnk") === 1)
+          .select("vec_id", "cell")), "vec_id")
+        .join(maybeBroadcast(dup.withColumn("hit", lit(true))), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("hit"), lit(false)).as("dropped"))
+        .orderBy("vec_id")
+    }),
+
     // Semantic-dedup ingest delta: each batch vector (vec_id%10=7) is
     // assigned its cell FRESH against the frozen constant-cell-size
     // quantizer and dropped iff ANY corpus cell-mate sits at/above
@@ -1253,11 +1305,23 @@ object LlmPipeline extends QueryPack {
         .join(maybeBroadcast(a.select(col("vec_id").as("va"), col("cell").as("ca"))), "va")
         .join(maybeBroadcast(a.select(col("vec_id").as("vb"), col("cell").as("cb"))), "vb")
         .where(col("ca") === col("cb"))
-      // two 1-row aggregates — the bounded-crossJoin pattern
+      // multiprobe visibility: a pair meets if the TOP-2 cell sets of its
+      // ends intersect (the q_dedup_semantic_mp pair-join membership test);
+      // ≤2 assignment rows per end ⇒ ≤4 join rows per pair before distinct
+      val a2 = semAssign2(s, d)
+      val caughtMp = truth
+        .join(maybeBroadcast(a2.select(col("vec_id").as("va"), col("cell").as("ca"))), "va")
+        .join(maybeBroadcast(a2.select(col("vec_id").as("vb"), col("cell").as("cb"))), "vb")
+        .where(col("ca") === col("cb"))
+        .select("va", "vb").distinct()
+      // three 1-row aggregates — the bounded-crossJoin pattern
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .crossJoin(caughtMp.agg(count(lit(1)).as("n_caught_mp")))
         .select(col("n_truth"), col("n_caught"),
-          r4(col("n_caught").cast(DoubleType) / col("n_truth")).as("cell_recall"))
+          r4(col("n_caught").cast(DoubleType) / col("n_truth")).as("cell_recall"),
+          col("n_caught_mp"),
+          r4(col("n_caught_mp").cast(DoubleType) / col("n_truth")).as("mp_recall"))
     }),
 
     // #44 brute-force top-5 cosine neighbors, blocked by label (IVF-style:
@@ -2177,8 +2241,8 @@ object LlmPipeline extends QueryPack {
        |  GROUP BY a.g, a.j, t.d),
        |fcent AS (SELECT g, j, list(m ORDER BY dim) AS centroid
        |  FROM fcomp GROUP BY g, j),
-       |sassigned AS (
-       |  SELECT vec_id, embedding, cell FROM (
+       |sassignedR AS (
+       |  SELECT vec_id, embedding, cell, arnk FROM (
        |    SELECT w.vec_id, w.embedding,
        |     CAST(w.g AS BIGINT) * 1000000 + f.j AS cell,
        |     row_number() OVER (PARTITION BY w.vec_id
@@ -2186,7 +2250,9 @@ object LlmPipeline extends QueryPack {
        |           list_transform(w.embedding, x -> CAST(x AS DOUBLE)), f.centroid)
        |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, f.j ASC) AS arnk
        |    FROM wg w JOIN fcent f ON w.g = f.g)
-       |  WHERE arnk = 1)""".stripMargin
+       |  WHERE arnk <= 2),
+       |sassigned AS (
+       |  SELECT vec_id, embedding, cell FROM sassignedR WHERE arnk = 1)""".stripMargin
 
   /** PQ CTE chain (mirrors [[pqCodebooks]]/[[pqCodes]] stage for stage):
     * md5-ranked seeds, then [[PQ_LLOYD]] per-subspace Lloyd iterations
@@ -2412,6 +2478,18 @@ object LlmPipeline extends QueryPack {
          |SELECT k.vec_id, k.cell, (s.vec_id IS NOT NULL) AS dropped
          |FROM sassigned k LEFT JOIN sdup s ON k.vec_id = s.vec_id
          |ORDER BY k.vec_id""".stripMargin,
+    "q_dedup_semantic_mp" ->
+      s"""WITH $semCtesSql,
+         |sdup2 AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM sassignedR a JOIN sassignedR b
+         |   ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${r4sql("""list_cosine_similarity(
+         |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE)))""")} >= $SEM_TAU)
+         |SELECT k.vec_id, k.cell, (s.vec_id IS NOT NULL) AS dropped
+         |FROM sassigned k LEFT JOIN sdup2 s ON k.vec_id = s.vec_id
+         |ORDER BY k.vec_id""".stripMargin,
     "q_dedup_semantic_delta" ->
       s"""WITH $semCtesSql,
          |bq AS (SELECT vec_id, embedding, cell FROM sassigned WHERE vec_id % 10 = 7),
@@ -2442,10 +2520,17 @@ object LlmPipeline extends QueryPack {
          |  SELECT t.va FROM truthp t
          |  JOIN sassigned x ON t.va = x.vec_id
          |  JOIN sassigned y ON t.vb = y.vec_id
+         |  WHERE x.cell = y.cell),
+         |caughtmp AS (
+         |  SELECT DISTINCT t.va, t.vb FROM truthp t
+         |  JOIN sassignedR x ON t.va = x.vec_id
+         |  JOIN sassignedR y ON t.vb = y.vec_id
          |  WHERE x.cell = y.cell)
          |SELECT (SELECT count(*) FROM truthp) AS n_truth,
          | (SELECT count(*) FROM caught) AS n_caught,
-         | ${r4sql("CAST((SELECT count(*) FROM caught) AS DOUBLE) / (SELECT count(*) FROM truthp)")} AS cell_recall""".stripMargin,
+         | ${r4sql("CAST((SELECT count(*) FROM caught) AS DOUBLE) / (SELECT count(*) FROM truthp)")} AS cell_recall,
+         | (SELECT count(*) FROM caughtmp) AS n_caught_mp,
+         | ${r4sql("CAST((SELECT count(*) FROM caughtmp) AS DOUBLE) / (SELECT count(*) FROM truthp)")} AS mp_recall""".stripMargin,
     "q_sim_knn" ->
       s"""SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cosSql AS cos,
          | CAST(row_number() OVER (PARTITION BY a.vec_id

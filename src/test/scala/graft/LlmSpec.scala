@@ -281,6 +281,24 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("multiprobe semantic dedup: drops a superset of rank-1's, same owner cells") {
+    // the top-2 assignment can only ADD meeting opportunities: every
+    // rank-1 within-cell pair is also a within-cell pair of the top-2
+    // assignment, so the mp dropped set must contain the rank-1 one —
+    // and the reported owner cell must stay the rank-1 cell verbatim
+    val r1 = q("q_dedup_semantic").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Boolean]("dropped"))).toMap
+    val mp = q("q_dedup_semantic_mp").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Boolean]("dropped"))).toMap
+    assert(mp.keySet == r1.keySet, "mp must cover the corpus exactly")
+    r1.foreach { case (id, (cell, dropped)) =>
+      assert(mp(id)._1 == cell, s"owner cell changed for $id")
+      if (dropped) assert(mp(id)._2, s"rank-1 drop $id missing from mp")
+    }
+    // and the widening is real on this corpus: strictly more τ-pairs meet
+    assert(mp.count(_._2._2) >= r1.count(_._2._2))
+  }
+
   test("semantic cells histogram: covers the corpus exactly, no oversized cell, consistent ids") {
     // the O(N·c) contract is only as good as the histogram that audits
     // it: memberships must sum to N (every vector in exactly one cell),
