@@ -297,6 +297,11 @@ class LlmSpec extends AnyFunSuite {
     }
     // and the widening is real on this corpus: strictly more τ-pairs meet
     assert(mp.count(_._2._2) >= r1.count(_._2._2))
+    // the recall audit reports the same ordering: top-2 visibility can
+    // never lose a pair that rank-1 sees
+    val rec = q("q_dedup_semantic_recall").collect().head
+    assert(rec.getAs[Long]("n_caught_mp") >= rec.getAs[Long]("n_caught"))
+    assert(rec.getAs[Long]("n_caught_mp") <= rec.getAs[Long]("n_truth"))
   }
 
   test("semantic cells histogram: covers the corpus exactly, no oversized cell, consistent ids") {
