@@ -652,6 +652,41 @@ object LlmPipeline extends QueryPack {
       semCellsFor(s, d, t(s, d, "embeddings"))
     }
 
+  /** Corpus side of the ingest-delta probe: the persisted rank-1
+    * assignment joined back to its vectors, optionally filtered (the
+    * delta excludes the batch's own ids — the standing corpus is the
+    * keeper set by definition). */
+  def semanticCorpus(s: SparkSession, d: String, keep: Column): DataFrame =
+    t(s, d, "embeddings")
+      .join(maybeBroadcast(semAssign(s, d).where(keep)), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+
+  /** Batch core of semantic-dedup ingest: verdicts for an ARBITRARY
+    * vector batch against the frozen two-level quantizer and a corpus
+    * assignment index. Each batch vector takes its cell fresh
+    * ([[semCellsFor]] — O(batch·√k_total) centroid scores) and is
+    * dropped iff ANY corpus cell-mate clears [[SEM_TAU]] (corpus wins;
+    * no id ordering). O(batch·c) cell-mate comparisons per call,
+    * independent of corpus size. Shared by q_dedup_semantic_delta and
+    * the streaming face
+    * [[graft.streaming.Streams.semanticDedupAgainstIndex]] — identical
+    * verdicts however ingest rows are split into micro-batches, because
+    * nothing here depends on batch composition (StreamingSpec proves
+    * the split invariance). */
+  def semanticVerdicts(s: SparkSession, d: String, batchVecs: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val batch = semCellsFor(s, d, batchVecs)
+      .join(batchVecs.select(col("vec_id"), col("embedding")), "vec_id")
+    val dup = batch.as("a").join(maybeBroadcast(corpus.as("b")),
+        col("a.cell") === col("b.cell"))
+      .where(r4(cosine(col("a.embedding"), col("b.embedding"))) >= SEM_TAU)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    batch
+      .join(maybeBroadcast(dup.withColumn("hit", lit(true))), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("hit"), lit(false)).as("dropped"))
+  }
+
   /** Top-2 fine-cell assignment of the corpus (search face): rank-1 is
     * the OWNER cell (the keeper-bookkeeping artifact above), rank-2 adds
     * the runner-up fine cell within the same coarse group — the same
@@ -1238,23 +1273,14 @@ object LlmPipeline extends QueryPack {
     // comparisons against the PERSISTED assignment index — c constant, so
     // per-ingest cost no longer grows with corpus size at all;
     // batch-internal duplicates are q_dedup_semantic's job on the next
-    // full pass (documented ingest trade).
+    // full pass (documented ingest trade). Batch core shared with the
+    // streaming face (graft.streaming.Streams.semanticDedupAgainstIndex).
     "q_dedup_semantic_delta" -> ((s, d) => {
       val isBatch = col("vec_id") % 10 === 7
       val e = t(s, d, "embeddings")
-      val batch = semCellsFor(s, d, e.where(isBatch))
-        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-      val corpus = t(s, d, "embeddings")
-        .join(maybeBroadcast(semAssign(s, d).where(!isBatch)), "vec_id")
-        .select(col("vec_id"), col("cell"), col("embedding"))
-      val dup = batch.as("a").join(maybeBroadcast(corpus.as("b")),
-          col("a.cell") === col("b.cell"))
-        .where(r4(cosine(col("a.embedding"), col("b.embedding"))) >= SEM_TAU)
-        .select(col("a.vec_id").as("vec_id")).distinct()
-      batch
-        .join(maybeBroadcast(dup.withColumn("hit", lit(true))), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          coalesce(col("hit"), lit(false)).as("dropped"))
+      semanticVerdicts(s, d,
+          e.where(isBatch).select(col("vec_id"), col("embedding")),
+          semanticCorpus(s, d, !isBatch))
         .orderBy("vec_id")
     }),
 

@@ -223,6 +223,36 @@ object Streams {
         graft.Tables.r4(org.apache.spark.sql.graftx.VectorExprs.cosineSim(
           col("qe"), col("ne"))).as("cos"))
 
+  /** Streaming face of semantic dedup — the foreachBatch surface,
+    * completing the stream-static ingest trilogy (exact-hash
+    * [[dedupAgainstIndex]], substring [[substrDupAgainstIndex]], ANN
+    * [[annAgainstIndex]]) with the vector-similarity family. The
+    * two-level cell assignment is a per-vector TopK argmax — a
+    * batch-only operator with no incremental streaming form — so each
+    * micro-batch runs the BATCH core
+    * [[graft.operators.LlmPipeline.semanticVerdicts]] against the frozen
+    * quantizer and the persisted corpus assignment: Structured
+    * Streaming's documented escape hatch (`foreachBatch`) for
+    * batch-only logic, not a workaround. State-free — the disk index IS
+    * the state; per micro-batch cost is O(batch·√k_total) centroid
+    * scores + O(batch·c) cell-mate comparisons, independent of corpus
+    * size. Verdicts are handed to `sink` per micro-batch (a
+    * quarantine/routing writer in production); because
+    * `semanticVerdicts` is per-row in the batch and the corpus is
+    * frozen, the union of verdicts is identical however the ingest rows
+    * split into micro-batches — StreamingSpec proves that split
+    * invariance against the oracle-checked batch twin
+    * (q_dedup_semantic_delta). */
+  def semanticDedupAgainstIndex(spark: SparkSession, sfDir: String,
+      vectors: DataFrame, corpus: DataFrame)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.LlmPipeline.semanticVerdicts(
+          spark, sfDir, mb.toDF(), corpus), batchId)
+      }
+
   /** Running per-user totals via custom state (mapGroupsWithState): state =
     * (event count, value sum) per user, carried across micro-batches in the
     * state store. The arbitrary-stateful-processing surface the built-in

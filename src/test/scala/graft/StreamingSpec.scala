@@ -195,6 +195,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sorted.sameElements(want.sorted))
   }
 
+  test("stream-static semantic dedup via foreachBatch: split-invariant, == batch twin") {
+    val isBatch = col("vec_id") % 10 === 7
+    val corpus = graft.operators.LlmPipeline.semanticCorpus(spark, sf, !isBatch)
+    val batch = Tables.t(spark, sf, "embeddings").where(isBatch)
+      .select("vec_id", "embedding")
+    // two parquet files + maxFilesPerTrigger=1 ⇒ the ingest arrives in
+    // (at least) two micro-batches — the split the invariance claim is about
+    val dir = Files.createTempDirectory("graft-semstream").toString
+    batch.where(col("vec_id") < 250).coalesce(1).write.mode("overwrite").parquet(dir)
+    batch.where(col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val batchIds = scala.collection.mutable.Set.empty[Long]
+    val qy = Streams.semanticDedupAgainstIndex(spark, sf, stream, corpus) {
+        (verdicts, id) =>
+          got.synchronized {
+            batchIds += id
+            got ++= verdicts.collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          }
+      }
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination(120000)
+    assert(batchIds.size >= 2, s"expected ≥2 micro-batches, saw $batchIds")
+    // union of per-micro-batch verdicts == the oracle-checked batch twin
+    val want = SparkEntry.queries("q_dedup_semantic_delta")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.sorted == want.sorted.toBuffer,
+      s"stream ${got.size} verdicts vs batch twin ${want.length}")
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-state").toString
