@@ -259,12 +259,23 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_dedup_semantic_recall").split("== Initial Plan ==").head
     // truth pairs come from an equi-join on label (never all-pairs); the
     // cell check joins narrow ids against the cached assignment; the only
-    // nested-loop join is the two-1-row-aggregates cross (bounded by
-    // construction)
+    // nested-loop joins are the 1-row-aggregate crosses (n_truth ×
+    // n_caught × n_caught_mp — bounded by construction)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("InMemoryTableScan"), p)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_dedup_semantic_mp: top-2 pair join off the persisted assignment, one cell exchange") {
+    val p = plan("q_dedup_semantic_mp").split("== Initial Plan ==").head
+    // the top-2 assignment artifact broadcasts into the embeddings scan;
+    // the pair join is a single cell-keyed shuffle (SMJ/SHJ — never
+    // cartesian), and candidates dedup before the verdict left join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p) // persisted top-2 index, not recomputed
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q_text_bpe_pairs: one corpus-scale shuffle (word count), partial aggs throughout") {
