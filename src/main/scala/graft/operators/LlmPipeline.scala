@@ -652,6 +652,97 @@ object LlmPipeline extends QueryPack {
       semCellsFor(s, d, t(s, d, "embeddings"))
     }
 
+  /** One pass of the oversize guard that q_dedup_semantic_cells flags:
+    * every cell whose membership exceeds 4·c is re-quantized INTERNALLY —
+    * its own members seed k_sub = ⌈n/c⌉ sub-centroids (md5-ranked, salt
+    * "sems:", the [[semFineCentroids]] recipe one level deeper: rank-1
+    * init + one decimal-mean Lloyd step), and members reassign to
+    * sub-cell id cell·1000 + q (≤999 sub-cells per pass; apply
+    * recursively in the pathological case of a still-oversized
+    * sub-cell). Cells within bound pass through UNTOUCHED — on corpora
+    * with balanced cells (every measured SF; the histogram query emits
+    * the evidence) this is the identity — while under skew it restores
+    * the O(N·c) pair bound instead of eating the quadratic blowup
+    * inside one giant cell. Pure function of (vectors, assignment): the
+    * spec drives it with a deliberately skewed synthetic corpus; the
+    * production path persists the split assignment as the artifact.
+    * Geometry-degenerate giant cells (mass near-duplication — every
+    * member the same point, so no quantizer can separate them) are
+    * [[semCapVerdicts]]'s job instead: splitting those would LOSE true
+    * τ-pairs. */
+  def semSplitOversized(vecs: DataFrame, assign: DataFrame, c: Int): DataFrame = {
+    val byCell = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    val wc = assign.select(col("vec_id"), col("cell"))
+      .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("n", count(lit(1)).over(byCell))
+    val ok = wc.where(col("n") <= 4 * c).select(col("vec_id"), col("cell"))
+    val big = wc.where(col("n") > 4 * c)
+      .select(col("vec_id"), col("cell"), col("embedding"), col("n"))
+    val seeds = big
+      .withColumn("mk", md5(concat(lit("sems:"), col("vec_id").cast(StringType))))
+      .withColumn("q", row_number().over(byCell.orderBy("mk")))
+      .where(col("q") <= expr(s"(n + ${c - 1}) div $c"))
+      .select(col("cell"), col("q"), col("embedding").as("seed"))
+    val init = big.select(col("vec_id"), col("cell"), col("embedding"))
+      .join(maybeBroadcast(seeds), "cell")
+      .select(col("vec_id"), col("cell"), col("q"),
+        r4(cosine(col("embedding"), col("seed"))).as("scos"))
+    val assign0 = org.apache.spark.sql.graftx.TopK.topKPerKey(init,
+        keyNames = Seq("vec_id"), orderBy = Seq("scos" -> false, "q" -> true),
+        k = 1, rankName = "irnk")
+      .select(col("vec_id"), col("q"))
+    val comp = big.select(col("vec_id"), col("cell"), col("embedding"))
+      .join(assign0, "vec_id")
+      .select(col("cell"), col("q"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cell", "q", "dim")
+      .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"))
+    val cents = comp.groupBy("cell", "q")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        f => f.getField("m")).as("centroid"))
+    val scored = semScore(big.select(col("vec_id"), col("cell"), col("embedding")),
+      cents, Seq("cell"), "scos")
+    val split = org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
+        keyNames = Seq("vec_id"), orderBy = Seq("scos" -> false, "q" -> true),
+        k = 1, rankName = "frnk")
+      .select(col("vec_id"), (col("cell") * 1000L + col("q")).as("cell"))
+    ok.unionByName(split)
+  }
+
+  /** Linear fast-drop for geometry-degenerate giant cells — the
+    * duplicate-heavy skew [[semSplitOversized]] cannot (and must not)
+    * split: when a cell is huge because its members are all
+    * near-identical, pairwise comparison is O(n²) in exactly the cell
+    * where the answer is obvious. Anchor on the cell's mean instead:
+    * every member whose cosine to the centroid clears
+    * cap = cos(arccos(τ)/2) is PROVABLY within τ of every other such
+    * member (angles: ∠(a,b) ≤ ∠(a,m) + ∠(m,b) ≤ 2·(arccos(τ)/2)), so
+    * all but the min-id of the cap group drop with ZERO pair joins —
+    * O(n) per cell. Sound, not complete: members below the cap keep
+    * their pairwise path (the normal within-cell join, now over a
+    * bounded remainder). Returns (vec_id, cell, dropped) for the cap
+    * groups' members; the spec proves soundness (every drop has a
+    * τ-witness) on an exact-duplicate fixture. */
+  def semCapVerdicts(vecs: DataFrame, assign: DataFrame, tau: Double): DataFrame = {
+    val byCell = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    // +1e-4 absorbs semScore's 4dp rounding: a true cosine just under the
+    // cap can round up by ≤5e-5, which would void the triangle bound
+    val cap = math.cos(math.acos(tau) / 2.0) + 1e-4
+    val wc = assign.select(col("vec_id"), col("cell"))
+      .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+    val comp = wc
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"))
+    val cents = comp.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        f => f.getField("m")).as("centroid"))
+    semScore(wc, cents, Seq("cell"), "ccos")
+      .where(col("ccos") >= cap)
+      .withColumn("keeper", min(col("vec_id")).over(byCell))
+      .select(col("vec_id"), col("cell"),
+        (col("vec_id") =!= col("keeper")).as("dropped"))
+  }
+
   /** Corpus side of the ingest-delta probe: the persisted rank-1
     * assignment joined back to its vectors, optionally filtered (the
     * delta excludes the batch's own ids — the standing corpus is the
@@ -1288,11 +1379,12 @@ object LlmPipeline extends QueryPack {
     // q_dedup_semantic assumes cells stay NEAR the target size c — this
     // emits the evidence as data (q_index_drift shape): per-cell member
     // count, its pair volume n·(n−1)/2, and whether the cell exceeds the
-    // oversize bound (4·c — the dial at which a production run would
-    // split the cell with a sub-quantizer rather than eat a 16× pair
-    // blowup). An operator whose scale contract can be read off a query
-    // result is auditable; one whose balance is asserted in a comment is
-    // not.
+    // oversize bound (4·c — the dial at which a production run splits
+    // the cell with a sub-quantizer rather than eat a 16× pair blowup:
+    // [[semSplitOversized]] for diverse cells, [[semCapVerdicts]] for
+    // the duplicate-degenerate ones, both spec-driven). An operator
+    // whose scale contract can be read off a query result is auditable;
+    // one whose balance is asserted in a comment is not.
     "q_dedup_semantic_cells" -> ((s, d) =>
       semAssign(s, d).groupBy("cell")
         .agg(count(lit(1)).as("n_members"))

@@ -327,6 +327,64 @@ class LlmSpec extends AnyFunSuite {
     assert(verdictCells == cells.map(_.getAs[Long]("cell")).toSet)
   }
 
+  test("oversize split: giant diverse cell re-quantized under the 4c bound, small cells untouched") {
+    import spark.implicits._
+    val c = 4 // tiny dial so the fixture stays small: bound = 4c = 16
+    // 8 well-separated directions in R^8 (axes), ~40 members each with a
+    // small deterministic wobble — diverse enough that one Lloyd step
+    // separates them — all crammed into ONE cell (id 7), plus a balanced
+    // small cell (id 9) that must pass through byte-identical
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val v = Array.fill(8)(0.02f * ((i + axis) % 5))
+      v(axis) = 1f
+      v
+    }
+    val giant = (0 until 320).map(i => (i.toLong, vec(i % 8, i / 8), 7L))
+    val small = (1000 until 1008).map(i => (i.toLong, vec(i % 8, 0), 9L))
+    val all = giant ++ small
+    val vecs = all.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding")
+    val assign = all.map { case (id, _, cell) => (id, cell) }.toDF("vec_id", "cell")
+    val out = graft.operators.LlmPipeline.semSplitOversized(vecs, assign, c)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == all.map(_._1).toSet, "split must cover every vector exactly once")
+    small.foreach { case (id, _, cell) =>
+      assert(out(id) == cell, s"in-bound cell rewritten for $id") }
+    val subSizes = out.filter(_._1 < 1000).groupBy(_._2).view.mapValues(_.size)
+    assert(subSizes.keys.forall(sc => sc / 1000L == 7L && sc % 1000L >= 1),
+      "sub-cells must extend the parent id")
+    assert(subSizes.size > 1, "giant cell not split")
+    assert(subSizes.values.max <= 4 * c,
+      s"split left an oversized sub-cell: $subSizes")
+  }
+
+  test("cap fast-drop: sound on exact duplicates — every drop has a tau-witness, zero pair joins") {
+    import spark.implicits._
+    val tau = 0.35
+    // one giant cell of EXACT duplicates (the degenerate case no
+    // quantizer can split) + a spread cell where the cap must not fire
+    // on dissimilar members
+    val dup = (0 until 200).map(i => (i.toLong, Array(1f, 1f, 0f, 0f), 7L))
+    val spread = Seq(
+      (500L, Array(1f, 0f, 0f, 0f), 9L), (501L, Array(0f, 1f, 0f, 0f), 9L),
+      (502L, Array(0f, 0f, 1f, 0f), 9L), (503L, Array(0f, 0f, 0f, 1f), 9L))
+    val all = dup ++ spread
+    val vecs = all.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding")
+    val assign = all.map { case (id, _, cell) => (id, cell) }.toDF("vec_id", "cell")
+    val out = graft.operators.LlmPipeline.semCapVerdicts(vecs, assign, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val dupVerdicts = out.filter(_._2 == 7L)
+    assert(dupVerdicts.length == 200, "every exact duplicate is in the cap group")
+    assert(dupVerdicts.count(!_._3) == 1 && dupVerdicts.filter(!_._3).head._1 == 0L,
+      "exactly the min-id survives")
+    // soundness: every dropped member is >= tau from the keeper (here
+    // trivially cos = 1); the O(n^2) pair join never ran
+    assert(dupVerdicts.filter(_._3).forall(_._1 > 0L))
+    // the spread cell's mutually-orthogonal members (pairwise cos 0 < tau)
+    // must not reach the cap: mean is equidistant at cos 0.5 < cap ~ 0.82
+    assert(!out.exists(v => v._2 == 9L && v._3),
+      s"cap fired on dissimilar members: ${out.filter(_._2 == 9L).mkString(",")}")
+  }
+
   test("IVF-PQ: valid output shape; ADC ranks true neighbors into the rerank set") {
     val rows = q("q_sim_ann_ivfpq").collect()
     assert(rows.nonEmpty)
