@@ -65,6 +65,58 @@ object Vectors extends QueryPack {
   private val PCA_DIM = 64
   private val PCA_T = 3
 
+  /** q_ml_kmeans geometry: cluster count and Lloyd iterations. */
+  private val KM_K = 8
+  private val KM_T = 3
+  private val dec6 = DecimalType(38, 6)
+
+  /** Rounded squared L2 over full-width double arrays — the PQ
+    * convention (LlmPipeline.sqDist) at embedding dimension. */
+  private def kmSqDist(a: Column, b: Column): Column =
+    r4(aggregate(zip_with(a, b, (x, v) => (x - v) * (x - v)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** K-means centroids (disk-backed): KM_K md5-ranked seeds (salt
+    * "km:"), then [[KM_T]] Lloyd steps — assignment by rounded squared
+    * L2 (rank-1, ties to the lower cluster id), refined centroid =
+    * dimension-wise decimal mean; a cluster that empties drops out of
+    * the next round. Identical discipline to the PQ codebook trainer,
+    * at full vector width: the artifact is ≤K×64 doubles —
+    * constant-size, broadcast-safe at any corpus scale — and each
+    * iteration is one broadcast-join scoring pass (N×K sd rows, rank-1
+    * through the map-side-heap TopKPerKey plan) plus one bounded-output
+    * decimal-mean aggregate. T iterations = 2T shuffles of K·64-row
+    * outputs at any N. */
+  private def kmCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"km_centroids_k${KM_K}_lloyd$KM_T") {
+      val e = t(s, d, "embeddings")
+        .repartition(col("vec_id")) // single-row-group testdata file
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("x"))
+      val seeds = e
+        .select(col("x"),
+          md5(concat(lit("km:"), col("vec_id").cast(StringType))).as("mk"))
+        .orderBy("mk").limit(KM_K) // K rows — the rank window is tiny
+        .select(col("x").as("centroid"),
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy("mk"))
+            .as("c"))
+      (1 to KM_T).foldLeft(seeds.select(col("c"), col("centroid"))) { (cb, _) =>
+        val sd = e.crossJoin(broadcast(cb)) // ≤K rows: broadcast-safe
+          .select(col("vec_id"), col("c"), kmSqDist(col("x"), col("centroid")).as("sd"))
+        val assign = org.apache.spark.sql.graftx.TopK.topKPerKey(sd,
+            keyNames = Seq("vec_id"), orderBy = Seq("sd" -> true, "c" -> true),
+            k = 1, rankName = "r0")
+          .select("vec_id", "c")
+        e.join(assign, "vec_id")
+          .select(col("c"), posexplode(col("x")).as(Seq("i", "v")))
+          .groupBy("c", "i")
+          .agg((sum(col("v").cast(dec6)).cast(DoubleType) / count(lit(1))).as("m"))
+          .groupBy("c")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+            f => f.getField("m")).as("centroid"))
+      }
+    }
+
   private val d18 = DecimalType(38, 18)
   private def dsum18(c: Column): Column = sum(c.cast(d18)).cast(DoubleType)
   private def r10c(c: Column): Column =
@@ -175,6 +227,30 @@ object Vectors extends QueryPack {
       proj.select(col("vec_id"), col("score"),
           r4(sqrt(greatest(col("ss") - col("score") * col("score"),
             lit(0.0)))).as("resid"))
+        .orderBy("vec_id")
+    }),
+
+    // General k-means clustering — the canonical distributed-ML operator,
+    // exposed first-class (the semantic/IVF quantizers run specialized
+    // internal variants; this is the user-facing API over any vector
+    // table). Trains against the FROZEN persisted centroid artifact
+    // (train-once / apply-per-read lifecycle) and emits the rank-1
+    // assignment with its squared distance — grouping to cluster sizes
+    // or inertia is a one-liner on the result. Scale: scoring is one
+    // broadcast join (centroids are ≤K×64 doubles at any corpus size),
+    // rank-1 via the map-side-heap TopKPerKey plan — ≤1 row per vector
+    // per partition reaches the shuffle.
+    "q_ml_kmeans" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("x"))
+      val sd = e.crossJoin(broadcast(kmCentroids(s, d)))
+        .select(col("vec_id"), col("c"),
+          kmSqDist(col("x"), col("centroid")).as("sd"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(sd,
+          keyNames = Seq("vec_id"), orderBy = Seq("sd" -> true, "c" -> true),
+          k = 1, rankName = "rnk")
+        .select(col("vec_id"), col("c").as("cluster"), col("sd"))
         .orderBy("vec_id")
     }),
 
@@ -310,7 +386,50 @@ object Vectors extends QueryPack {
        | ${r4sql("sqrt(greatest(ss - score * score, 0.0))")} AS resid
        |FROM bf ORDER BY vec_id""".stripMargin
 
+  /** Oracle mirror of [[kmCentroids]] + the assignment tail: md5-ranked
+    * seeds, one CTE block per Lloyd iteration (rounded-L2 rank-1
+    * assignment + decimal-mean recompute), final scoring against
+    * kcb[[KM_T]]. The loop count is the same constant both engines read,
+    * so the chains stay stage-for-stage identical at any T. */
+  private def kmeansSql: String = {
+    val iters = (1 to KM_T).map { tt =>
+      s"""ksd$tt AS (
+         |  SELECT ex.vec_id, cb.c,
+         |   CAST(round(CAST(sum(power(ex.x[i.i] - cb.centroid[i.i], 2)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS sd
+         |  FROM ex, kcb${tt - 1} cb, generate_series(1, $PCA_DIM) i(i)
+         |  GROUP BY ex.vec_id, cb.c),
+         |kassign$tt AS (
+         |  SELECT vec_id, c FROM ksd$tt
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sd ASC, c ASC) = 1),
+         |kcomp$tt AS (
+         |  SELECT a.c, i.i,
+         |   CAST(sum(CAST(ex.x[i.i] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+         |  FROM ex JOIN kassign$tt a USING (vec_id), generate_series(1, $PCA_DIM) i(i)
+         |  GROUP BY a.c, i.i),
+         |kcb$tt AS (SELECT c, list(m ORDER BY i) AS centroid FROM kcomp$tt GROUP BY c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH kseeds AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid,
+       |   CAST(row_number() OVER (ORDER BY md5('km:'||vec_id)) AS INT) AS c
+       |  FROM embeddings
+       |  QUALIFY c <= $KM_K),
+       |kcb0 AS (SELECT c, centroid FROM kseeds),
+       |ex AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+       |  FROM embeddings),
+       |$iters,
+       |ksdE AS (
+       |  SELECT ex.vec_id, cb.c,
+       |   CAST(round(CAST(sum(power(ex.x[i.i] - cb.centroid[i.i], 2)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS sd
+       |  FROM ex, kcb$KM_T cb, generate_series(1, $PCA_DIM) i(i)
+       |  GROUP BY ex.vec_id, cb.c)
+       |SELECT vec_id, c AS cluster, sd FROM ksdE
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sd ASC, c ASC) = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def oracle: Seq[(String, String)] = Seq(
+    "q_ml_kmeans" -> kmeansSql,
     "q_ml_pca_power" -> pcaSql,
     "q_ml_pca_project" -> pcaProjectSql,
     "q_emb_quantize" ->

@@ -116,6 +116,52 @@ class VectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ml_kmeans == plain-Scala Lloyd at the same seed/rounding schedule") {
+    val got = q("q_ml_kmeans").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val xs = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(got.map(_._1).toSet == xs.keySet, "one verdict per vector")
+    val used = got.map(_._2).toSet
+    assert(used.size >= 2 && used.size <= 8, s"clusters used: $used")
+    // plain-Scala reference: md5-ranked seeds, 3 Lloyd steps, the same
+    // 4dp-distance / 6dp-mean rounding schedule as the oracle pair
+    def r(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    var cents: Map[Int, Array[Double]] = xs.keys.toSeq
+      .sortBy(id => md5hex(s"km:$id")).take(8).zipWithIndex
+      .map { case (id, i) => (i + 1) -> xs(id) }.toMap
+    def sqd(x: Array[Double], c: Array[Double]): Double =
+      // r4 = round(cast(· AS DECIMAL(38,6)), 4): TWO-stage rounding — a
+      // raw 0.9442499̄ lands on the .94425 boundary at 6dp and HALF_UPs
+      // to 0.9443, where a single 4dp round gives 0.9442
+      r(r(x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, 6), 4)
+    def assign(): Map[Long, (Int, Double)] = xs.map { case (id, x) =>
+      id -> cents.toSeq.map { case (c, cent) => (sqd(x, cent), c) }.minBy(identity)
+        .swap
+    }
+    for (_ <- 1 to 3) {
+      val a = assign()
+      cents = a.groupBy(_._2._1).map { case (c, members) =>
+        val vs = members.keys.map(xs).toSeq
+        // stay in decimal until the final double division — rounding the
+        // 6dp values back to binary doubles before summing loses the
+        // exactness the engine's DECIMAL(38,6) partials have
+        c -> Array.tabulate(64)(j =>
+          vs.map(v => BigDecimal(v(j))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / vs.size)
+      }
+    }
+    val ref = assign()
+    got.foreach { case (id, cl, sd) =>
+      assert(cl == ref(id)._1, s"vec $id cluster $cl vs reference ${ref(id)._1}")
+      assert(math.abs(sd - ref(id)._2) < 1e-9, s"vec $id sd $sd vs ${ref(id)._2}")
+    }
+  }
+
   test("q_ml_pca_project scores the batch against the frozen component (Pythagoras + reference)") {
     val comp = q("q_ml_pca_power").collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap // dim -> (mu, loading)
