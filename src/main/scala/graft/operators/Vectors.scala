@@ -171,6 +171,21 @@ object Vectors extends QueryPack {
         .select(col("dim"), col("mu"), col("v"))
     }
 
+  /** Rank-1 assignment of the corpus against the frozen centroids —
+    * shared by the assignment query and the cells audit. */
+  private def kmAssigned(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("x"))
+    val sd = e.crossJoin(broadcast(kmCentroids(s, d)))
+      .select(col("vec_id"), col("c"),
+        kmSqDist(col("x"), col("centroid")).as("sd"))
+    org.apache.spark.sql.graftx.TopK.topKPerKey(sd,
+        keyNames = Seq("vec_id"), orderBy = Seq("sd" -> true, "c" -> true),
+        k = 1, rankName = "rnk")
+      .select(col("vec_id"), col("c").as("cluster"), col("sd"))
+  }
+
   def queries: Seq[(String, Fn)] = Seq(
     // Top principal component by distributed POWER ITERATION — the
     // dimensionality-reduction primitive an embedding store runs before
@@ -240,19 +255,21 @@ object Vectors extends QueryPack {
     // broadcast join (centroids are ≤K×64 doubles at any corpus size),
     // rank-1 via the map-side-heap TopKPerKey plan — ≤1 row per vector
     // per partition reaches the shuffle.
-    "q_ml_kmeans" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("x"))
-      val sd = e.crossJoin(broadcast(kmCentroids(s, d)))
-        .select(col("vec_id"), col("c"),
-          kmSqDist(col("x"), col("centroid")).as("sd"))
-      org.apache.spark.sql.graftx.TopK.topKPerKey(sd,
-          keyNames = Seq("vec_id"), orderBy = Seq("sd" -> true, "c" -> true),
-          k = 1, rankName = "rnk")
-        .select(col("vec_id"), col("c").as("cluster"), col("sd"))
-        .orderBy("vec_id")
-    }),
+    "q_ml_kmeans" -> ((s, d) =>
+      kmAssigned(s, d).orderBy("vec_id")),
+
+    // Cluster-balance audit as data (the q_dedup_semantic_cells shape for
+    // the clustering family): per-cluster member count and inertia
+    // (within-cluster Σsd — sums ride exact DECIMAL partials over the
+    // already-4dp distances, so the total is order-immune). K rows out at
+    // any corpus size; a skewed or empty-ing clustering is read off the
+    // query result, not asserted in a comment.
+    "q_ml_kmeans_cells" -> ((s, d) =>
+      kmAssigned(s, d).groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          (sum(col("sd").cast(dec6)).cast(DoubleType)).as("inertia"))
+        .select(col("cluster"), col("n_members"), r4(col("inertia")).as("inertia"))
+        .orderBy("cluster")),
 
     // int8 quantization quality report: per-vector integer invariants
     // (exact on both engines) + reconstruction MSE. One narrow map over
@@ -391,7 +408,7 @@ object Vectors extends QueryPack {
     * assignment + decimal-mean recompute), final scoring against
     * kcb[[KM_T]]. The loop count is the same constant both engines read,
     * so the chains stay stage-for-stage identical at any T. */
-  private def kmeansSql: String = {
+  private def kmCtes: String = {
     val iters = (1 to KM_T).map { tt =>
       s"""ksd$tt AS (
          |  SELECT ex.vec_id, cb.c,
@@ -408,7 +425,7 @@ object Vectors extends QueryPack {
          |  GROUP BY a.c, i.i),
          |kcb$tt AS (SELECT c, list(m ORDER BY i) AS centroid FROM kcomp$tt GROUP BY c)""".stripMargin
     }.mkString(",\n")
-    s"""WITH kseeds AS (
+    s"""kseeds AS (
        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid,
        |   CAST(row_number() OVER (ORDER BY md5('km:'||vec_id)) AS INT) AS c
        |  FROM embeddings
@@ -422,14 +439,25 @@ object Vectors extends QueryPack {
        |  SELECT ex.vec_id, cb.c,
        |   CAST(round(CAST(sum(power(ex.x[i.i] - cb.centroid[i.i], 2)) AS DECIMAL(38,6)), 4) AS DOUBLE) AS sd
        |  FROM ex, kcb$KM_T cb, generate_series(1, $PCA_DIM) i(i)
-       |  GROUP BY ex.vec_id, cb.c)
-       |SELECT vec_id, c AS cluster, sd FROM ksdE
-       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sd ASC, c ASC) = 1
-       |ORDER BY vec_id""".stripMargin
+       |  GROUP BY ex.vec_id, cb.c),
+       |kfinal AS (
+       |  SELECT vec_id, c AS cluster, sd FROM ksdE
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sd ASC, c ASC) = 1)""".stripMargin
   }
+
+  private def kmeansSql: String =
+    s"""WITH $kmCtes
+       |SELECT vec_id, cluster, sd FROM kfinal ORDER BY vec_id""".stripMargin
+
+  private def kmeansCellsSql: String =
+    s"""WITH $kmCtes
+       |SELECT cluster, count(*) AS n_members,
+       | CAST(round(CAST(sum(CAST(sd AS DECIMAL(38,6))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS inertia
+       |FROM kfinal GROUP BY cluster ORDER BY cluster""".stripMargin
 
   def oracle: Seq[(String, String)] = Seq(
     "q_ml_kmeans" -> kmeansSql,
+    "q_ml_kmeans_cells" -> kmeansCellsSql,
     "q_ml_pca_power" -> pcaSql,
     "q_ml_pca_project" -> pcaProjectSql,
     "q_emb_quantize" ->

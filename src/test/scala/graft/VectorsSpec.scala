@@ -162,6 +162,24 @@ class VectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ml_kmeans_cells: memberships sum to N, inertia == member sd sums") {
+    val assign = q("q_ml_kmeans").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val cells = q("q_ml_kmeans_cells").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(cells.values.map(_._1).sum == assign.length, "memberships != corpus")
+    def r(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assign.groupBy(_._2).foreach { case (cl, members) =>
+      assert(cells(cl)._1 == members.length, s"cluster $cl size")
+      // member sds are exact 4dp values — a decimal sum reproduces inertia
+      val want = members.map(m => BigDecimal(m._3).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(math.abs(cells(cl)._2 - r(want, 4)) < 1e-9,
+        s"cluster $cl inertia ${cells(cl)._2} vs $want")
+    }
+  }
+
   test("q_ml_pca_project scores the batch against the frozen component (Pythagoras + reference)") {
     val comp = q("q_ml_pca_power").collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap // dim -> (mu, loading)
