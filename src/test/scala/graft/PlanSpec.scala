@@ -278,6 +278,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_ml_kmeans: K-row broadcast scoring into map-side heaps, no window") {
+    val p = plan("q_ml_kmeans").split("== Initial Plan ==").head
+    // centroids come from the persisted artifact (not retrained) and ride
+    // a BOUNDED broadcast cross (≤K rows); rank-1 runs through the
+    // map-side-heap TopKPerKey plan, never a per-vector window sort
+    assert(p.contains("InMemoryTableScan"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_bpe_pairs: one corpus-scale shuffle (word count), partial aggs throughout") {
     val p = plan("q_text_bpe_pairs").split("== Initial Plan ==").head
     // word counts and pair counts both partial-aggregate map-side; top-20
