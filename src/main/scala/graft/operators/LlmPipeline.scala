@@ -743,6 +743,25 @@ object LlmPipeline extends QueryPack {
         (col("vec_id") =!= col("keeper")).as("dropped"))
   }
 
+  /** The full oversize-guard recipe, composed: one geometric split pass,
+    * then the cap fast-drop on any cell STILL over bound. The two
+    * failure modes partition cleanly — a giant cell is either diverse
+    * (the sub-quantizer separates it; [[semSplitOversized]]) or
+    * duplicate-degenerate (no quantizer can; [[semCapVerdicts]] drops
+    * all but one of the near-identical mass in O(n)) — so after this,
+    * every cell is either ≤4·c or has its quadratic core already
+    * resolved by cap verdicts, and the within-cell pair join runs on
+    * bounded cells plus bounded cap remainders. Returns (split
+    * assignment, fast-drop verdicts for still-oversized cells). */
+  def semOversizeGuard(vecs: DataFrame, assign: DataFrame, c: Int,
+      tau: Double): (DataFrame, DataFrame) = {
+    val a1 = semSplitOversized(vecs, assign, c)
+    val still = a1.groupBy("cell").agg(count(lit(1)).as("n"))
+      .where(col("n") > 4 * c).select("cell")
+    val fast = semCapVerdicts(vecs, a1.join(maybeBroadcast(still), "cell"), tau)
+    (a1, fast)
+  }
+
   /** Corpus side of the ingest-delta probe: the persisted rank-1
     * assignment joined back to its vectors, optionally filtered (the
     * delta excludes the batch's own ids — the standing corpus is the

@@ -385,6 +385,46 @@ class LlmSpec extends AnyFunSuite {
       s"cap fired on dissimilar members: ${out.filter(_._2 == 9L).mkString(",")}")
   }
 
+  test("oversize guard composition: split handles diverse mass, cap resolves the duplicate core") {
+    import spark.implicits._
+    val c = 4
+    val tau = 0.35
+    // one cell mixing both failure modes: 320 diverse members (8 axis
+    // directions, wobbled) the split CAN separate, plus 24 exact
+    // duplicates of a 9th pattern it CANNOT — after one split pass the
+    // duplicate mass re-concentrates in one still-oversized sub-cell,
+    // which the cap fast-drop then resolves in O(n)
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val v = Array.fill(9)(0.02f * ((i + axis) % 5))
+      v(axis) = 1f
+      v
+    }
+    val diverse = (0 until 320).map(i => (100L + i, vec(i % 8, i / 8), 7L))
+    val dups = (0 until 24).map(i => (1000L + i, vec(8, 0), 7L))
+    val all = diverse ++ dups
+    val vecs = all.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding")
+    val assign = all.map { case (id, _, cell) => (id, cell) }.toDF("vec_id", "cell")
+    val (a1, fast) = graft.operators.LlmPipeline.semOversizeGuard(vecs, assign, c, tau)
+    val cells = a1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.keySet == all.map(_._1).toSet, "guard must cover every vector")
+    val sizes = cells.groupBy(_._2).view.mapValues(_.size).toMap
+    val still = sizes.filter(_._2 > 4 * c).keySet
+    assert(still.nonEmpty, "fixture must leave a still-oversized duplicate core")
+    val drops = fast.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(drops.map(_._2).toSet.subsetOf(still), "cap runs ONLY on still-oversized cells")
+    still.foreach { cell =>
+      val members = cells.filter(_._2 == cell).keySet
+      val dropped = drops.filter(d => d._2 == cell && d._3).map(_._1).toSet
+      assert(dropped.subsetOf(members))
+      assert(members.size - dropped.size <= 4 * c,
+        s"cell $cell residual ${members.size - dropped.size} still over bound")
+    }
+    // the duplicate mass specifically: all 24 land together, 23 drop
+    val dupCells = dups.map(_._1).map(cells).toSet
+    assert(dupCells.size == 1, s"exact duplicates scattered: $dupCells")
+    assert(drops.count(d => d._1 >= 1000L && d._3) == 23)
+  }
+
   test("IVF-PQ: valid output shape; ADC ranks true neighbors into the rerank set") {
     val rows = q("q_sim_ann_ivfpq").collect()
     assert(rows.nonEmpty)
