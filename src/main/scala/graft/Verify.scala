@@ -93,8 +93,8 @@ object Verify {
       val anns = Seq("lsh" -> "q_sim_ann_lsh", "lsh_probe" -> "q_sim_ann_lsh_probe",
         "lsh_multi" -> "q_sim_ann_lsh_multi", "lsh_mp" -> "q_sim_ann_lsh_mp",
         "ivf" -> "q_sim_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp",
-        "ivf_k" -> "q_sim_ann_ivf_k", "ivfpq" -> "q_sim_ann_ivfpq",
-        "sq" -> "q_sim_ann_sq")
+        "ivf_k" -> "q_sim_ann_ivf_k", "ivfc" -> "q_sim_ann_ivfc",
+        "ivfpq" -> "q_sim_ann_ivfpq", "sq" -> "q_sim_ann_sq")
         .map { case (k, qn) =>
           k -> SparkEntry.queries(qn)(spark, sfDir)
             .select(col("vec_id"), col("neighbor_id")).persist()

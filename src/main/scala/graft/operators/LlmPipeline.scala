@@ -824,6 +824,44 @@ object LlmPipeline extends QueryPack {
           col("arnk"))
     }
 
+  /** Fixed probe count of the constant-cell ANN ([[ivfcProbes]]) — the
+    * N-INDEPENDENT dial that buys recall at NP·c candidate rows per
+    * query. Measured dial curve at sf0.1 (vs exhaustive, RECALL.json):
+    * NP=4/2 groups 0.45 → 8/3 0.54→0.65 → 12/4 0.79 → 16/5 0.886 ≈
+    * ivf_k's 0.894 — comparable recall to the √N-dial family at a
+    * LINEAR candidate volume. On this deliberately structure-free
+    * synthetic corpus recall tracks probed mass (~2.5–4× concentration
+    * above it); clustered real-world embeddings concentrate far harder,
+    * which is what lets production IVF run NP ≪ k. */
+  private val IVFC_NP = 16
+
+  /** Probe list of the constant-cell ANN: each query ranks the fine
+    * cells of its TOP-2 coarse groups (closing the coarse boundary the
+    * way top-2 assignment closes the fine one) and keeps the overall
+    * top-[[IVFC_NP]] by fine-centroid cosine. Per query: k1 = √(N/c)
+    * coarse scores + ~2·√k_total fine scores scoped by the g equi-join,
+    * then NP·c candidate rows — NP and c both constants, so total
+    * candidate volume is O(N·NP·c), LINEAR in N (the SCALING_r11
+    * follow-up: the √N-dial family measures N^1.75 in shuffle bytes;
+    * this is the same-recipe variant whose dials do not grow with N). */
+  private def ivfcProbes(s: SparkSession, d: String): DataFrame =
+    cached(s, d, s"ivfc_probes_np$IVFC_NP") {
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val g2 = org.apache.spark.sql.graftx.TopK.topKPerKey(
+          semScore(e, semCoarseCentroids(s, d), Seq.empty, "ccos"),
+          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
+          k = 5, rankName = "grnk")
+        .select(col("vec_id"), col("g"))
+      val scored = semScore(e.join(g2, "vec_id"), semFineCentroids(s, d),
+        Seq("g"), "fcos")
+      org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("fcos" -> false, "g" -> true, "j" -> true),
+          k = IVFC_NP, rankName = "prnk")
+        .select(col("vec_id"),
+          (col("g").cast(LongType) * 1000000L + col("j")).as("cell"))
+    }
+
   /** Product-quantization geometry: [[PQ_M]] subspaces of [[PQ_SUBDIM]]
     * dims, [[PQ_K]] codes per subspace — a vector compresses to 8 nibble
     * codes (4 bytes vs 256), and approximate distances are sums of
@@ -1708,6 +1746,35 @@ object LlmPipeline extends QueryPack {
       val assigned = ivfKAssign2(s, d)
       // distinct: a top-2-assigned neighbor can match two probe cells of
       // the same query — dedup the id-pairs BEFORE touching wide vectors
+      val cands = probes.as("a")
+        .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = cands
+        .join(maybeBroadcast(e.as("ea")), col("qid") === col("ea.vec_id"))
+        .join(maybeBroadcast(e.as("eb")), col("nid") === col("eb.vec_id"))
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          r4(cosine(col("ea.embedding"), col("eb.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
+    // Constant-cell IVF — the 100 TB re-dialing of q_sim_ann_ivf_k,
+    // reusing the semantic family's PERSISTED two-level k = N/c quantizer
+    // (coarse+fine centroids, top-2 corpus assignment) as the search
+    // index: probes are the top-NP fine cells across the query's top-2
+    // coarse groups, NP and cell size c both N-INDEPENDENT constants, so
+    // candidate volume is O(N·NP·c) — the linear class in the
+    // SCALING_r11 shuffle audit, vs N^1.75 for the √N-dial family.
+    // Candidate/rerank tail identical to q_sim_ann_ivf_k.
+    "q_sim_ann_ivfc" -> ((s, d) => {
+      val probes = ivfcProbes(s, d)
+      val assigned = semAssign2(s, d).select(col("vec_id"), col("cell"))
       val cands = probes.as("a")
         .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -2769,6 +2836,39 @@ object LlmPipeline extends QueryPack {
          |   CAST(row_number() OVER (PARTITION BY c.qid
          |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
          |  FROM kcands c JOIN embeddings a ON c.qid = a.vec_id
+         |   JOIN embeddings b ON c.nid = b.vec_id)
+         |WHERE rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin,
+    "q_sim_ann_ivfc" ->
+      s"""WITH $semCtesSql,
+         |qg2 AS (
+         |  SELECT vec_id, g FROM (
+         |    SELECT e.vec_id, c.g,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+         |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
+         |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, c.g ASC) AS grnk
+         |    FROM embeddings e CROSS JOIN ccent c)
+         |  WHERE grnk <= 5),
+         |qprobes AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, CAST(q.g AS BIGINT) * 1000000 + f.j AS cell,
+         |     row_number() OVER (PARTITION BY q.vec_id
+         |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+         |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), f.centroid)
+         |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, q.g ASC, f.j ASC) AS prnk
+         |    FROM qg2 q JOIN embeddings e USING (vec_id) JOIN fcent f ON q.g = f.g)
+         |  WHERE prnk <= $IVFC_NP),
+         |iccands AS (
+         |  SELECT DISTINCT p.vec_id AS qid, q.vec_id AS nid
+         |  FROM qprobes p JOIN sassignedR q
+         |   ON p.cell = q.cell AND p.vec_id <> q.vec_id)
+         |SELECT vec_id, neighbor_id, cos, rnk FROM (
+         |  SELECT c.qid AS vec_id, c.nid AS neighbor_id,
+         |   $cosSql AS cos,
+         |   CAST(row_number() OVER (PARTITION BY c.qid
+         |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
+         |  FROM iccands c JOIN embeddings a ON c.qid = a.vec_id
          |   JOIN embeddings b ON c.nid = b.vec_id)
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
