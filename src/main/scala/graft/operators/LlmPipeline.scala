@@ -844,22 +844,30 @@ object LlmPipeline extends QueryPack {
     * candidate volume is O(N·NP·c), LINEAR in N (the SCALING_r11
     * follow-up: the √N-dial family measures N^1.75 in shuffle bytes;
     * this is the same-recipe variant whose dials do not grow with N). */
+  /** Probe list for an ARBITRARY vector set against the frozen two-level
+    * quantizer — the scoring chain [[ivfcProbes]] runs corpus-wide and
+    * the ingest delta runs batch-only (identical expressions, so batch
+    * probes ≡ the corpus probe list restricted to batch ids). */
+  private def ivfcProbesFor(s: SparkSession, d: String, eIn: DataFrame): DataFrame = {
+    val e = eIn.select(col("vec_id"), col("embedding"))
+    val g2 = org.apache.spark.sql.graftx.TopK.topKPerKey(
+        semScore(e, semCoarseCentroids(s, d), Seq.empty, "ccos"),
+        keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
+        k = 5, rankName = "grnk")
+      .select(col("vec_id"), col("g"))
+    val scored = semScore(e.join(g2, "vec_id"), semFineCentroids(s, d),
+      Seq("g"), "fcos")
+    org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
+        keyNames = Seq("vec_id"),
+        orderBy = Seq("fcos" -> false, "g" -> true, "j" -> true),
+        k = IVFC_NP, rankName = "prnk")
+      .select(col("vec_id"),
+        (col("g").cast(LongType) * 1000000L + col("j")).as("cell"))
+  }
+
   private def ivfcProbes(s: SparkSession, d: String): DataFrame =
     cached(s, d, s"ivfc_probes_np$IVFC_NP") {
-      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val g2 = org.apache.spark.sql.graftx.TopK.topKPerKey(
-          semScore(e, semCoarseCentroids(s, d), Seq.empty, "ccos"),
-          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
-          k = 5, rankName = "grnk")
-        .select(col("vec_id"), col("g"))
-      val scored = semScore(e.join(g2, "vec_id"), semFineCentroids(s, d),
-        Seq("g"), "fcos")
-      org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
-          keyNames = Seq("vec_id"),
-          orderBy = Seq("fcos" -> false, "g" -> true, "j" -> true),
-          k = IVFC_NP, rankName = "prnk")
-        .select(col("vec_id"),
-          (col("g").cast(LongType) * 1000000L + col("j")).as("cell"))
+      ivfcProbesFor(s, d, t(s, d, "embeddings"))
     }
 
   /** Product-quantization geometry: [[PQ_M]] subspaces of [[PQ_SUBDIM]]
@@ -1784,6 +1792,36 @@ object LlmPipeline extends QueryPack {
       val pairs = cands
         .join(maybeBroadcast(e.as("ea")), col("qid") === col("ea.vec_id"))
         .join(maybeBroadcast(e.as("eb")), col("nid") === col("eb.vec_id"))
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          r4(cosine(col("ea.embedding"), col("eb.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
+    // Constant-cell IVF ingest delta — the per-ingest face of
+    // q_sim_ann_ivfc, completing its lifecycle: a new embedding batch
+    // (vec_id%10=7) ranks its probe cells FRESH against the frozen
+    // coarse+fine centroid artifacts (identical scoring chain, so batch
+    // probes ≡ the corpus probe list restricted to batch ids) and meets
+    // only the PERSISTED top-2 corpus assignment — O(batch·NP·c) work
+    // per ingest, N-independent dials, the corpus never rescored.
+    "q_sim_ann_ivfc_delta" -> ((s, d) => {
+      val isBatch = col("vec_id") % 10 === 7
+      val e = t(s, d, "embeddings")
+      val probes = ivfcProbesFor(s, d, e.where(isBatch))
+      val cands = probes.as("a")
+        .join(maybeBroadcast(semAssign2(s, d).where(!isBatch)
+            .select(col("vec_id"), col("cell")).as("b")),
+          col("a.cell") === col("b.cell"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
+      val ev = e.select(col("vec_id"), col("embedding"))
+      val pairs = cands
+        .join(maybeBroadcast(ev.as("ea")), col("qid") === col("ea.vec_id"))
+        .join(maybeBroadcast(ev.as("eb")), col("nid") === col("eb.vec_id"))
         .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
           r4(cosine(col("ea.embedding"), col("eb.embedding"))).as("cos"))
       org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
@@ -2869,6 +2907,43 @@ object LlmPipeline extends QueryPack {
          |   CAST(row_number() OVER (PARTITION BY c.qid
          |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
          |  FROM iccands c JOIN embeddings a ON c.qid = a.vec_id
+         |   JOIN embeddings b ON c.nid = b.vec_id)
+         |WHERE rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin,
+    // batch probes ≡ the corpus probe list restricted to batch ids (the
+    // qprobes chain scores every vector identically), corpus side of the
+    // candidate join excludes the batch
+    "q_sim_ann_ivfc_delta" ->
+      s"""WITH $semCtesSql,
+         |qg2 AS (
+         |  SELECT vec_id, g FROM (
+         |    SELECT e.vec_id, c.g,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+         |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
+         |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, c.g ASC) AS grnk
+         |    FROM embeddings e CROSS JOIN ccent c)
+         |  WHERE grnk <= 5),
+         |qprobes AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, CAST(q.g AS BIGINT) * 1000000 + f.j AS cell,
+         |     row_number() OVER (PARTITION BY q.vec_id
+         |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+         |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), f.centroid)
+         |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, q.g ASC, f.j ASC) AS prnk
+         |    FROM qg2 q JOIN embeddings e USING (vec_id) JOIN fcent f ON q.g = f.g)
+         |  WHERE prnk <= $IVFC_NP),
+         |icdcands AS (
+         |  SELECT DISTINCT p.vec_id AS qid, q.vec_id AS nid
+         |  FROM qprobes p JOIN sassignedR q
+         |   ON p.cell = q.cell
+         |  WHERE p.vec_id % 10 = 7 AND q.vec_id % 10 <> 7)
+         |SELECT vec_id, neighbor_id, cos, rnk FROM (
+         |  SELECT c.qid AS vec_id, c.nid AS neighbor_id,
+         |   $cosSql AS cos,
+         |   CAST(row_number() OVER (PARTITION BY c.qid
+         |     ORDER BY $cosSql DESC, c.nid ASC) AS INT) AS rnk
+         |  FROM icdcands c JOIN embeddings a ON c.qid = a.vec_id
          |   JOIN embeddings b ON c.nid = b.vec_id)
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,

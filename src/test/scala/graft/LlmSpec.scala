@@ -327,6 +327,20 @@ class LlmSpec extends AnyFunSuite {
     assert(verdictCells == cells.map(_.getAs[Long]("cell")).toSet)
   }
 
+  test("constant-cell ANN delta: batch-side queries only, corpus-side neighbors only") {
+    val rows = q("q_sim_ann_ivfc_delta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n, _) => q % 10 == 7 && n % 10 != 7 },
+      "delta contract: batch queries x corpus neighbors")
+    // probed-cell membership is implied by the oracle hash; spot-check
+    // the per-query rank shape (dense 1..k, k <= 3)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.size <= 3 && g.map(_._3).toSet == (1 to g.size).toSet,
+        s"ranks not dense: $g")
+    }
+  }
+
   test("oversize split: giant diverse cell re-quantized under the 4c bound, small cells untouched") {
     import spark.implicits._
     val c = 4 // tiny dial so the fixture stays small: bound = 4c = 16
