@@ -171,10 +171,12 @@ object Vectors extends QueryPack {
         .select(col("dim"), col("mu"), col("v"))
     }
 
-  /** Rank-1 assignment of the corpus against the frozen centroids —
-    * shared by the assignment query and the cells audit. */
-  private def kmAssigned(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
+  /** Rank-1 assignment of an arbitrary vector set against the frozen
+    * centroids — corpus-wide for the assignment query and cells audit,
+    * batch-only for the ingest face (identical scoring chain, so batch
+    * verdicts ≡ the corpus assignment restricted to batch ids). */
+  private def kmAssignedFor(s: SparkSession, d: String, eIn: DataFrame): DataFrame = {
+    val e = eIn
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("x"))
     val sd = e.crossJoin(broadcast(kmCentroids(s, d)))
@@ -185,6 +187,9 @@ object Vectors extends QueryPack {
         k = 1, rankName = "rnk")
       .select(col("vec_id"), col("c").as("cluster"), col("sd"))
   }
+
+  private def kmAssigned(s: SparkSession, d: String): DataFrame =
+    kmAssignedFor(s, d, t(s, d, "embeddings"))
 
   def queries: Seq[(String, Fn)] = Seq(
     // Top principal component by distributed POWER ITERATION — the
@@ -270,6 +275,16 @@ object Vectors extends QueryPack {
           (sum(col("sd").cast(dec6)).cast(DoubleType)).as("inertia"))
         .select(col("cluster"), col("n_members"), r4(col("inertia")).as("inertia"))
         .orderBy("cluster")),
+
+    // Apply face of k-means: an ingest batch (vec_id%10=7, the family
+    // convention) scored against the FROZEN centroid artifact —
+    // O(batch·K·64) work, the corpus never rescored (the
+    // train-once/apply-per-ingest lifecycle every persisted model here
+    // follows). Batch verdicts ≡ the corpus assignment restricted to
+    // batch ids because the scoring chain is shared verbatim.
+    "q_ml_kmeans_assign" -> ((s, d) =>
+      kmAssignedFor(s, d, t(s, d, "embeddings").where(col("vec_id") % 10 === 7))
+        .orderBy("vec_id")),
 
     // int8 quantization quality report: per-vector integer invariants
     // (exact on both engines) + reconstruction MSE. One narrow map over
@@ -458,6 +473,10 @@ object Vectors extends QueryPack {
   def oracle: Seq[(String, String)] = Seq(
     "q_ml_kmeans" -> kmeansSql,
     "q_ml_kmeans_cells" -> kmeansCellsSql,
+    "q_ml_kmeans_assign" ->
+      s"""WITH $kmCtes
+         |SELECT vec_id, cluster, sd FROM kfinal
+         |WHERE vec_id % 10 = 7 ORDER BY vec_id""".stripMargin,
     "q_ml_pca_power" -> pcaSql,
     "q_ml_pca_project" -> pcaProjectSql,
     "q_emb_quantize" ->

@@ -180,6 +180,18 @@ class VectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ml_kmeans_assign: batch verdicts == corpus assignment restricted to batch ids") {
+    val batch = q("q_ml_kmeans_assign").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(batch.nonEmpty && batch.forall(_._1 % 10 == 7),
+      "batch contract: vec_id%10=7 only")
+    val full = q("q_ml_kmeans").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .filter(_._1 % 10 == 7)
+    assert(batch.sorted.sameElements(full.sorted),
+      "shared scoring chain must make the ingest face a restriction")
+  }
+
   test("q_ml_pca_project scores the batch against the frozen component (Pythagoras + reference)") {
     val comp = q("q_ml_pca_power").collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap // dim -> (mu, loading)
