@@ -827,13 +827,21 @@ object LlmPipeline extends QueryPack {
   /** Fixed probe count of the constant-cell ANN ([[ivfcProbes]]) — the
     * N-INDEPENDENT dial that buys recall at NP·c candidate rows per
     * query. Measured dial curve at sf0.1 (vs exhaustive, RECALL.json):
-    * NP=4/2 groups 0.45 → 8/3 0.54→0.65 → 12/4 0.79 → 16/5 0.886 ≈
-    * ivf_k's 0.894 — comparable recall to the √N-dial family at a
-    * LINEAR candidate volume. On this deliberately structure-free
-    * synthetic corpus recall tracks probed mass (~2.5–4× concentration
-    * above it); clustered real-world embeddings concentrate far harder,
-    * which is what lets production IVF run NP ≪ k. */
-  private val IVFC_NP = 16
+    * NP=4/2 groups 0.45 → 8/3 0.54→0.65 → 12/4 0.79 → 16/5 0.886 →
+    * 20/5 (r12, lifting the last production pick above the 0.9 bar the
+    * rest of the tier clears; the dial is N-independent so the lift
+    * costs +25% candidate rows at ANY corpus size, no class change).
+    * On this deliberately structure-free synthetic corpus recall tracks
+    * probed mass (~2.5–4× concentration above it); clustered real-world
+    * embeddings concentrate far harder, which is what lets production
+    * IVF run NP ≪ k. */
+  private val IVFC_NP = 20
+
+  /** Coarse fan of the constant-cell probe list: each query expands its
+    * top-[[IVFC_G]] coarse groups before ranking fine cells — the same
+    * boundary-closing dial as top-2 assignment, one level up. Constant,
+    * N-independent. */
+  private val IVFC_G = 5
 
   /** Probe list of the constant-cell ANN: each query ranks the fine
     * cells of its TOP-2 coarse groups (closing the coarse boundary the
@@ -853,7 +861,7 @@ object LlmPipeline extends QueryPack {
     val g2 = org.apache.spark.sql.graftx.TopK.topKPerKey(
         semScore(e, semCoarseCentroids(s, d), Seq.empty, "ccos"),
         keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
-        k = 5, rankName = "grnk")
+        k = IVFC_G, rankName = "grnk")
       .select(col("vec_id"), col("g"))
     val scored = semScore(e.join(g2, "vec_id"), semFineCentroids(s, d),
       Seq("g"), "fcos")
@@ -1951,6 +1959,58 @@ object LlmPipeline extends QueryPack {
         pqDtablePlan(e.where(isBatch), cb))
     }),
 
+    // Constant-cell IVF-PQ — the memory-economy tier re-dialed for the
+    // linear class (the one scale `weak` left open in round 11): PQ's
+    // 4-byte codes + ADC ranking, but candidates come from the PERSISTED
+    // k = N/c two-level quantizer q_sim_ann_ivfc probes instead of the
+    // √N-dial trained-k index. Per query: IVFC_NP·c candidate rows (both
+    // constants), ADC = nibble equi-joins + a column sum on UNEXPANDED
+    // candidate rows, exact rerank touches wide vectors for PQ_RERANK
+    // ids only — so total candidate volume is O(N·NP·c), the linear
+    // class q_sim_ann_ivfpq's N² dials can't reach, at PQ's memory
+    // price. Every artifact is frozen and shared: the semantic family's
+    // coarse/fine centroids + top-2 assignment, the PQ codebooks/nibble
+    // index, and the ADC distance table are all reused as-is.
+    "q_sim_ann_ivfc_pq" -> ((s, d) => {
+      val probes = ivfcProbes(s, d)
+      val assigned = semAssign2(s, d).select(col("vec_id"), col("cell"))
+      val cands = probes.as("a")
+        .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
+      val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
+      val dtable = cached(s, d, "pq_dtable") {
+        pqDtablePlan(t(s, d, "embeddings"), cb)
+      }
+      pqAdcRerank(s, d, cands, pqCodesWide(s, d), dtable)
+    }),
+
+    // Constant-cell IVF-PQ ingest delta — the per-ingest face: a new
+    // embedding batch (vec_id%10=7) ranks its probe cells FRESH against
+    // the frozen coarse+fine centroids (identical scoring chain — batch
+    // probes ≡ the corpus probe list restricted to batch ids), computes
+    // its own ADC distance table (O(batch × M×K) scalars), and probes
+    // only the PERSISTED top-2 corpus assignment + nibble index —
+    // O(batch·NP·c) work per ingest with N-independent dials; the
+    // corpus is never rescored and its wide vectors are touched only
+    // for the ADC shortlist rerank.
+    "q_sim_ann_ivfc_pq_delta" -> ((s, d) => {
+      val isBatch = col("vec_id") % 10 === 7
+      val e = t(s, d, "embeddings")
+      val probes = ivfcProbesFor(s, d, e.where(isBatch))
+      val cands = probes.as("a")
+        .join(maybeBroadcast(semAssign2(s, d).where(!isBatch)
+            .select(col("vec_id"), col("cell")).as("b")),
+          col("a.cell") === col("b.cell"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
+      val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
+      pqAdcRerank(s, d, cands,
+        pqCodesWide(s, d).where(!(col("nid") % 10 === 7)),
+        pqDtablePlan(e.where(isBatch), cb))
+    }),
+
     // End-to-end training-data pipeline — the composition a real corpus
     // run executes: exact-dedup keepers → quality filter → deterministic
     // 50% hash sample → per-language summary. The point is operator
@@ -2496,6 +2556,32 @@ object LlmPipeline extends QueryPack {
        |sassigned AS (
        |  SELECT vec_id, embedding, cell FROM sassignedR WHERE arnk = 1)""".stripMargin
 
+  /** Oracle mirror of [[ivfcProbesFor]] over the full corpus (the delta
+    * restricts by batch id downstream — the scoring chain ranks every
+    * vector identically, so batch probes ≡ this list filtered):
+    * top-[[IVFC_G]] coarse groups per query, then the overall
+    * top-[[IVFC_NP]] fine cells by fine-centroid cosine. Expects the
+    * [[semCtesSql]] block in scope. */
+  private val ivfcProbeCtesSql: String =
+    s"""qg2 AS (
+       |  SELECT vec_id, g FROM (
+       |    SELECT e.vec_id, c.g,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+       |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
+       |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, c.g ASC) AS grnk
+       |    FROM embeddings e CROSS JOIN ccent c)
+       |  WHERE grnk <= $IVFC_G),
+       |qprobes AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT q.vec_id, CAST(q.g AS BIGINT) * 1000000 + f.j AS cell,
+       |     row_number() OVER (PARTITION BY q.vec_id
+       |       ORDER BY CAST(round(CAST(list_cosine_similarity(
+       |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), f.centroid)
+       |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, q.g ASC, f.j ASC) AS prnk
+       |    FROM qg2 q JOIN embeddings e USING (vec_id) JOIN fcent f ON q.g = f.g)
+       |  WHERE prnk <= $IVFC_NP)""".stripMargin
+
   /** PQ CTE chain (mirrors [[pqCodebooks]]/[[pqCodes]] stage for stage):
     * md5-ranked seeds, then [[PQ_LLOYD]] per-subspace Lloyd iterations
     * (rounded-L2 assignment + decimal-mean recompute) GENERATED as one
@@ -2879,24 +2965,7 @@ object LlmPipeline extends QueryPack {
          |ORDER BY vec_id, rnk""".stripMargin,
     "q_sim_ann_ivfc" ->
       s"""WITH $semCtesSql,
-         |qg2 AS (
-         |  SELECT vec_id, g FROM (
-         |    SELECT e.vec_id, c.g,
-         |     row_number() OVER (PARTITION BY e.vec_id
-         |       ORDER BY CAST(round(CAST(list_cosine_similarity(
-         |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
-         |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, c.g ASC) AS grnk
-         |    FROM embeddings e CROSS JOIN ccent c)
-         |  WHERE grnk <= 5),
-         |qprobes AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT q.vec_id, CAST(q.g AS BIGINT) * 1000000 + f.j AS cell,
-         |     row_number() OVER (PARTITION BY q.vec_id
-         |       ORDER BY CAST(round(CAST(list_cosine_similarity(
-         |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), f.centroid)
-         |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, q.g ASC, f.j ASC) AS prnk
-         |    FROM qg2 q JOIN embeddings e USING (vec_id) JOIN fcent f ON q.g = f.g)
-         |  WHERE prnk <= $IVFC_NP),
+         |$ivfcProbeCtesSql,
          |iccands AS (
          |  SELECT DISTINCT p.vec_id AS qid, q.vec_id AS nid
          |  FROM qprobes p JOIN sassignedR q
@@ -2915,24 +2984,7 @@ object LlmPipeline extends QueryPack {
     // candidate join excludes the batch
     "q_sim_ann_ivfc_delta" ->
       s"""WITH $semCtesSql,
-         |qg2 AS (
-         |  SELECT vec_id, g FROM (
-         |    SELECT e.vec_id, c.g,
-         |     row_number() OVER (PARTITION BY e.vec_id
-         |       ORDER BY CAST(round(CAST(list_cosine_similarity(
-         |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid)
-         |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, c.g ASC) AS grnk
-         |    FROM embeddings e CROSS JOIN ccent c)
-         |  WHERE grnk <= 5),
-         |qprobes AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT q.vec_id, CAST(q.g AS BIGINT) * 1000000 + f.j AS cell,
-         |     row_number() OVER (PARTITION BY q.vec_id
-         |       ORDER BY CAST(round(CAST(list_cosine_similarity(
-         |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), f.centroid)
-         |          AS DECIMAL(38,6)), 4) AS DOUBLE) DESC, q.g ASC, f.j ASC) AS prnk
-         |    FROM qg2 q JOIN embeddings e USING (vec_id) JOIN fcent f ON q.g = f.g)
-         |  WHERE prnk <= $IVFC_NP),
+         |$ivfcProbeCtesSql,
          |icdcands AS (
          |  SELECT DISTINCT p.vec_id AS qid, q.vec_id AS nid
          |  FROM qprobes p JOIN sassignedR q
