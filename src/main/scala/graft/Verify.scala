@@ -35,6 +35,20 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // error sentinel (VERDICT r12 #6): a thrown query must still
+        // produce an output dir, or the driver's correctness report
+        // silently OMITS it (r12: broken q_sim_ann_ivfpq showed as
+        // "0 fails"). A one-row parquet whose only column is the error
+        // message can never match any oracle schema/hash, so the break
+        // surfaces as an explicit red entry instead of an absence.
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            .toDF("_graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -94,7 +108,8 @@ object Verify {
         "lsh_multi" -> "q_sim_ann_lsh_multi", "lsh_mp" -> "q_sim_ann_lsh_mp",
         "ivf" -> "q_sim_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp",
         "ivf_k" -> "q_sim_ann_ivf_k", "ivfc" -> "q_sim_ann_ivfc",
-        "ivfpq" -> "q_sim_ann_ivfpq", "sq" -> "q_sim_ann_sq")
+        "ivfpq" -> "q_sim_ann_ivfpq", "ivfc_pq" -> "q_sim_ann_ivfc_pq",
+        "sq" -> "q_sim_ann_sq")
         .map { case (k, qn) =>
           k -> SparkEntry.queries(qn)(spark, sfDir)
             .select(col("vec_id"), col("neighbor_id")).persist()

@@ -999,6 +999,19 @@ object LlmPipeline extends QueryPack {
       .join(broadcast(cb), "m")
       .select(col("qid"), col("m"), col("code"), sqDist(col("sub"), col("centroid")).as("sd"))
 
+  /** Corpus-wide ADC distance table, memoized — the ONE owning call site
+    * for the `pq_dtable` stage. Both full-corpus PQ tiers (trained-k
+    * q_sim_ann_ivfpq and constant-cell q_sim_ann_ivfc_pq) rank against
+    * the IDENTICAL table, so sharing one memo deduplicates the compute;
+    * it is also what the stage-ownership guard ([[Tables.memoized]])
+    * requires — two call sites each building `cached(…, "pq_dtable")`
+    * made whichever ran second throw (r12 regression, VERDICT r12 #1). */
+  private def pqCorpusDtable(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "pq_dtable") {
+      pqDtablePlan(t(s, d, "embeddings"),
+        pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid")))
+    }
+
   /** The shuffle-free ADC + exact-rerank tail shared by q_sim_ann_ivfpq
     * and its ingest delta: per-subspace distance-table slices hash-join
     * onto UNEXPANDED candidate (qid, nid) rows by (qid, nibble); the
@@ -1925,11 +1938,7 @@ object LlmPipeline extends QueryPack {
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
         .distinct()
-      val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
-      val dtable = cached(s, d, "pq_dtable") {
-        pqDtablePlan(t(s, d, "embeddings"), cb)
-      }
-      pqAdcRerank(s, d, cands, pqCodesWide(s, d), dtable)
+      pqAdcRerank(s, d, cands, pqCodesWide(s, d), pqCorpusDtable(s, d))
     }),
 
     // IVF-PQ ingest delta — the production property that makes PQ worth
@@ -1979,11 +1988,7 @@ object LlmPipeline extends QueryPack {
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
         .distinct()
-      val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
-      val dtable = cached(s, d, "pq_dtable") {
-        pqDtablePlan(t(s, d, "embeddings"), cb)
-      }
-      pqAdcRerank(s, d, cands, pqCodesWide(s, d), dtable)
+      pqAdcRerank(s, d, cands, pqCodesWide(s, d), pqCorpusDtable(s, d))
     }),
 
     // Constant-cell IVF-PQ ingest delta — the per-ingest face: a new
@@ -3051,6 +3056,33 @@ object LlmPipeline extends QueryPack {
          |  FROM kprobes a JOIN kassigned2 b
          |   ON a.cell = b.cell
          |  WHERE a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7)
+         |$pqAdcTailSql""".stripMargin,
+    // constant-cell candidates (the q_sim_ann_ivfc chain: two-level
+    // quantizer probes × top-2 assignment) ranked by the SAME ADC tail as
+    // the trained-k PQ oracle — candidate generation and scoring compose
+    // independently on both engines
+    "q_sim_ann_ivfc_pq" ->
+      s"""WITH $semCtesSql,
+         |$ivfcProbeCtesSql,
+         |$pqCtesSql,
+         |pqcands AS (
+         |  SELECT DISTINCT p.vec_id AS qid, q.vec_id AS nid
+         |  FROM qprobes p JOIN sassignedR q
+         |   ON p.cell = q.cell AND p.vec_id <> q.vec_id)
+         |$pqAdcTailSql""".stripMargin,
+    // batch probes ≡ the corpus probe list restricted to batch ids (the
+    // qprobes chain scores every vector identically); corpus side of the
+    // candidate join excludes the batch, matching the Spark side's
+    // semAssign2/pqCodesWide batch filters
+    "q_sim_ann_ivfc_pq_delta" ->
+      s"""WITH $semCtesSql,
+         |$ivfcProbeCtesSql,
+         |$pqCtesSql,
+         |pqcands AS (
+         |  SELECT DISTINCT p.vec_id AS qid, q.vec_id AS nid
+         |  FROM qprobes p JOIN sassignedR q
+         |   ON p.cell = q.cell
+         |  WHERE p.vec_id % 10 = 7 AND q.vec_id % 10 <> 7)
          |$pqAdcTailSql""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH keep AS (
