@@ -162,6 +162,44 @@ object Curation extends QueryPack {
     * jac ≥ 0.8 pairs) — [[connectedComponents]] over those edges,
     * memoized so Bench's warmup+N passes and the two consumer queries
     * share one fixpoint run. */
+  /** Normalized content hash the exact-dedup family keys on. */
+  private[graft] def contentHash(text: Column): Column =
+    sha2(lower(trim(text)), 256)
+
+  /** The standing corpus's exact-hash set (doc_id % 10 ≠ 7 — the family's
+    * deterministic batch stand-in) as a persisted index artifact: built
+    * once, published atomically, reloaded from parquet by later sessions.
+    * The delta-dedup path (q_dedup_incremental, [[graft.Ingest.exactDedup]])
+    * consumes this index; it never rebuilds the corpus side per run. ONE
+    * owning call site per memo stage (Tables.guardStage). */
+  private[graft] def corpusHashes(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, "corpus_hashes_mod10ne7") {
+      Tables.t(s, d, "documents").where(col("doc_id") % 10 =!= 7)
+        .select(contentHash(col("text")).as("h")).distinct()
+    }
+
+  /** Exact-dedup ingest worker ([[graft.Ingest.exactDedup]]): per-doc
+    * verdicts for an arbitrary batch (doc_id, text) against the
+    * persisted corpus hash index — `corpus_dup` (normalized content hash
+    * already in the standing corpus), `batch_dup` (a lower-id batch doc
+    * carries the same hash), `keep` (neither). Only 32-byte hashes cross
+    * the shuffle; the corpus side is the [[corpusHashes]] artifact,
+    * never rebuilt per ingest. Aggregating these verdicts per language
+    * reproduces q_dedup_incremental's report for the fixture batch
+    * (IngestSpec). */
+  private[graft] def ingestExactDedup(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val b = batch.withColumn("h", contentHash(col("text")))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    b.withColumn("rn", row_number().over(w))
+      .join(corpusHashes(s, d).withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"),
+        col("in_corpus").isNotNull.as("corpus_dup"),
+        (col("rn") > 1).as("batch_dup"),
+        (col("rn") === 1 && col("in_corpus").isNull).as("keep"))
+      .orderBy("doc_id")
+  }
+
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     Tables.memoized(s, d, "cluster_labels") {
       val pairs = LlmPipeline.queries.toMap.apply("q_dedup_near")(s, d)
@@ -408,14 +446,7 @@ object Curation extends QueryPack {
       val docs = t(s, d, "documents")
         .withColumn("h", sha2(lower(trim(col("text"))), 256))
       val isBatch = col("doc_id") % 10 === 7
-      // the existing-corpus hash set is a persisted index artifact: built
-      // once, published atomically, reloaded from parquet by later
-      // sessions — the delta-dedup path consumes the index, it does not
-      // rebuild the corpus side per run
-      val corpusH = Tables.memoizedOnDisk(s, d, "corpus_hashes_mod10ne7") {
-          docs.where(!isBatch).select("h").distinct()
-        }
-        .withColumn("in_corpus", lit(true))
+      val corpusH = corpusHashes(s, d).withColumn("in_corpus", lit(true))
       val w = Window.partitionBy("h").orderBy("doc_id")
       docs.where(isBatch)
         .withColumn("rn", row_number().over(w))

@@ -743,6 +743,46 @@ object LlmPipeline extends QueryPack {
         (col("vec_id") =!= col("keeper")).as("dropped"))
   }
 
+  /** Full-corpus semantic-dedup verdicts with the oversize guard ON THE
+    * PATH (VERDICT r11 task 5): the within-cell pair join consumes the
+    * guard's split assignment, and the fast-drop verdicts from
+    * still-oversized degenerate cells are unioned into the output
+    * WITHOUT entering the pair join. On corpora whose cells all sit
+    * within the 4·c bound (every measured SF — q_dedup_semantic_cells
+    * emits the histogram as data) the guard is the IDENTITY: no cell
+    * splits, zero fast verdicts, value-identical output to the unguarded
+    * plan — which is why the DuckDB oracle, which mirrors the unguarded
+    * plan, stays hash-green. Under planted skew (LlmSpec drives a giant
+    * near-duplicate cell through the REGISTERED query) the quadratic
+    * core resolves in O(n) cap verdicts instead of n² pair rows. Sound
+    * but not complete under skew: every guard drop carries a τ-witness
+    * (the cap triangle bound), while a below-cap vector whose only
+    * τ-witnesses were cap-dropped members is kept — the documented
+    * guard trade. */
+  def semanticDedupGuarded(vecs: DataFrame, assign: DataFrame): DataFrame = {
+    val e = vecs.select(col("vec_id"), col("embedding"))
+    val (a1, fast) = semOversizeGuard(e, assign, SEM_CELL, SEM_TAU)
+    val fdrop = fast.where(col("dropped"))
+      .select(col("vec_id"), lit(true).as("fhit"))
+    val withCell = a1.join(e, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    // cap-dropped members are excluded from BOTH sides of the pair join —
+    // that removal is what bounds the degenerate cell at O(n)
+    val joinSide = withCell
+      .join(maybeBroadcast(fdrop), Seq("vec_id"), "left")
+      .where(col("fhit").isNull).drop("fhit")
+    val dup = joinSide.as("a").join(maybeBroadcast(joinSide.as("b")),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(r4(cosine(col("a.embedding"), col("b.embedding"))) >= SEM_TAU)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    withCell
+      .join(maybeBroadcast(dup.withColumn("hit", lit(true))), Seq("vec_id"), "left")
+      .join(maybeBroadcast(fdrop), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (coalesce(col("hit"), lit(false)) ||
+          coalesce(col("fhit"), lit(false))).as("dropped"))
+  }
+
   /** The full oversize-guard recipe, composed: one geometric split pass,
     * then the cap fast-drop on any cell STILL over bound. The two
     * failure modes partition cleanly — a giant cell is either diverse
@@ -1021,6 +1061,16 @@ object LlmPipeline extends QueryPack {
     * the ADC top-10 touch full-precision vectors for the cosine rerank. */
   private def pqAdcRerank(s: SparkSession, d: String,
       cands: DataFrame, codesWide: DataFrame, dtable: DataFrame): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    pqAdcRerank(cands, codesWide, dtable, e, e)
+  }
+
+  /** [[pqAdcRerank]] with explicit query-side / neighbor-side vector
+    * frames — the ingest facade ranks an EXTERNAL batch (vectors not in
+    * the stored table) against the persisted corpus index, so the exact
+    * rerank's qid lookups must hit the batch frame, not the table. */
+  private def pqAdcRerank(cands: DataFrame, codesWide: DataFrame,
+      dtable: DataFrame, qVecs: DataFrame, nVecs: DataFrame): DataFrame = {
     val adc = (0 until PQ_M)
       .foldLeft(cands.join(maybeBroadcast(codesWide), "nid")) { (acc, m) =>
         acc.join(maybeBroadcast(
@@ -1034,10 +1084,11 @@ object LlmPipeline extends QueryPack {
         keyNames = Seq("qid"), orderBy = Seq("adist" -> true, "nid" -> true),
         k = PQ_RERANK, rankName = "arnk")
       .select("qid", "nid")
-    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     val pairs = shortlist
-      .join(maybeBroadcast(e.as("ea")), col("qid") === col("ea.vec_id"))
-      .join(maybeBroadcast(e.as("eb")), col("nid") === col("eb.vec_id"))
+      .join(maybeBroadcast(qVecs.select(col("vec_id"), col("embedding")).as("ea")),
+        col("qid") === col("ea.vec_id"))
+      .join(maybeBroadcast(nVecs.select(col("vec_id"), col("embedding")).as("eb")),
+        col("nid") === col("eb.vec_id"))
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
         r4(cosine(col("ea.embedding"), col("eb.embedding"))).as("cos"))
     org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
@@ -1116,6 +1167,189 @@ object LlmPipeline extends QueryPack {
         col("dup_grams"), col("n_spans"), col("dup_tokens"),
         r4(col("dup_tokens").cast(DoubleType) / col("n_toks")).as("dup_ratio"))
       .orderBy("doc_id")
+  }
+
+  // ===== Ingest facade workers (public API surface: graft.Ingest) =====
+  // One entry point per delta family, each taking an ARBITRARY batch
+  // DataFrame instead of the registry's deterministic vec_id/doc_id
+  // %10=7 stand-in. Corpus side = the family's PERSISTED index artifact,
+  // anti-joined against the batch's own ids (so re-ingesting stored rows
+  // — the fixture shape — matches the registered delta queries exactly,
+  // and genuinely new ids probe the full index). Batch-side derivations
+  // (shingles, signatures, probe cells, ADC tables) are computed FRESH
+  // from the given frame at O(batch) cost — the corpus is never
+  // rescanned, never rescored.
+
+  /** Near-dup (MinHash+LSH) ingest: batch docs (doc_id, text) vs the
+    * persisted signature index → verified (doc_a=batch, doc_b=corpus,
+    * jac ≥ 0.8) pairs. Batch shingles take the same hot-shingle df cap
+    * WITHIN the batch (boilerplate hot in a batch is boilerplate); the
+    * corpus side keeps the cap its artifact was built with. */
+  private[graft] def ingestMinhashDedup(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val bids = batch.select("doc_id")
+    val bsh = cappedShingles(batch.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")), k = 3, maxDf = MAX_SHINGLE_DF)
+    val aggs = minhashSigAggs
+    val batchBands = minhashBands(bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
+    val corpusBands = minhashBands(
+      minhashSigs(s, d).join(bids, Seq("doc_id"), "left_anti"))
+    val cands = batchBands.as("ba")
+      .join(maybeBroadcast(corpusBands.as("bb")), col("ba.band") === col("bb.band") &&
+        col("ba.bucket") === col("bb.bucket"))
+      .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
+      .distinct()
+    val csh = docShingles(s, d).join(bids, Seq("doc_id"), "left_anti")
+    val withA = bsh.join(maybeBroadcast(cands), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("shingle"))
+    val inter = withA.as("wa")
+      .join(csh.as("sb"), col("wa.shingle") === col("sb.shingle") &&
+        col("wa.doc_b") === col("sb.doc_id"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(shingleCounts(bsh).withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(shingleCounts(csh).withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jac", r4(col("inter") / (col("na") + col("nb") - col("inter"))))
+      .where(col("jac") >= 0.8)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Substring-dedup ingest: batch docs' width-[[SUBSTR_W]] windows
+    * (computed fresh, O(batch tokens)) probed against the persisted
+    * postings index → per-doc duplicated-span stats, batch docs only. */
+  private[graft] def ingestSubstringDedup(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val bids = batch.select("doc_id")
+    val bposts = substrGramsPlan(batch.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")))
+    val corpusGh = substrPostings(s, d).join(bids, Seq("doc_id"), "left_anti")
+      .select("gh").distinct()
+    substrSpanStats(bposts.join(corpusGh, "gh"))
+  }
+
+  /** Semantic-dedup ingest: batch vectors (vec_id, embedding) assigned
+    * fresh against the frozen two-level quantizer, dropped iff any
+    * corpus cell-mate clears [[SEM_TAU]] (corpus wins). O(batch·c). */
+  private[graft] def ingestSemanticDedup(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val b = batch.select(col("vec_id"), col("embedding"))
+    val corpus = t(s, d, "embeddings")
+      .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(maybeBroadcast(semAssign(s, d)), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    semanticVerdicts(s, d, b, corpus).orderBy("vec_id")
+  }
+
+  /** Shared exact-cosine top-3 tail of the ANN ingest facades: candidate
+    * (qid, nid) pairs look up query vectors in the BATCH frame and
+    * neighbor vectors in the corpus. */
+  private def annExactTop3(cands: DataFrame, qVecs: DataFrame,
+      nVecs: DataFrame): DataFrame = {
+    val pairs = cands
+      .join(maybeBroadcast(qVecs.select(col("vec_id"), col("embedding")).as("ea")),
+        col("qid") === col("ea.vec_id"))
+      .join(maybeBroadcast(nVecs.select(col("vec_id"), col("embedding")).as("eb")),
+        col("nid") === col("eb.vec_id"))
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        r4(cosine(col("ea.embedding"), col("eb.embedding"))).as("cos"))
+    org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+        keyNames = Seq("vec_id"),
+        orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+        k = 3, rankName = "rnk")
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** Corpus-side embeddings excluding the batch's ids. */
+  private def corpusVecsExcl(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+
+  /** LSH-multiprobe ANN ingest: batch bucket rows computed fresh, corpus
+    * side from the persisted multi-table bucket index. */
+  private[graft] def ingestAnnLsh(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val b = batch.select(col("vec_id"), col("embedding"))
+    val corpus = lshMultiBuckets(s, d)
+      .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
+    val cands = lshMultiBucketsPlan(b).as("ba")
+      .join(maybeBroadcast(corpus.as("bb")), col("ba.tb") === col("bb.tb") &&
+        col("ba.bucket") === col("bb.bucket"))
+      .select(col("ba.vec_id").as("qid"), col("bb.vec_id").as("nid"))
+      .distinct()
+    annExactTop3(cands, b, corpusVecsExcl(s, d, batch))
+  }
+
+  /** Trained-k IVF ANN ingest: batch probe cells ranked fresh against
+    * the frozen centroid artifact; candidates from the persisted top-2
+    * corpus assignment. */
+  private[graft] def ingestAnnIvfK(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val b = batch.select(col("vec_id"), col("embedding"))
+    val cents = ivfKCentroids(s, d)
+    val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
+    val cands = ivfKCellsFor(b, cents, np).as("a")
+      .join(maybeBroadcast(ivfKAssign2(s, d)
+          .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
+        col("a.cell") === col("bb.cell"))
+      .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
+      .distinct()
+    annExactTop3(cands, b, corpusVecsExcl(s, d, batch))
+  }
+
+  /** Constant-cell IVF ANN ingest (the 100 TB scale pick): batch probes
+    * fresh against the frozen coarse+fine centroids; candidates from the
+    * persisted top-2 assignment. O(batch·NP·c), N-independent dials. */
+  private[graft] def ingestAnnIvfc(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val b = batch.select(col("vec_id"), col("embedding"))
+    val cands = ivfcProbesFor(s, d, b).as("a")
+      .join(maybeBroadcast(semAssign2(s, d).select(col("vec_id"), col("cell"))
+          .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
+        col("a.cell") === col("bb.cell"))
+      .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
+      .distinct()
+    annExactTop3(cands, b, corpusVecsExcl(s, d, batch))
+  }
+
+  /** Trained-k IVF-PQ ANN ingest: batch computes its own probe list and
+    * ADC distance table (O(batch·M·K) scalars) against the FROZEN
+    * codebooks; candidates + nibble codes from the persisted artifacts;
+    * corpus vectors touched only for the ADC-shortlist rerank. */
+  private[graft] def ingestAnnIvfPq(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val b = batch.select(col("vec_id"), col("embedding"))
+    val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
+    val cents = ivfKCentroids(s, d)
+    val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
+    val cands = ivfKCellsFor(b, cents, np).as("a")
+      .join(maybeBroadcast(ivfKAssign2(s, d)
+          .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
+        col("a.cell") === col("bb.cell"))
+      .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
+      .distinct()
+    pqAdcRerank(cands,
+      pqCodesWide(s, d).join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
+      pqDtablePlan(b, cb), b, corpusVecsExcl(s, d, batch))
+  }
+
+  /** Constant-cell IVF-PQ ANN ingest — the linear-class PQ tier's
+    * per-ingest face for an arbitrary batch. */
+  private[graft] def ingestAnnIvfcPq(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val b = batch.select(col("vec_id"), col("embedding"))
+    val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
+    val cands = ivfcProbesFor(s, d, b).as("a")
+      .join(maybeBroadcast(semAssign2(s, d).select(col("vec_id"), col("cell"))
+          .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
+        col("a.cell") === col("bb.cell"))
+      .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
+      .distinct()
+    pqAdcRerank(cands,
+      pqCodesWide(s, d).join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
+      pqDtablePlan(b, cb), b, corpusVecsExcl(s, d, batch))
   }
 
   def queries: Seq[(String, Fn)] = Seq(
@@ -1401,21 +1635,13 @@ object LlmPipeline extends QueryPack {
     // deployments dial 0.95+). Every vector gets a verdict row, so
     // downstream keeps/drops by a narrow semi-join. Cell-size balance is
     // observable data, not an assumption: q_dedup_semantic_cells below
-    // emits the per-cell membership histogram.
-    "q_dedup_semantic" -> ((s, d) => {
-      val withCell = t(s, d, "embeddings")
-        .join(maybeBroadcast(semAssign(s, d)), "vec_id")
-        .select(col("vec_id"), col("cell"), col("embedding"))
-      val dup = withCell.as("a").join(maybeBroadcast(withCell.as("b")),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .where(r4(cosine(col("a.embedding"), col("b.embedding"))) >= SEM_TAU)
-        .select(col("b.vec_id").as("vec_id")).distinct()
-      withCell
-        .join(maybeBroadcast(dup.withColumn("hit", lit(true))), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          coalesce(col("hit"), lit(false)).as("dropped"))
-        .orderBy("vec_id")
-    }),
+    // emits the per-cell membership histogram — and since r13 the
+    // oversize guard is IN the registered plan ([[semanticDedupGuarded]]):
+    // identity on balanced corpora (oracle mirrors the unguarded plan and
+    // stays hash-green), O(n) cap resolution under planted skew.
+    "q_dedup_semantic" -> ((s, d) =>
+      semanticDedupGuarded(t(s, d, "embeddings"), semAssign(s, d))
+        .orderBy("vec_id")),
 
     // Multiprobe semantic dedup: the pair join runs over the TOP-2 cell
     // assignment (owner + runner-up fine cell), so a τ-pair that
