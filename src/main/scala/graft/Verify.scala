@@ -104,12 +104,12 @@ object Verify {
       // build + persist each ANN result ONCE: both recall bases read the
       // same materialized pairs, halving the candidate-join/rerank cost of
       // the artifact (the ANN plans are the most expensive in the registry)
-      val anns = Seq("lsh" -> "q_sim_ann_lsh", "lsh_probe" -> "q_sim_ann_lsh_probe",
+      val anns = Seq("lsh" -> "q_baseline_ann_lsh", "lsh_probe" -> "q_baseline_ann_lsh_probe",
         "lsh_multi" -> "q_sim_ann_lsh_multi", "lsh_mp" -> "q_sim_ann_lsh_mp",
-        "ivf" -> "q_sim_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp",
+        "ivf" -> "q_baseline_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp",
         "ivf_k" -> "q_sim_ann_ivf_k", "ivfc" -> "q_sim_ann_ivfc",
         "ivfpq" -> "q_sim_ann_ivfpq", "ivfc_pq" -> "q_sim_ann_ivfc_pq",
-        "sq" -> "q_sim_ann_sq")
+        "sq" -> "q_baseline_ann_sq")
         .map { case (k, qn) =>
           k -> SparkEntry.queries(qn)(spark, sfDir)
             .select(col("vec_id"), col("neighbor_id")).persist()

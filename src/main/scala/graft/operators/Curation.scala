@@ -166,16 +166,20 @@ object Curation extends QueryPack {
   private[graft] def contentHash(text: Column): Column =
     sha2(lower(trim(text)), 256)
 
-  /** The standing corpus's exact-hash set (doc_id % 10 ≠ 7 — the family's
-    * deterministic batch stand-in) as a persisted index artifact: built
-    * once, published atomically, reloaded from parquet by later sessions.
-    * The delta-dedup path (q_dedup_incremental, [[graft.Ingest.exactDedup]])
-    * consumes this index; it never rebuilds the corpus side per run. ONE
-    * owning call site per memo stage (Tables.guardStage). */
-  private[graft] def corpusHashes(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, "corpus_hashes_mod10ne7") {
-      Tables.t(s, d, "documents").where(col("doc_id") % 10 =!= 7)
-        .select(contentHash(col("text")).as("h")).distinct()
+  /** FULL-corpus (doc_id, h) exact-hash index as a persisted artifact:
+    * built once over every stored document, published atomically,
+    * reloaded from parquet by later sessions. Keeping doc_id (not a
+    * pre-collapsed distinct hash set) is what lets every consumer scope
+    * its own corpus view with a narrow anti-join/filter — the registered
+    * q_dedup_incremental drops the fixture batch (doc_id % 10 = 7),
+    * [[graft.Ingest.exactDedup]] drops whatever ids the ARBITRARY batch
+    * carries — so re-ingesting any stored row never self-matches its own
+    * hash. Two narrow columns (int64 + 32-byte hash); never rebuilt per
+    * ingest. ONE owning call site per memo stage (Tables.guardStage). */
+  private[graft] def corpusDocHashes(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, "corpus_doc_hashes") {
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), contentHash(col("text")).as("h"))
     }
 
   /** Exact-dedup ingest worker ([[graft.Ingest.exactDedup]]): per-doc
@@ -183,16 +187,22 @@ object Curation extends QueryPack {
     * persisted corpus hash index — `corpus_dup` (normalized content hash
     * already in the standing corpus), `batch_dup` (a lower-id batch doc
     * carries the same hash), `keep` (neither). Only 32-byte hashes cross
-    * the shuffle; the corpus side is the [[corpusHashes]] artifact,
-    * never rebuilt per ingest. Aggregating these verdicts per language
+    * the shuffle; the corpus side is the [[corpusDocHashes]] artifact
+    * with the batch's OWN ids anti-joined out (the facade contract: the
+    * standing corpus a batch dedups against never includes the batch
+    * itself, so re-ingesting a stored row cannot self-match), never
+    * rebuilt per ingest. Aggregating these verdicts per language
     * reproduces q_dedup_incremental's report for the fixture batch
     * (IngestSpec). */
   private[graft] def ingestExactDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.withColumn("h", contentHash(col("text")))
+    val corpusH = corpusDocHashes(s, d)
+      .join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("h").distinct()
     val w = Window.partitionBy("h").orderBy("doc_id")
     b.withColumn("rn", row_number().over(w))
-      .join(corpusHashes(s, d).withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .join(corpusH.withColumn("in_corpus", lit(true)), Seq("h"), "left")
       .select(col("doc_id"),
         col("in_corpus").isNotNull.as("corpus_dup"),
         (col("rn") > 1).as("batch_dup"),
@@ -446,7 +456,8 @@ object Curation extends QueryPack {
       val docs = t(s, d, "documents")
         .withColumn("h", sha2(lower(trim(col("text"))), 256))
       val isBatch = col("doc_id") % 10 === 7
-      val corpusH = corpusHashes(s, d).withColumn("in_corpus", lit(true))
+      val corpusH = corpusDocHashes(s, d).where(!isBatch)
+        .select("h").distinct().withColumn("in_corpus", lit(true))
       val w = Window.partitionBy("h").orderBy("doc_id")
       docs.where(isBatch)
         .withColumn("rn", row_number().over(w))

@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   *   O(#docs × #bands), candidates only then verified exactly. Skewed
   *   buckets (boilerplate docs) are handled by AQE skew-join or salting.
   * - q_sim_knn blocks on `label` (the IVF coarse-quantizer analog: probe
-  *   one cell); q_sim_ann_lsh derives sign-bit buckets from broadcast
+  *   one cell); q_baseline_ann_lsh derives sign-bit buckets from broadcast
   *   hyperplanes — both avoid the all-pairs cross join.
   * - simhash is one groupBy over exploded tokens (map-side combinable) +
   *   a blocked pair join; at 100 TB the pair join would block on band
@@ -159,6 +159,22 @@ object LlmPipeline extends QueryPack {
   /** Per-shingle document frequency — the cap's one df definition. */
   private def shingleDfs(raw: DataFrame): DataFrame =
     raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+
+  /** The corpus-wide hot-shingle set (df > [[MAX_SHINGLE_DF]] over the
+    * FULL stored documents table — the same universe [[docShingles]]
+    * caps on) as a persisted artifact: tiny by construction (only
+    * shingles hotter than the cap), broadcastable at any corpus size.
+    * [[ingestMinhashDedup]] anti-joins an arbitrary batch's raw shingles
+    * against THIS set, so batch signatures take the cap the corpus
+    * signature artifact was built with — re-ingesting stored rows
+    * reproduces q_dedup_minhash_delta exactly (IngestSpec), and a batch
+    * whose internal boilerplate is corpus-novel keeps those shingles
+    * until the next full index rebuild (the documented trade). */
+  private[graft] def hotShingleSet(s: SparkSession, d: String): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"hot_shingles_k3df$MAX_SHINGLE_DF") {
+      shingleDfs(rawShingles(t(s, d, "documents").repartition(col("doc_id")), k = 3))
+        .where(col("df") > MAX_SHINGLE_DF).select("shingle")
+    }
 
   /** (doc_id, shingle) exploded distinct capped 3-shingles, persisted: every
     * dedup query reads this set 2–3 times (signatures, intersection,
@@ -359,7 +375,7 @@ object LlmPipeline extends QueryPack {
     * single-probe query self-joins — vectors do NOT ride it (they join
     * back by id only for surviving candidate pairs, like the LSH path).
     * Split from the probe list (round-7 task 5): the k=1 heap shuffles
-    * one row per vector and q_sim_ann_ivf no longer pays the NPROBE
+    * one row per vector and q_baseline_ann_ivf no longer pays the NPROBE
     * ranking it never used. */
   private def ivfAssign(s: SparkSession, d: String): DataFrame =
     Tables.memoizedOnDisk(s, d, "ivf_assign_lbl") {
@@ -672,11 +688,19 @@ object LlmPipeline extends QueryPack {
     * τ-pairs. */
   def semSplitOversized(vecs: DataFrame, assign: DataFrame, c: Int): DataFrame = {
     val byCell = org.apache.spark.sql.expressions.Window.partitionBy("cell")
-    val wc = assign.select(col("vec_id"), col("cell"))
+    // Cell sizes come off the NARROW assignment alone (two int columns),
+    // never a window over the embedding payload: the oversized-cell set
+    // is ≤ k rows and broadcasts, so within-bound members pass through
+    // with a map-side anti-join and the embeddings join only the
+    // oversized minority (on balanced corpora: nothing at all).
+    val bigCells = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+      .where(col("n") > 4 * c)
+    val ok = assign.select(col("vec_id"), col("cell"))
+      .join(maybeBroadcast(bigCells.select("cell")), Seq("cell"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+    val big = assign.select(col("vec_id"), col("cell"))
+      .join(maybeBroadcast(bigCells), "cell")
       .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("n", count(lit(1)).over(byCell))
-    val ok = wc.where(col("n") <= 4 * c).select(col("vec_id"), col("cell"))
-    val big = wc.where(col("n") > 4 * c)
       .select(col("vec_id"), col("cell"), col("embedding"), col("n"))
     val seeds = big
       .withColumn("mk", md5(concat(lit("sems:"), col("vec_id").cast(StringType))))
@@ -752,8 +776,12 @@ object LlmPipeline extends QueryPack {
     * emits the histogram as data) the guard is the IDENTITY: no cell
     * splits, zero fast verdicts, value-identical output to the unguarded
     * plan — which is why the DuckDB oracle, which mirrors the unguarded
-    * plan, stays hash-green. Under planted skew (LlmSpec drives a giant
-    * near-duplicate cell through the REGISTERED query) the quadratic
+    * plan, stays hash-green — and since r14 that identity is taken
+    * LITERALLY: a narrow groupBy("cell").count() gate (no embedding
+    * payload) detects skew first, and the balanced case runs the
+    * unguarded broadcast plan verbatim at zero guard cost. Under
+    * planted skew (LlmSpec drives a giant near-duplicate cell through
+    * the REGISTERED query) the quadratic
     * core resolves in O(n) cap verdicts instead of n² pair rows. Sound
     * but not complete under skew: every guard drop carries a τ-witness
     * (the cap triangle bound), while a below-cap vector whose only
@@ -761,26 +789,48 @@ object LlmPipeline extends QueryPack {
     * guard trade. */
   def semanticDedupGuarded(vecs: DataFrame, assign: DataFrame): DataFrame = {
     val e = vecs.select(col("vec_id"), col("embedding"))
-    val (a1, fast) = semOversizeGuard(e, assign, SEM_CELL, SEM_TAU)
-    val fdrop = fast.where(col("dropped"))
-      .select(col("vec_id"), lit(true).as("fhit"))
-    val withCell = a1.join(e, "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"))
-    // cap-dropped members are excluded from BOTH sides of the pair join —
-    // that removal is what bounds the degenerate cell at O(n)
-    val joinSide = withCell
-      .join(maybeBroadcast(fdrop), Seq("vec_id"), "left")
-      .where(col("fhit").isNull).drop("fhit")
-    val dup = joinSide.as("a").join(maybeBroadcast(joinSide.as("b")),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .where(r4(cosine(col("a.embedding"), col("b.embedding"))) >= SEM_TAU)
-      .select(col("b.vec_id").as("vec_id")).distinct()
-    withCell
-      .join(maybeBroadcast(dup.withColumn("hit", lit(true))), Seq("vec_id"), "left")
-      .join(maybeBroadcast(fdrop), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        (coalesce(col("hit"), lit(false)) ||
-          coalesce(col("fhit"), lit(false))).as("dropped"))
+    // Skew gate (VERDICT r13 task 1): learn cell sizes from the NARROW
+    // assignment alone — one groupBy over two int columns, never the
+    // embedding payload. On every balanced corpus the guard is the
+    // proven identity, so when no cell exceeds 4·c we take the
+    // unguarded broadcast plan verbatim and the guard costs one tiny
+    // aggregate; split/cap stages build only when an oversized cell
+    // actually exists.
+    val anyOversized = !assign.groupBy("cell").agg(count(lit(1)).as("n"))
+      .where(col("n") > 4 * SEM_CELL).isEmpty
+    if (!anyOversized) {
+      val withCell = e
+        .join(maybeBroadcast(assign.select(col("vec_id"), col("cell"))), "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      val dup = withCell.as("a").join(maybeBroadcast(withCell.as("b")),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .where(r4(cosine(col("a.embedding"), col("b.embedding"))) >= SEM_TAU)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      withCell
+        .join(maybeBroadcast(dup.withColumn("hit", lit(true))), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("hit"), lit(false)).as("dropped"))
+    } else {
+      val (a1, fast) = semOversizeGuard(e, assign, SEM_CELL, SEM_TAU)
+      val fdrop = fast.where(col("dropped"))
+        .select(col("vec_id"), lit(true).as("fhit"))
+      val withCell = a1.join(e, "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      // cap-dropped members are excluded from BOTH sides of the pair join —
+      // that removal is what bounds the degenerate cell at O(n)
+      val joinSide = withCell
+        .join(maybeBroadcast(fdrop), Seq("vec_id"), "left_anti")
+      val dup = joinSide.as("a").join(maybeBroadcast(joinSide.as("b")),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .where(r4(cosine(col("a.embedding"), col("b.embedding"))) >= SEM_TAU)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      withCell
+        .join(maybeBroadcast(dup.withColumn("hit", lit(true))), Seq("vec_id"), "left")
+        .join(maybeBroadcast(fdrop), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          (coalesce(col("hit"), lit(false)) ||
+            coalesce(col("fhit"), lit(false))).as("dropped"))
+    }
   }
 
   /** The full oversize-guard recipe, composed: one geometric split pass,
@@ -1182,14 +1232,18 @@ object LlmPipeline extends QueryPack {
 
   /** Near-dup (MinHash+LSH) ingest: batch docs (doc_id, text) vs the
     * persisted signature index → verified (doc_a=batch, doc_b=corpus,
-    * jac ≥ 0.8) pairs. Batch shingles take the same hot-shingle df cap
-    * WITHIN the batch (boilerplate hot in a batch is boilerplate); the
-    * corpus side keeps the cap its artifact was built with. */
+    * jac ≥ 0.8) pairs. Batch shingles take the CORPUS-wide hot-shingle
+    * cap — an anti-join against the persisted [[hotShingleSet]]
+    * artifact — so batch signatures, verification intersections, and
+    * jaccard denominators all live in the same capped universe the
+    * corpus index was built in, and re-ingesting stored rows reproduces
+    * q_dedup_minhash_delta exactly (IngestSpec). */
   private[graft] def ingestMinhashDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val bids = batch.select("doc_id")
-    val bsh = cappedShingles(batch.select(col("doc_id"), col("text"))
-      .repartition(col("doc_id")), k = 3, maxDf = MAX_SHINGLE_DF)
+    val bsh = rawShingles(batch.select(col("doc_id"), col("text"))
+        .repartition(col("doc_id")), k = 3)
+      .join(maybeBroadcast(hotShingleSet(s, d)), Seq("shingle"), "left_anti")
     val aggs = minhashSigAggs
     val batchBands = minhashBands(bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
     val corpusBands = minhashBands(
@@ -1776,7 +1830,7 @@ object LlmPipeline extends QueryPack {
     // ANN scale path: sign-bit LSH buckets from deterministic broadcast
     // hyperplanes; top-3 within bucket. Recall vs q_sim_knn is asserted in
     // scalatest; oracle checks the full bucket+rank pipeline.
-    "q_sim_ann_lsh" -> ((s, d) => {
+    "q_baseline_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       val b = lshBuckets(s, d)
       val withVec = b.join(e, b("vec_id") === e("id")).drop("id")
@@ -1805,7 +1859,7 @@ object LlmPipeline extends QueryPack {
     // q_sim_ann_lsh_multi. Candidates are id-only and distinct by
     // construction (a query's probe buckets are distinct XOR masks; a
     // database vector lives in exactly one bucket), so no DISTINCT pass.
-    "q_sim_ann_lsh_probe" -> ((s, d) => {
+    "q_baseline_ann_lsh_probe" -> ((s, d) => {
       val b = lshBuckets(s, d).select(col("vec_id"), col("bucket"))
       val masks = lit(0L) +: (0 until LSH_PLANES).map(p => lit(1L << p))
       val probes = b.select(col("vec_id"),
@@ -1931,7 +1985,7 @@ object LlmPipeline extends QueryPack {
     // (here 10×64 doubles), assignment is a narrow map, and the pair join
     // touches one cell per query vector. Both top-k steps run through the
     // custom TopKPerKey plan.
-    "q_sim_ann_ivf" -> ((s, d) => {
+    "q_baseline_ann_ivf" -> ((s, d) => {
       // probe within the assigned (rank-1) cell only. Candidate
       // generation is narrow-id-only off the persisted assignment index:
       // the self-join emits (query, neighbor, cell) id triples and the
@@ -1969,7 +2023,7 @@ object LlmPipeline extends QueryPack {
     "q_sim_ann_ivf_mp" -> ((s, d) => {
       // probe side reads the top-NPROBE probe-list index, database side
       // the rank-1 assignment index; candidates are id-only and vectors
-      // join back per candidate (see q_sim_ann_ivf)
+      // join back per candidate (see q_baseline_ann_ivf)
       val probes = ivfProbes(s, d)
       val assigned = ivfAssign(s, d)
       val cands = probes.as("a")
@@ -3098,7 +3152,7 @@ object LlmPipeline extends QueryPack {
          | ON a.label = b.label AND a.vec_id <> b.vec_id
          |QUALIFY rnk <= 5
          |ORDER BY vec_id, rnk""".stripMargin,
-    "q_sim_ann_lsh" ->
+    "q_baseline_ann_lsh" ->
       s"""WITH $lshBucketSql,
          |wv AS (
          |  SELECT b.vec_id, b.bucket, e.embedding
@@ -3110,7 +3164,7 @@ object LlmPipeline extends QueryPack {
          |FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
          |QUALIFY rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin,
-    "q_sim_ann_lsh_probe" ->
+    "q_baseline_ann_lsh_probe" ->
       s"""WITH $lshBucketSql,
          |masks AS (SELECT CAST(0 AS BIGINT) AS mask UNION ALL
          |          SELECT CAST(1 AS BIGINT) << p FROM generate_series(0, ${LSH_PLANES - 1}) tm(p)),
@@ -3157,7 +3211,7 @@ object LlmPipeline extends QueryPack {
          |   ON ba.tb = bb.tb AND ba.bucket = bb.bucket
          |  WHERE ba.vec_id % 10 = 7 AND bb.vec_id % 10 <> 7)
          |$lshCandRerankTailSql""".stripMargin,
-    "q_sim_ann_ivf" ->
+    "q_baseline_ann_ivf" ->
       s"""WITH $ivfCtesSql
          |SELECT vec_id, cell, neighbor_id, cos, rnk FROM (
          |  SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS neighbor_id,

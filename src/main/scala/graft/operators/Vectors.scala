@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   *   per-row map (no shuffle, fully pushdown-friendly) that cuts the
   *   stored/scanned bytes of an `Array[Float]` column 4× — at 100 TB the
   *   scan is the cost, so this is the single highest-leverage storage op.
-  * - q_sim_ann_sq: scan-quantized-rerank-exact. The coarse pass scores
+  * - q_baseline_ann_sq: scan-quantized-rerank-exact. The coarse pass scores
   *   CANDIDATE pairs on the int8 vectors (integer dot product — exact,
   *   engine-portable, 4× less memory bandwidth than float) and keeps only
   *   top-10 per query via the map-side-heap TopKPerKey plan; only those
@@ -313,7 +313,7 @@ object Vectors extends QueryPack {
     // query vector per partition reach each shuffle. The float vectors
     // ride the coarse rows (k-bounded), so the rerank needs NO join back
     // to the base table.
-    "q_sim_ann_sq" -> ((s, d) => {
+    "q_baseline_ann_sq" -> ((s, d) => {
       val q = quantized(s, d)
       val pairs = q.as("a")
         // size-gated: the quantized table is the full vector table and
@@ -489,7 +489,7 @@ object Vectors extends QueryPack {
          |       CAST(embedding[i] AS DOUBLE) - qvec[i]*maxabs/127.0),
          |     e -> e*e)) / len(embedding) * 1e6""".stripMargin)} AS mse_e6
          |FROM q1 ORDER BY vec_id""".stripMargin,
-    "q_sim_ann_sq" ->
+    "q_baseline_ann_sq" ->
       s"""WITH $qCtes,
          |pairs AS (
          |  SELECT qa.vec_id AS vec_id, qb.vec_id AS neighbor_id,

@@ -89,7 +89,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 }
 
 /** Native integer dot product over two long-array columns — the coarse
-  * scoring loop of the scalar-quantized ANN path (q_sim_ann_sq). The HOF
+  * scoring loop of the scalar-quantized ANN path (q_baseline_ann_sq). The HOF
   * form (`zip_with` + `aggregate`) is CodegenFallback (lambda dispatch +
   * an intermediate array per pair); this is one fused codegen loop over
   * both buffers, exact 64-bit arithmetic, no allocation — on the pair-join

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The [[graft.Ingest]] facade's contract, driven two ways per family:
+  *
+  *  1. FIXTURE EQUIVALENCE — calling the facade with the registry's
+  *     deterministic fixture batch (`id % 10 = 7`, i.e. re-ingesting
+  *     stored rows) must reproduce the registered `*_delta` query
+  *     row-for-row. Those twins are DuckDB-oracle-verified every round,
+  *     so equality here chains the facade to the oracle gate.
+  *  2. NON-MODULO BATCHES with GENUINELY NEW ids — the facade's
+  *     documented use ("an arbitrary batch DataFrame") — asserting the
+  *     anti-join contract (the standing corpus a batch dedups against
+  *     never includes the batch itself) and each family's semantics on
+  *     novel ids: exact copies under fresh ids are flagged against the
+  *     corpus, novel content keeps, and every ANN tier finds a shifted
+  *     duplicate's original at cosine 1.0.
+  */
+class IngestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.SF
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def docBatch: DataFrame =
+    Tables.t(spark, sf, "documents")
+      .where(col("doc_id") % 10 === 7).select("doc_id", "text")
+  private def vecBatch: DataFrame =
+    Tables.t(spark, sf, "embeddings")
+      .where(col("vec_id") % 10 === 7).select("vec_id", "embedding")
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  private def assertSameRows(got: DataFrame, want: DataFrame, what: String): Unit = {
+    assert(got.columns.toSeq == want.columns.toSeq,
+      s"$what: columns ${got.columns.mkString(",")} vs ${want.columns.mkString(",")}")
+    val (g, w) = (rows(got), rows(want))
+    assert(g == w, s"$what: ${g.size} rows vs ${w.size}; " +
+      s"first diff: ${g.zipAll(w, "<none>", "<none>").find(p => p._1 != p._2)}")
+  }
+
+  // ---- 1. fixture equivalence: facade(fixture batch) == registered twin ----
+
+  test("exactDedup verdicts aggregate to q_dedup_incremental's fixture report") {
+    val verdicts = Ingest.exactDedup(spark, sf, docBatch)
+    val withLang = verdicts.join(
+      Tables.t(spark, sf, "documents").select("doc_id", "lang"), "doc_id")
+    val report = withLang.groupBy("lang")
+      .agg(count(lit(1)).as("n_batch"),
+        count_if(col("corpus_dup")).as("n_corpus_dup"),
+        count_if(col("batch_dup")).as("n_batch_dup"),
+        count_if(col("keep")).as("n_new"))
+      .orderBy("lang")
+    assertSameRows(report, q("q_dedup_incremental"), "exactDedup report")
+  }
+
+  test("minhashDedup(fixture batch) == q_dedup_minhash_delta") {
+    assertSameRows(Ingest.minhashDedup(spark, sf, docBatch),
+      q("q_dedup_minhash_delta"), "minhashDedup")
+  }
+
+  test("substringDedup(fixture batch) == q_dedup_substring_delta") {
+    assertSameRows(Ingest.substringDedup(spark, sf, docBatch),
+      q("q_dedup_substring_delta"), "substringDedup")
+  }
+
+  test("semanticDedup(fixture batch) == q_dedup_semantic_delta") {
+    assertSameRows(Ingest.semanticDedup(spark, sf, vecBatch),
+      q("q_dedup_semantic_delta"), "semanticDedup")
+  }
+
+  test("each ANN ingest tier (fixture batch) == its registered delta twin") {
+    val tiers: Seq[(String, String)] = Seq(
+      "annLsh" -> "q_sim_ann_lsh_delta",
+      "annIvfK" -> "q_sim_ann_ivf_k_delta",
+      "annIvfc" -> "q_sim_ann_ivfc_delta",
+      "annIvfPq" -> "q_sim_ann_ivfpq_delta",
+      "annIvfcPq" -> "q_sim_ann_ivfc_pq_delta")
+    val call: Map[String, DataFrame => DataFrame] = Map(
+      "annLsh" -> (b => Ingest.annLsh(spark, sf, b)),
+      "annIvfK" -> (b => Ingest.annIvfK(spark, sf, b)),
+      "annIvfc" -> (b => Ingest.annIvfc(spark, sf, b)),
+      "annIvfPq" -> (b => Ingest.annIvfPq(spark, sf, b)),
+      "annIvfcPq" -> (b => Ingest.annIvfcPq(spark, sf, b)))
+    tiers.foreach { case (m, twin) =>
+      assertSameRows(call(m)(vecBatch), q(twin), s"$m vs $twin")
+    }
+  }
+
+  // ---- 2. non-modulo batches with genuinely new ids ----
+
+  test("exactDedup on a non-modulo batch: re-ingest, corpus copy, batch dup, novel") {
+    val docs = Tables.t(spark, sf, "documents")
+    // a stored doc OUTSIDE the fixture slice whose hash is unique in the
+    // corpus (computed, not assumed), re-ingested under its own id
+    val hashed = docs.select(col("doc_id"),
+      sha2(lower(trim(col("text"))), 256).as("h"))
+    val uniq = hashed.withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .where(col("n") === 1 && col("doc_id") % 10 =!= 7)
+      .orderBy("doc_id").limit(1).collect().head.getLong(0)
+    val reIngest = docs.where(col("doc_id") === uniq).select("doc_id", "text")
+    // a stored doc's text under a FRESH id -> must flag corpus_dup
+    val donor = docs.where(col("doc_id") % 10 === 2)
+      .orderBy("doc_id").limit(1).select("text")
+    import spark.implicits._
+    val copy = donor.select(lit(9000001L).as("doc_id"), col("text"))
+    val novel = Seq(
+      (9000002L, "graft ingest novel alpha content row"),
+      (9000003L, "graft ingest novel alpha content row"), // batch-internal dup
+      (9000004L, "graft ingest novel beta unique row")
+    ).toDF("doc_id", "text")
+    val batch = reIngest.unionByName(copy).unionByName(novel)
+    val got = Ingest.exactDedup(spark, sf, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    assert(got.size == 5)
+    // re-ingested stored row: own id anti-joined out, hash unique -> keep
+    assert(got(uniq) == ((false, false, true)),
+      s"re-ingested stored row self-matched: ${got(uniq)}")
+    assert(got(9000001L) == ((true, false, false)), "corpus copy not flagged")
+    assert(got(9000002L) == ((false, false, true)), "first of batch pair must keep")
+    assert(got(9000003L) == ((false, true, false)), "batch-internal dup not flagged")
+    assert(got(9000004L) == ((false, false, true)), "novel content must keep")
+  }
+
+  test("minhash + substring dedup flag exact copies under genuinely new ids") {
+    val docs = Tables.t(spark, sf, "documents")
+    // 5 corpus docs (outside the fixture slice, >= SUBSTR_W tokens so the
+    // substring family sees windows) re-issued under fresh shifted ids
+    val donors = docs.where(col("doc_id") % 10 =!= 7
+        && size(split(col("text"), " ")) >= 12)
+      .orderBy("doc_id").limit(5)
+    val shifted = donors.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val mh = Ingest.minhashDedup(spark, sf, shifted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val donorIds = donors.select("doc_id").collect().map(_.getLong(0)).toSet
+    donorIds.foreach { id =>
+      assert(mh.exists(p => p._1 == id + 10000000L && p._2 == id && p._3 == 1.0),
+        s"shifted copy of $id missing its jac=1.0 original pair")
+    }
+    assert(mh.forall(p => p._1 >= 10000000L && p._2 < 10000000L),
+      "pairs must be batch x corpus")
+    val ss = Ingest.substringDedup(spark, sf, shifted).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("dup_ratio")).toMap
+    donorIds.foreach { id =>
+      assert(ss.get(id + 10000000L).contains(1.0),
+        s"shifted copy of $id: dup_ratio ${ss.get(id + 10000000L)} != 1.0")
+    }
+  }
+
+  test("semanticDedup drops shifted duplicate vectors; ANN tiers find their originals at cos 1.0") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val shifted = e.where(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    // corpus side (anti-join on SHIFTED ids) keeps every original, so each
+    // batch vector has an exact duplicate corpus-side
+    val sem = Ingest.semanticDedup(spark, sf, shifted).collect()
+    assert(sem.nonEmpty && sem.forall(_.getBoolean(2)),
+      "every shifted duplicate must be dropped (cos 1.0 >= tau to its original)")
+    val tiers: Seq[(String, DataFrame)] = Seq(
+      "annLsh" -> Ingest.annLsh(spark, sf, shifted),
+      "annIvfK" -> Ingest.annIvfK(spark, sf, shifted),
+      "annIvfc" -> Ingest.annIvfc(spark, sf, shifted),
+      "annIvfPq" -> Ingest.annIvfPq(spark, sf, shifted),
+      "annIvfcPq" -> Ingest.annIvfcPq(spark, sf, shifted))
+    val nBatch = shifted.count()
+    tiers.foreach { case (name, out) =>
+      val top1 = out.collect().filter(_.getInt(3) == 1)
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(top1.keySet.size == nBatch, s"$name: ${top1.size} top-1 rows vs $nBatch")
+      top1.foreach { case (vid, (nid, cos)) =>
+        assert(cos == 1.0, s"$name: top-1 for $vid is ($nid, $cos), not a cos-1.0 twin")
+        assert(nid < 10000000L, s"$name: neighbor $nid is not corpus-side")
+      }
+    }
+  }
+}

@@ -183,13 +183,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_sim_ann_lsh pair join is broadcast in the final plan (no sort-merge)") {
+  test("q_baseline_ann_lsh pair join is broadcast in the final plan (no sort-merge)") {
     // The pair join's Catalyst size estimate (a join output) can overshoot
     // the size gate, so maybeBroadcast declines the hint — and AQE converts
     // the join back to broadcast at runtime from observed sizes. Assert on
     // the FINAL plan section: the initial (pre-AQE) plan may show the
     // sort-merge fallback by design.
-    val p = plan("q_sim_ann_lsh").split("== Initial Plan ==").head
+    val p = plan("q_baseline_ann_lsh").split("== Initial Plan ==").head
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -212,8 +212,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p) // shared ivf_cells artifact, not recomputed
   }
 
-  test("q_sim_ann_lsh_probe: probe expansion stays broadcast with map-side heaps") {
-    val p = plan("q_sim_ann_lsh_probe").split("== Initial Plan ==").head
+  test("q_baseline_ann_lsh_probe: probe expansion stays broadcast with map-side heaps") {
+    val p = plan("q_baseline_ann_lsh_probe").split("== Initial Plan ==").head
     // the 9-bucket probe explode is scan-side; every pair/vector join is
     // hash-broadcast and the rerank runs through the partial heaps
     assert(p.contains("BroadcastHashJoin"), p)

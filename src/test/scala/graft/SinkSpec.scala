@@ -70,7 +70,7 @@ class SinkSpec extends AnyFunSuite {
     // publish lock files are legitimate non-store siblings
     val stages = idx.listFiles.filter(_.isDirectory).map(_.getName).toSeq
     assert(stages.exists(_.startsWith("minhash_sigs")), stages.mkString(","))
-    assert(stages.exists(_.startsWith("corpus_hashes")), stages.mkString(","))
+    assert(stages.exists(_.startsWith("corpus_doc_hashes")), stages.mkString(","))
     stages.foreach { st =>
       assert(new java.io.File(idx, s"$st/_SUCCESS").exists(),
         s"artifact $st published without _SUCCESS marker")

@@ -111,9 +111,12 @@ class StreamingSpec extends AnyFunSuite {
   test("stream-static dedup against the persisted corpus index flags novelty") {
     // publish (or reuse) the disk-backed corpus hash artifact
     SparkEntry.queries("q_dedup_incremental")(spark, sf).collect()
-    val idxPath = s"${Tables.indexDir(sf)}/corpus_hashes_mod10ne7"
+    val idxPath = s"${Tables.indexDir(sf)}/corpus_doc_hashes"
     assert(new java.io.File(idxPath, "_SUCCESS").exists(), s"no artifact at $idxPath")
+    // full-corpus (doc_id, h) index; the standing-corpus view for this
+    // probe excludes the batch slice, mirroring q_dedup_incremental
     val corpusIndex = spark.read.parquet(idxPath)
+      .where(col("doc_id") % 10 =!= 7).select("h").distinct()
     // the incoming "crawl" = the batch slice, streamed from a temp dir,
     // plus ONE injected duplicate of a corpus doc under a fresh id (the
     // sf0.001 fixture has no natural cross-side exact duplicate)

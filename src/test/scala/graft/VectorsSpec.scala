@@ -45,7 +45,7 @@ class VectorsSpec extends AnyFunSuite {
     val exact = q("q_sim_knn").where(col("rnk") <= 3)
       .select("vec_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sq = q("q_sim_ann_sq")
+    val sq = q("q_baseline_ann_sq")
       .select("vec_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
@@ -72,8 +72,8 @@ class VectorsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT int_dot(array(1L), array(1L,2L))").head().isNullAt(0))
   }
 
-  test("q_sim_ann_sq runs both top-k stages through map-side TopKPerKey heaps") {
-    val df = q("q_sim_ann_sq")
+  test("q_baseline_ann_sq runs both top-k stages through map-side TopKPerKey heaps") {
+    val df = q("q_baseline_ann_sq")
     df.collect() // finalize AQE on THIS plan
     val p = df.queryExecution.executedPlan.toString
     assert("TopKPerKeyPartial".r.findAllIn(p).size >= 2, p)
