@@ -918,9 +918,10 @@ object LlmPipeline extends QueryPack {
     * N-INDEPENDENT dial that buys recall at NP·c candidate rows per
     * query. Measured dial curve at sf0.1 (vs exhaustive, RECALL.json):
     * NP=4/2 groups 0.45 → 8/3 0.54→0.65 → 12/4 0.79 → 16/5 0.886 →
-    * 20/5 (r12, lifting the last production pick above the 0.9 bar the
-    * rest of the tier clears; the dial is N-independent so the lift
-    * costs +25% candidate rows at ANY corpus size, no class change).
+    * 20/5 MEASURED 0.9183 (r14, RECALL_sf0.1_r14.json — the lift that
+    * clears the 0.9 bar the rest of the production tier meets; the dial
+    * is N-independent so it costs +25% candidate rows at ANY corpus
+    * size, no class change).
     * On this deliberately structure-free synthetic corpus recall tracks
     * probed mass (~2.5–4× concentration above it); clustered real-world
     * embeddings concentrate far harder, which is what lets production
@@ -1386,7 +1387,7 @@ object LlmPipeline extends QueryPack {
       .distinct()
     pqAdcRerank(cands,
       pqCodesWide(s, d).join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
-      pqDtablePlan(b, cb), b, corpusVecsExcl(s, d, batch))
+      broadcast(pqDtablePlan(b, cb)), b, corpusVecsExcl(s, d, batch))
   }
 
   /** Constant-cell IVF-PQ ANN ingest — the linear-class PQ tier's
@@ -1403,7 +1404,7 @@ object LlmPipeline extends QueryPack {
       .distinct()
     pqAdcRerank(cands,
       pqCodesWide(s, d).join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
-      pqDtablePlan(b, cb), b, corpusVecsExcl(s, d, batch))
+      broadcast(pqDtablePlan(b, cb)), b, corpusVecsExcl(s, d, batch))
   }
 
   def queries: Seq[(String, Fn)] = Seq(
@@ -2245,7 +2246,11 @@ object LlmPipeline extends QueryPack {
         .distinct()
       pqAdcRerank(s, d, cands,
         pqCodesWide(s, d).where(!(col("nid") % 10 === 7)),
-        pqDtablePlan(e.where(isBatch), cb))
+        // the batch's ADC table is O(batch*M*K) rows by construction —
+        // broadcast it so the 8-level ADC fold stays map-side (without
+        // the hint the fresh plan has no size estimate and every fold
+        // level sort-merge-joins, re-shuffling the candidate set 8x)
+        broadcast(pqDtablePlan(e.where(isBatch), cb)))
     }),
 
     // Constant-cell IVF-PQ — the memory-economy tier re-dialed for the
@@ -2293,7 +2298,11 @@ object LlmPipeline extends QueryPack {
       val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
       pqAdcRerank(s, d, cands,
         pqCodesWide(s, d).where(!(col("nid") % 10 === 7)),
-        pqDtablePlan(e.where(isBatch), cb))
+        // the batch's ADC table is O(batch*M*K) rows by construction —
+        // broadcast it so the 8-level ADC fold stays map-side (without
+        // the hint the fresh plan has no size estimate and every fold
+        // level sort-merge-joins, re-shuffling the candidate set 8x)
+        broadcast(pqDtablePlan(e.where(isBatch), cb)))
     }),
 
     // End-to-end training-data pipeline — the composition a real corpus
