@@ -539,4 +539,29 @@ class PlanSpec extends AnyFunSuite {
     val docExch = "Exchange hashpartitioning\\(doc_id".r.findAllIn(finalPlan).size
     assert(docExch <= 1, s"windows+aggs must share one doc_id exchange:\n$p")
   }
+
+  test("q_dedup_semantic (balanced corpus): skew gate stays narrow, pair join broadcasts") {
+    // r14 contract (VERDICT r13 #1): on a corpus with no oversized cell
+    // the guard is one narrow groupBy(cell).count() and the registered
+    // plan is the unguarded broadcast pair join — no full-frame window
+    // over the embedding payload, no sort-merge self-join. A regression
+    // here re-adds a full-corpus wide shuffle to every dedup run.
+    val p = plan("q_dedup_semantic").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"pair join lost its broadcast:\n$p")
+    assert(!p.contains("WindowExec"),
+      s"cell sizing must come from the narrow count, not a window:\n$p")
+  }
+
+  test("q_sim_ann_ivfc_pq_delta: batch ADC table broadcasts through all fold levels") {
+    // r14 contract: the per-ingest ADC distance table is O(batch*M*K)
+    // rows by construction and carries an explicit broadcast hint —
+    // without it the fresh plan has no size estimate and every level of
+    // the 8-subspace fold sort-merge-joins, re-shuffling the candidate
+    // set once per subspace (the r13 10.88 MB anomaly).
+    val p = plan("q_sim_ann_ivfc_pq_delta").split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"), s"ADC fold fell off broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 8,
+      s"expected >=8 broadcast ADC levels:\n$p")
+  }
 }
