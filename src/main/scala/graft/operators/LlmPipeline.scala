@@ -986,9 +986,18 @@ object LlmPipeline extends QueryPack {
     * against the candidate-generation volume at any corpus size.
     * 100 → 200 in round 11 paired with the iterated-Lloyd codebooks:
     * measured recall@3 vs exhaustive was 0.84 (lloyd1/rerank100) → 0.87
-    * (lloyd4/rerank100) → target ≥0.9; the candidate-set ceiling (ivf_k
-    * on identical probes, full-precision throughout) is 0.94. */
-  private val PQ_RERANK = 200
+    * (lloyd4/rerank100); the candidate-set ceiling (ivf_k on identical
+    * probes, full-precision throughout) is 0.94. 200 → 800 in round 14,
+    * MEASURED at sf0.1 (RECALL_sf0.1_r14.json curve): ivfc_pq 0.789
+    * (200) → 0.879 (400) → 0.916 (800) ≈ its 0.918 candidate ceiling
+    * (ivfc full-precision on the same probes); ivfpq 0.800 → 0.876 →
+    * 0.894 ≈ its 0.894 ivf_k ceiling. On this deliberately
+    * structure-free corpus ADC ordering is noisy enough that the knee
+    * sits near the candidate ceiling; clustered real-world embeddings
+    * saturate the curve far earlier, so 800 is the conservative
+    * bench-corpus setting of an N-INDEPENDENT dial (cost unchanged in
+    * class: O(PQ_RERANK·dim) per query). */
+  private val PQ_RERANK = 800
   require(PQ_M * PQ_SUBDIM == 64, s"PQ geometry must tile the 64-dim embeddings")
 
   /** (vec_id, m, sub) — the M 8-dim subvectors of each embedding, doubles.
