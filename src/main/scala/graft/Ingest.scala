@@ -41,6 +41,13 @@ object Ingest {
   def minhashDedup(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     operators.LlmPipeline.ingestMinhashDedup(s, d, batch)
 
+  /** 1-row rebuild-lag report for a batch: how many batch-hot shingles
+    * the persisted corpus hot-set artifact does not know yet (they are
+    * capped batch-side regardless; the corpus index learns them at the
+    * next rebuild). Registered twin: q_shingle_cap_lag. */
+  def minhashCapLag(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+    operators.LlmPipeline.ingestShingleCapLag(s, d, batch)
+
   /** ExactSubstr-style duplicated-span stats for batch docs whose
     * token windows already occur corpus-side. Registered twin:
     * q_dedup_substring_delta. */
@@ -53,10 +60,17 @@ object Ingest {
   def semanticDedup(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     operators.LlmPipeline.ingestSemanticDedup(s, d, batch)
 
-  /** ANN top-3 corpus neighbors per batch vector — LSH multiprobe tier.
+  /** ANN top-3 corpus neighbors per batch vector — fixed-bucket LSH
+    * multiprobe tier (dial tier; prefer [[annLshc]] at very large N).
     * Registered twin: q_sim_ann_lsh_delta. */
   def annLsh(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     operators.LlmPipeline.ingestAnnLsh(s, d, batch)
+
+  /** ANN top-3 — constant-occupancy LSH, the LSH-family 100 TB pick
+    * (O(batch·tables·probes·c), N-independent dials). Registered twin:
+    * q_sim_ann_lshc_delta. */
+  def annLshc(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+    operators.LlmPipeline.ingestAnnLshc(s, d, batch)
 
   /** ANN top-3 — trained-k IVF tier (√N dials; prefer [[annIvfc]] at
     * very large N). Registered twin: q_sim_ann_ivf_k_delta. */

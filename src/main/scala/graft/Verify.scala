@@ -106,6 +106,7 @@ object Verify {
       // the artifact (the ANN plans are the most expensive in the registry)
       val anns = Seq("lsh" -> "q_baseline_ann_lsh", "lsh_probe" -> "q_baseline_ann_lsh_probe",
         "lsh_multi" -> "q_sim_ann_lsh_multi", "lsh_mp" -> "q_sim_ann_lsh_mp",
+        "lshc" -> "q_sim_ann_lshc",
         "ivf" -> "q_baseline_ann_ivf", "ivf_mp" -> "q_sim_ann_ivf_mp",
         "ivf_k" -> "q_sim_ann_ivf_k", "ivfc" -> "q_sim_ann_ivfc",
         "ivfpq" -> "q_sim_ann_ivfpq", "ivfc_pq" -> "q_sim_ann_ivfc_pq",

@@ -46,6 +46,43 @@ object LlmPipeline extends QueryPack {
     * the tables are independent of the single-table query's hyperplanes. */
   private val LSH_TABLES = 4
   private val LSH_TABLE_BITS = 4
+  /** Constant-occupancy LSH (q_sim_ann_lshc) — the linear-class re-dial
+    * of the fixed-bucket family (VERDICT r14 task 1), built the way the
+    * constant-cell IVF tier was: instead of a FIXED [[LSH_TABLE_BITS]]
+    * (bucket count independent of N ⇒ expected occupancy N/2^bits ⇒
+    * candidate volume N²/B), the per-table bit count GROWS with the
+    * persisted corpus count so expected bucket occupancy stays pinned at
+    * [[LSHC_CELL]]: nbits = the smallest b with 2^b ≥ ⌈N/c⌉ (an integer
+    * formula on both engines — floating log2 of exact powers of two is
+    * off-by-ulp hazardous). Candidate volume is then O(N · tables ·
+    * probes · c) with tables and probes CONSTANT — the linear class.
+    *
+    * Probe expansion must not grow with nbits (full hamming-1 would add
+    * a log N factor and breach the linear contract at the 4× embedding
+    * step: (1+nbits) probes grew 5→7 across sf0.01→0.1, a 1.4× on top of
+    * 4×, outside growth^1.2). So probes are the TARGETED multiprobe of
+    * Lv et al.: each query flips, per table, only the [[LSHC_T]] sign
+    * bits with the smallest |dot| margin (the bits most likely wrong)
+    * plus the pair of the two smallest — 1 + T + 1 bucket lookups per
+    * table, a constant, recovering most of hamming-1's recall because
+    * single-bit errors concentrate on small-margin planes. Plane ids
+    * live at [[LSHC_BASE]] + tb·32 + j (stride 32 = the nbits ceiling,
+    * 2^32 buckets/table ≈ 4.3e9 · c vectors — past 100 TB) so re-dials
+    * never collide with the fixed-bucket family's planes. */
+  private val LSHC_CELL = 64
+  private val LSHC_BASE = 100
+  private val LSHC_T = 4
+  /** lshc's own table count — the recall dial of the constant-occupancy
+    * family. Constant-occupancy LSH pays the classic LSH trade: with
+    * nbits = log₂(N/c), a fixed-similarity pair's per-table collision
+    * probability is p^nbits = (N/c)^(log₂ p) — it DECAYS (slowly,
+    * polynomially with a small exponent) as the corpus grows, so tables
+    * is the dial that buys it back (cost linear in tables, recall
+    * 1−(1−P)^tables). Measured curve at sf0.1 (RECALL.json): 4 tables /
+    * c=32 → 0.72; 8 tables / c=64 → the shipped dial. The same decay is
+    * why q_sim_ann_ivfc re-measures recall per SF (1.0 → 0.918 across
+    * sf0.01→0.1 at constant NP). */
+  private val LSHC_TABLES = 8
   /** Cells probed per query vector in multi-probe IVF (q_sim_ann_ivf_mp). */
   private val NPROBE = 3
 
@@ -165,11 +202,13 @@ object LlmPipeline extends QueryPack {
     * caps on) as a persisted artifact: tiny by construction (only
     * shingles hotter than the cap), broadcastable at any corpus size.
     * [[ingestMinhashDedup]] anti-joins an arbitrary batch's raw shingles
-    * against THIS set, so batch signatures take the cap the corpus
-    * signature artifact was built with — re-ingesting stored rows
-    * reproduces q_dedup_minhash_delta exactly (IngestSpec), and a batch
-    * whose internal boilerplate is corpus-novel keeps those shingles
-    * until the next full index rebuild (the documented trade). */
+    * against THIS set (unioned with the batch-local hot set, so
+    * corpus-novel boilerplate is capped too), and batch signatures take
+    * the cap the corpus signature artifact was built with —
+    * re-ingesting stored rows reproduces q_dedup_minhash_delta exactly
+    * (IngestSpec). The residual rebuild lag (the corpus artifact learns
+    * a batch-novel hot shingle only at the next rebuild) is emitted as
+    * data by q_shingle_cap_lag / [[ingestShingleCapLag]]. */
   private[graft] def hotShingleSet(s: SparkSession, d: String): DataFrame =
     Tables.memoizedOnDisk(s, d, s"hot_shingles_k3df$MAX_SHINGLE_DF") {
       shingleDfs(rawShingles(t(s, d, "documents").repartition(col("doc_id")), k = 3))
@@ -336,6 +375,93 @@ object LlmPipeline extends QueryPack {
     val kept = keep.map(col)
     e.select(col("vec_id") +: kept :+ explode(array(tables: _*)).as("tbk"): _*)
       .select(col("vec_id") +: kept :+ col("tbk.tb").as("tb") :+ col("tbk.bucket").as("bucket"): _*)
+  }
+
+  /** Per-session scalar memo for tiny artifact-derived dials (corpus
+    * count, max cell size). The value itself lives in a 1-row persisted
+    * parquet artifact (warm-store read = one footer-sized job); this map
+    * makes every LATER plan construction in the session zero-job —
+    * registered queries stay cheap on explain/plan-only paths (ADVICE
+    * r14: eager gates in query builders). Keyed by (dir, stage) like
+    * [[Tables.memoizedOnDisk]]; tests on fresh temp dirs never alias. */
+  private val scalarMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def memoizedScalar(d: String, stage: String)(mk: => Long): Long =
+    scalarMemo.computeIfAbsent(s"$d#$stage", _ => mk)
+
+  /** Persisted corpus vector count — the N every N-derived index dial
+    * (constant-occupancy LSH bit count, batch-size gates) reads instead
+    * of re-counting the corpus: built once as a 1-row artifact beside
+    * the other index artifacts, then JVM-memoized per dir. */
+  private[graft] def embCount(s: SparkSession, d: String): Long =
+    memoizedScalar(d, "emb_count") {
+      Tables.memoizedOnDisk(s, d, "emb_count") {
+        t(s, d, "embeddings").agg(count(lit(1)).as("n"))
+      }.head().getLong(0)
+    }
+
+  /** Constant-occupancy bit count: smallest b ≥ 1 with 2^b ≥ ⌈N/c⌉.
+    * Integer-exact (no floating log2 — log2(2^k) can land at k±ulp and
+    * flip the ceil between engines); the oracle mirrors it as
+    * `min(j) WHERE (1 << j) >= K` over a 0..32 series. */
+  private[graft] def lshcNbits(n: Long): Int = {
+    val k = (n + LSHC_CELL - 1) / LSHC_CELL
+    if (k <= 1L) 1 else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(k - 1))
+  }
+
+  /** Constant-occupancy LSH probe rows for an arbitrary vector set: one
+    * (vec_id, tb, bucket, own) row per table for the vector's OWN bucket
+    * (own = true — these rows are the index side) plus its targeted
+    * multiprobe flips (own = false): the [[LSHC_T]] planes with the
+    * smallest |rounded dot| (ties by plane id — both engines rank the
+    * identical r4 doubles) flipped singly, and the two smallest flipped
+    * together. All hyperplanes are pure functions of the global plane id,
+    * so the SAME projection buckets the standing corpus, an ingest batch,
+    * and the oracle's SQL mirror identically. Dots are computed once in a
+    * narrow pre-projection and shared by the sign test and the margin
+    * ranking (the fold HOFs are interpreted — duplicating them doubles
+    * execution cost). Zero joins, zero shuffles: nbits·tables dot
+    * products and a T-element sort per vector, then an explode. */
+  private[graft] def lshcProbesPlan(e: DataFrame, nbits: Int): DataFrame = {
+    val t0 = math.min(LSHC_T, nbits)
+    val dotCols = for (tb <- 0 until LSHC_TABLES; j <- 0 until nbits) yield {
+      val plane = typedlit((1 to 64).map(planeValJvm(LSHC_BASE + tb * 32 + j, _)))
+      r4(aggregate(zip_with(col("embedding"), plane, (x, v) => x * v),
+        lit(0.0), (acc, x) => acc + x)).as(s"ld_${tb}_$j")
+    }
+    val withDots = e.select(col("vec_id") +: dotCols: _*)
+    val tables = (0 until LSHC_TABLES).map { tb =>
+      val dots = (0 until nbits).map(j => col(s"ld_${tb}_$j"))
+      val bucket = dots.zipWithIndex.map { case (dj, j) =>
+        when(dj > 0, lit(1L << j)).otherwise(lit(0L)) }.reduce(_ + _)
+      val ranked = sort_array(array(dots.zipWithIndex.map { case (dj, j) =>
+        struct(abs(dj).as("ad"), lit(j).as("j")) }: _*))
+      val masks = (0 until t0).map { i =>
+        call_function("shiftleft", lit(1L), element_at(ranked, i + 1).getField("j")) }
+      def p(b: Column, own: Boolean) =
+        struct(lit(tb).as("tb"), b.as("bucket"), lit(own).as("own"))
+      val singles = masks.map(m => p(bucket.bitwiseXOR(m), own = false))
+      val dbl = if (nbits >= 2)
+        Seq(p(bucket.bitwiseXOR(masks(0).bitwiseOR(masks(1))), own = false))
+      else Seq.empty
+      array(p(bucket, own = true) +: (singles ++ dbl): _*)
+    }
+    withDots
+      .select(col("vec_id"), explode(flatten(array(tables: _*))).as("pk"))
+      .select(col("vec_id"), col("pk.tb").as("tb"),
+        col("pk.bucket").as("bucket"), col("pk.own").as("own"))
+  }
+
+  /** The persisted constant-occupancy LSH index + probe artifact: own
+    * rows (own = true) are the corpus bucket index; probe rows are each
+    * vector's precomputed targeted flips. One artifact, one build scan —
+    * the stage name carries (tables, nbits) so a corpus-count change
+    * that re-dials nbits mints a new artifact instead of silently
+    * reusing stale geometry. */
+  private[graft] def lshcProbes(s: SparkSession, d: String): DataFrame = {
+    val nbits = lshcNbits(embCount(s, d))
+    Tables.memoizedOnDisk(s, d, s"lshc_${LSHC_TABLES}x${nbits}c$LSHC_CELL") {
+      lshcProbesPlan(t(s, d, "embeddings"), nbits)
+    }
   }
 
   /** IVF coarse-quantizer training: centroid per label cell as
@@ -663,6 +789,19 @@ object LlmPipeline extends QueryPack {
   /** Rank-1 two-level assignment index over the corpus — the persisted
     * artifact q_dedup_semantic's within-cell pair join and the ingest
     * delta both probe. */
+  /** Max cell size of the persisted rank-1 assignment — the semantic
+    * skew gate's ONLY input, persisted as a 1-row artifact beside the
+    * assignment index (q_dedup_semantic_cells emits the same histogram
+    * in full as data) and JVM-memoized per dir so repeated plan
+    * constructions in a session read no Spark at all. */
+  private def semMaxCell(s: SparkSession, d: String): Long =
+    memoizedScalar(d, s"sem2_cellmax_nc$SEM_CELL") {
+      Tables.memoizedOnDisk(s, d, s"sem2_cellmax_nc$SEM_CELL") {
+        semAssign(s, d).groupBy("cell").agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("max_n"))
+      }.head().getLong(0)
+    }
+
   private def semAssign(s: SparkSession, d: String): DataFrame =
     Tables.memoizedOnDisk(s, d, s"sem2_assign_nc$SEM_CELL") {
       semCellsFor(s, d, t(s, d, "embeddings"))
@@ -777,8 +916,9 @@ object LlmPipeline extends QueryPack {
     * splits, zero fast verdicts, value-identical output to the unguarded
     * plan — which is why the DuckDB oracle, which mirrors the unguarded
     * plan, stays hash-green — and since r14 that identity is taken
-    * LITERALLY: a narrow groupBy("cell").count() gate (no embedding
-    * payload) detects skew first, and the balanced case runs the
+    * LITERALLY: the persisted max-cell-size artifact ([[semMaxCell]], a
+    * 1-row read, JVM-memoized — never a per-invocation job) detects skew
+    * first, and the balanced case runs the
     * unguarded broadcast plan verbatim at zero guard cost. Under
     * planted skew (LlmSpec drives a giant near-duplicate cell through
     * the REGISTERED query) the quadratic
@@ -787,17 +927,23 @@ object LlmPipeline extends QueryPack {
     * (the cap triangle bound), while a below-cap vector whose only
     * τ-witnesses were cap-dropped members is kept — the documented
     * guard trade. */
-  def semanticDedupGuarded(vecs: DataFrame, assign: DataFrame): DataFrame = {
-    val e = vecs.select(col("vec_id"), col("embedding"))
-    // Skew gate (VERDICT r13 task 1): learn cell sizes from the NARROW
-    // assignment alone — one groupBy over two int columns, never the
-    // embedding payload. On every balanced corpus the guard is the
-    // proven identity, so when no cell exceeds 4·c we take the
-    // unguarded broadcast plan verbatim and the guard costs one tiny
-    // aggregate; split/cap stages build only when an oversized cell
-    // actually exists.
-    val anyOversized = !assign.groupBy("cell").agg(count(lit(1)).as("n"))
-      .where(col("n") > 4 * SEM_CELL).isEmpty
+  def semanticDedupGuarded(s: SparkSession, d: String): DataFrame = {
+    val assign = semAssign(s, d)
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    // Skew gate (VERDICT r13 task 1, r14 task 3): the branch dial is the
+    // max cell size of the persisted rank-1 assignment — read from a
+    // 1-row artifact built beside the assignment itself and JVM-memoized
+    // per dir, so on the warm store plan construction launches ZERO
+    // Spark jobs (the r14 wiring ran an eager groupBy().isEmpty on every
+    // invocation, including explain/plan-only paths). The branch is
+    // frozen at construction time like every other artifact-derived dial
+    // (memoizedOnDisk corpora are immutable per index build — a corpus
+    // swap under the same dir mints stale artifacts across the board,
+    // not just here). On every balanced corpus the guard is the proven
+    // identity, so when no cell exceeds 4·c we take the unguarded
+    // broadcast plan verbatim at zero guard cost; split/cap stages build
+    // only when an oversized cell actually exists.
+    val anyOversized = semMaxCell(s, d) > 4L * SEM_CELL
     if (!anyOversized) {
       val withCell = e
         .join(maybeBroadcast(assign.select(col("vec_id"), col("cell"))), "vec_id")
@@ -1251,9 +1397,23 @@ object LlmPipeline extends QueryPack {
   private[graft] def ingestMinhashDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val bids = batch.select("doc_id")
-    val bsh = rawShingles(batch.select(col("doc_id"), col("text"))
-        .repartition(col("doc_id")), k = 3)
+    val bshRaw = rawShingles(batch.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")), k = 3)
+    // Cap universe = corpus hot set ∪ BATCH-LOCAL hot set (ADVICE r14):
+    // the corpus set alone leaves a boilerplate-heavy batch whose hot
+    // shingles are corpus-NOVEL uncapped, growing its signature/verify
+    // joins without bound. The batch-local set costs one O(batch)
+    // map-side-combinable aggregate; for any re-ingest of stored rows it
+    // is a SUBSET of the corpus set (batch df ≤ corpus df over the same
+    // rows), so the registered-delta twin equality (IngestSpec) is
+    // untouched. The residual blind spot — the CORPUS index only learns
+    // a batch-novel hot shingle at the next rebuild — is emitted as data
+    // by [[ingestShingleCapLag]] / q_shingle_cap_lag.
+    val batchHot = shingleDfs(bshRaw)
+      .where(col("df") > MAX_SHINGLE_DF).select("shingle")
+    val bsh = bshRaw
       .join(maybeBroadcast(hotShingleSet(s, d)), Seq("shingle"), "left_anti")
+      .join(maybeBroadcast(batchHot), Seq("shingle"), "left_anti")
     val aggs = minhashSigAggs
     val batchBands = minhashBands(bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
     val corpusBands = minhashBands(
@@ -1279,6 +1439,35 @@ object LlmPipeline extends QueryPack {
       .where(col("jac") >= 0.8)
       .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Rebuild-lag observability for the minhash ingest cap (VERDICT r14
+    * task 4): [[ingestMinhashDedup]] caps batch shingles against the
+    * persisted corpus hot set PLUS the batch-local hot set, so nothing
+    * hot rides a batch's signatures — but a batch-novel hot shingle
+    * stays invisible to the CORPUS hot-set artifact until the next
+    * index rebuild. This emits that blind spot's magnitude as a 1-row
+    * query result per batch (the q_shingle_cap_report convention
+    * applied to the ingest facade): n_batch_hot (shingles hot within
+    * the batch), n_lagging (of those, not yet in the corpus hot set —
+    * the rebuild lag), max_lag_df (the worst lagging shingle's batch
+    * df), n_rows_capped (batch rows the union cap drops). All
+    * aggregates are 1-row; the hot sets are bounded by construction. */
+  private[graft] def ingestShingleCapLag(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val bshRaw = rawShingles(batch.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")), k = 3)
+    val bhot = shingleDfs(bshRaw).where(col("df") > MAX_SHINGLE_DF)
+    val lag = bhot.join(maybeBroadcast(hotShingleSet(s, d)), Seq("shingle"), "left_anti")
+    val hotAgg = bhot.agg(count(lit(1)).as("n_batch_hot"))
+    val lagAgg = lag.agg(count(lit(1)).as("n_lagging"),
+      coalesce(max(col("df")), lit(0L)).as("max_lag_df"))
+    val capped = bshRaw.join(maybeBroadcast(
+        bhot.select("shingle").union(hotShingleSet(s, d)).distinct()),
+        Seq("shingle"), "left_semi")
+      .agg(count(lit(1)).as("n_rows_capped"))
+    // three 1-row aggregates — forced broadcast is safe at any scale
+    hotAgg.crossJoin(broadcast(lagAgg)).crossJoin(broadcast(capped))
   }
 
   /** Substring-dedup ingest: batch docs' width-[[SUBSTR_W]] windows
@@ -1342,6 +1531,25 @@ object LlmPipeline extends QueryPack {
       .join(maybeBroadcast(corpus.as("bb")), col("ba.tb") === col("bb.tb") &&
         col("ba.bucket") === col("bb.bucket"))
       .select(col("ba.vec_id").as("qid"), col("bb.vec_id").as("nid"))
+      .distinct()
+    annExactTop3(cands, b, corpusVecsExcl(s, d, batch))
+  }
+
+  /** Constant-occupancy LSH ANN ingest (the LSH-family scale pick):
+    * batch buckets + targeted probes computed fresh under the FROZEN
+    * geometry (nbits from the persisted corpus count); candidates from
+    * the persisted own-bucket index. O(batch·tables·probes·c). */
+  private[graft] def ingestAnnLshc(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val b = batch.select(col("vec_id"), col("embedding"))
+    val probes = lshcProbesPlan(b, lshcNbits(embCount(s, d)))
+    val corpus = lshcProbes(s, d).where(col("own"))
+      .select(col("vec_id"), col("tb"), col("bucket"))
+      .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
+    val cands = probes.as("pa")
+      .join(maybeBroadcast(corpus.as("pb")), col("pa.tb") === col("pb.tb") &&
+        col("pa.bucket") === col("pb.bucket"))
+      .select(col("pa.vec_id").as("qid"), col("pb.vec_id").as("nid"))
       .distinct()
     annExactTop3(cands, b, corpusVecsExcl(s, d, batch))
   }
@@ -1621,6 +1829,16 @@ object LlmPipeline extends QueryPack {
       total.crossJoin(broadcast(hotAgg)).crossJoin(broadcast(affected))
     }),
 
+    // Minhash-ingest rebuild lag as data (the [[ingestShingleCapLag]]
+    // scaladoc carries the design): for the fixture batch, how many
+    // batch-hot shingles the corpus hot-set artifact does not know yet.
+    // The fixture batch is a subset of the stored corpus, so n_lagging
+    // is structurally 0 here (batch df ≤ corpus df) — the QUERY is the
+    // per-ingest observability hook; IngestSpec drives a corpus-novel
+    // boilerplate batch through the same helper and sees the lag > 0.
+    "q_shingle_cap_lag" -> ((s, d) =>
+      ingestShingleCapLag(s, d, t(s, d, "documents").where(col("doc_id") % 10 === 7))),
+
     // SimHash(32-bit) near-dup: token-frequency-weighted sign bits, pairs
     // (blocked by lang) with hamming distance <= 6.
     "q_dedup_simhash" -> ((s, d) => {
@@ -1704,8 +1922,7 @@ object LlmPipeline extends QueryPack {
     // identity on balanced corpora (oracle mirrors the unguarded plan and
     // stays hash-green), O(n) cap resolution under planted skew.
     "q_dedup_semantic" -> ((s, d) =>
-      semanticDedupGuarded(t(s, d, "embeddings"), semAssign(s, d))
-        .orderBy("vec_id")),
+      semanticDedupGuarded(s, d).orderBy("vec_id")),
 
     // Multiprobe semantic dedup: the pair join runs over the TOP-2 cell
     // assignment (owner + runner-up fine cell), so a τ-pair that
@@ -1977,6 +2194,69 @@ object LlmPipeline extends QueryPack {
       val pairs = cands
         .join(maybeBroadcast(e.as("a")), col("qid") === col("a.vec_id"))
         .join(maybeBroadcast(e.as("b")), col("nid") === col("b.vec_id"))
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
+    // Constant-occupancy LSH — the linear-class re-dial of the LSH
+    // family (the LSHC_* scaladoc carries the design): per-table bit
+    // count grows with the PERSISTED corpus count so expected bucket
+    // occupancy is pinned at LSHC_CELL, and probe expansion is the
+    // TARGETED multiprobe (flip the LSHC_T smallest-|margin| bits + the
+    // smallest pair — constant 1+T+1 lookups/table, never the
+    // nbits-growing hamming-1 ball). Candidate volume O(N·tables·probes·c)
+    // with every dial N-independent — the linear class the fixed-bucket
+    // q_sim_ann_lsh_mp (N²/B) cannot reach. Candidates stay narrow
+    // id-pairs; wide vectors join back only for the surviving rerank.
+    "q_sim_ann_lshc" -> ((s, d) => {
+      val pr = lshcProbes(s, d)
+      val idx = pr.where(col("own")).select(col("vec_id"), col("tb"), col("bucket"))
+      val cands = pr.as("pa")
+        .join(maybeBroadcast(idx.as("pb")), col("pa.tb") === col("pb.tb") &&
+          col("pa.bucket") === col("pb.bucket") &&
+          col("pa.vec_id") =!= col("pb.vec_id"))
+        .select(col("pa.vec_id").as("qid"), col("pb.vec_id").as("nid"))
+        .distinct()
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = cands
+        .join(maybeBroadcast(e.as("a")), col("qid") === col("a.vec_id"))
+        .join(maybeBroadcast(e.as("b")), col("nid") === col("b.vec_id"))
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+      org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
+          keyNames = Seq("vec_id"),
+          orderBy = Seq("cos" -> false, "neighbor_id" -> true),
+          k = 3, rankName = "rnk")
+        .orderBy("vec_id", "rnk")
+    }),
+
+    // Constant-occupancy LSH ingest delta — the per-ingest face: a new
+    // embedding batch (vec_id%10=7) computes its buckets + targeted
+    // probes FRESH under the FROZEN geometry (nbits from the persisted
+    // corpus count — identical projection, so batch rows ≡ the corpus
+    // artifact restricted to batch ids) and meets only the persisted
+    // own-bucket index of the standing corpus: O(batch·tables·probes·c)
+    // per ingest, the corpus never re-bucketed.
+    "q_sim_ann_lshc_delta" -> ((s, d) => {
+      val isBatch = col("vec_id") % 10 === 7
+      val e = t(s, d, "embeddings")
+      val probes = lshcProbesPlan(e.where(isBatch), lshcNbits(embCount(s, d)))
+      val corpus = lshcProbes(s, d).where(col("own") && !isBatch)
+        .select(col("vec_id"), col("tb"), col("bucket"))
+      val cands = probes.as("pa")
+        .join(maybeBroadcast(corpus.as("pb")), col("pa.tb") === col("pb.tb") &&
+          col("pa.bucket") === col("pb.bucket"))
+        .select(col("pa.vec_id").as("qid"), col("pb.vec_id").as("nid"))
+        .distinct()
+      val ev = e.select(col("vec_id"), col("embedding"))
+      val pairs = cands
+        .join(maybeBroadcast(ev.as("a")), col("qid") === col("a.vec_id"))
+        .join(maybeBroadcast(ev.as("b")), col("nid") === col("b.vec_id"))
         .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
           r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
       org.apache.spark.sql.graftx.TopK.topKPerKey(pairs,
@@ -2691,6 +2971,51 @@ object LlmPipeline extends QueryPack {
        |            THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM mcomps GROUP BY 1, 2)""".stripMargin
 
+  /** Constant-occupancy LSH CTE chain (mirrors [[lshcProbesPlan]] stage
+    * for stage): nbits = smallest b with 2^b ≥ ⌈count(*)/c⌉ (integer-
+    * exact — no floating log2), per-(vec,table) rounded plane dots,
+    * own-bucket sign sum, margin ranking by (|dot|, plane id), and the
+    * targeted probe set: own bucket + [[LSHC_T]] single flips + the
+    * smallest-pair double flip. The 0..31 bit series is generated fixed
+    * and filtered by nbits (DuckDB table functions reject subquery
+    * args); 32 bits = the same ceiling the Spark plane-id stride
+    * encodes. */
+  private val lshcCtesSql: String =
+    s"""lk AS (SELECT CAST(ceil(count(*) / ${LSHC_CELL}.0) AS BIGINT) AS k FROM embeddings),
+       |lnb AS (SELECT GREATEST(1, min(j.j)) AS nbits
+       |  FROM generate_series(0, 32) j(j) WHERE (1::BIGINT << j.j) >= (SELECT k FROM lk)),
+       |lplanes AS (
+       |  SELECT t.tb AS tb, j.j AS j, td.d AS d,
+       |   (('0x'||substr(md5(($LSHC_BASE + t.tb*32 + j.j)||':'||td.d),1,15))::BIGINT % 1000)/500.0 - 1.0 AS v
+       |  FROM generate_series(0, ${LSHC_TABLES - 1}) t(tb),
+       |       generate_series(0, 31) j(j),
+       |       generate_series(1, 64) td(d)
+       |  WHERE j.j < (SELECT nbits FROM lnb)),
+       |lcomps AS (
+       |  SELECT e.vec_id, pl.tb, pl.j,
+       |   CAST(round(CAST(sum(CAST(e.embedding[pl.d] AS DOUBLE) * pl.v) AS DECIMAL(38,6)), 4) AS DOUBLE) AS dot
+       |  FROM embeddings e JOIN lplanes pl ON true
+       |  GROUP BY 1, 2, 3),
+       |lbuckets AS (
+       |  SELECT vec_id, tb,
+       |   CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM lcomps GROUP BY 1, 2),
+       |lranked AS (
+       |  SELECT vec_id, tb, j,
+       |   row_number() OVER (PARTITION BY vec_id, tb ORDER BY abs(dot) ASC, j ASC) AS r
+       |  FROM lcomps),
+       |lprobes AS (
+       |  SELECT vec_id, tb, bucket FROM lbuckets
+       |  UNION ALL
+       |  SELECT b.vec_id, b.tb, xor(b.bucket, 1::BIGINT << r.j)
+       |  FROM lbuckets b JOIN lranked r
+       |   ON b.vec_id = r.vec_id AND b.tb = r.tb AND r.r <= $LSHC_T
+       |  UNION ALL
+       |  SELECT b.vec_id, b.tb, xor(b.bucket, (1::BIGINT << r1.j) | (1::BIGINT << r2.j))
+       |  FROM lbuckets b
+       |  JOIN lranked r1 ON b.vec_id = r1.vec_id AND b.tb = r1.tb AND r1.r = 1
+       |  JOIN lranked r2 ON b.vec_id = r2.vec_id AND b.tb = r2.tb AND r2.r = 2)""".stripMargin
+
   /** Rerank tail over an `mcands(qid, nid)` candidate set: exact cosine,
     * top-3 per query. */
   private val lshCandRerankTailSql: String =
@@ -3072,6 +3397,23 @@ object LlmPipeline extends QueryPack {
          | (SELECT COALESCE(CAST(sum(df) AS BIGINT), 0) FROM hot) AS n_rows_dropped,
          | (SELECT count(DISTINCT ds0.doc_id) FROM ds0 JOIN hot USING (shingle))
          |   AS n_docs_affected""".stripMargin,
+    "q_shingle_cap_lag" ->
+      s"""WITH bs AS (SELECT doc_id, unnest($shinglesSql3) AS shingle
+         |  FROM documents WHERE doc_id % 10 = 7),
+         |bdfs AS (SELECT shingle, count(*) AS df FROM bs GROUP BY 1),
+         |bhot AS (SELECT * FROM bdfs WHERE df > $MAX_SHINGLE_DF),
+         |cs AS (SELECT doc_id, unnest($shinglesSql3) AS shingle FROM documents),
+         |chot AS (SELECT shingle FROM cs GROUP BY shingle
+         |  HAVING count(*) > $MAX_SHINGLE_DF),
+         |lag AS (SELECT b.shingle, b.df FROM bhot b
+         |  LEFT JOIN chot c USING (shingle) WHERE c.shingle IS NULL)
+         |SELECT
+         | (SELECT count(*) FROM bhot) AS n_batch_hot,
+         | (SELECT count(*) FROM lag) AS n_lagging,
+         | (SELECT COALESCE(CAST(max(df) AS BIGINT), 0) FROM lag) AS max_lag_df,
+         | (SELECT count(*) FROM bs JOIN
+         |   (SELECT shingle FROM chot UNION SELECT shingle FROM bhot) u
+         |   USING (shingle)) AS n_rows_capped""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH $simhashTermsSql
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3228,6 +3570,21 @@ object LlmPipeline extends QueryPack {
          |  FROM mbuckets ba JOIN mbuckets bb
          |   ON ba.tb = bb.tb AND ba.bucket = bb.bucket
          |  WHERE ba.vec_id % 10 = 7 AND bb.vec_id % 10 <> 7)
+         |$lshCandRerankTailSql""".stripMargin,
+    "q_sim_ann_lshc" ->
+      s"""WITH $lshcCtesSql,
+         |mcands AS (
+         |  SELECT DISTINCT pa.vec_id AS qid, pb.vec_id AS nid
+         |  FROM lprobes pa JOIN lbuckets pb
+         |   ON pa.tb = pb.tb AND pa.bucket = pb.bucket AND pa.vec_id <> pb.vec_id)
+         |$lshCandRerankTailSql""".stripMargin,
+    "q_sim_ann_lshc_delta" ->
+      s"""WITH $lshcCtesSql,
+         |mcands AS (
+         |  SELECT DISTINCT pa.vec_id AS qid, pb.vec_id AS nid
+         |  FROM lprobes pa JOIN lbuckets pb
+         |   ON pa.tb = pb.tb AND pa.bucket = pb.bucket
+         |  WHERE pa.vec_id % 10 = 7 AND pb.vec_id % 10 <> 7)
          |$lshCandRerankTailSql""".stripMargin,
     "q_baseline_ann_ivf" ->
       s"""WITH $ivfCtesSql

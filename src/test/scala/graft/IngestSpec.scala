@@ -75,12 +75,14 @@ class IngestSpec extends AnyFunSuite {
   test("each ANN ingest tier (fixture batch) == its registered delta twin") {
     val tiers: Seq[(String, String)] = Seq(
       "annLsh" -> "q_sim_ann_lsh_delta",
+      "annLshc" -> "q_sim_ann_lshc_delta",
       "annIvfK" -> "q_sim_ann_ivf_k_delta",
       "annIvfc" -> "q_sim_ann_ivfc_delta",
       "annIvfPq" -> "q_sim_ann_ivfpq_delta",
       "annIvfcPq" -> "q_sim_ann_ivfc_pq_delta")
     val call: Map[String, DataFrame => DataFrame] = Map(
       "annLsh" -> (b => Ingest.annLsh(spark, sf, b)),
+      "annLshc" -> (b => Ingest.annLshc(spark, sf, b)),
       "annIvfK" -> (b => Ingest.annIvfK(spark, sf, b)),
       "annIvfc" -> (b => Ingest.annIvfc(spark, sf, b)),
       "annIvfPq" -> (b => Ingest.annIvfPq(spark, sf, b)),
@@ -152,6 +154,36 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashCapLag(fixture batch) == q_shingle_cap_lag (and is lag-free)") {
+    val got = Ingest.minhashCapLag(spark, sf, docBatch)
+    assertSameRows(got, q("q_shingle_cap_lag"), "minhashCapLag")
+    // fixture batch ⊆ stored corpus ⇒ batch df ≤ corpus df ⇒ zero lag
+    val r = got.collect().head
+    assert(r.getAs[Long]("n_lagging") == 0L, s"fixture batch lagging: $r")
+  }
+
+  test("minhashCapLag measures corpus-novel boilerplate as rebuild lag") {
+    import spark.implicits._
+    // 60 novel docs sharing one corpus-novel 3-shingle ("zzqa zzqb zzqc"):
+    // batch df 60 > MAX_SHINGLE_DF 50 but the persisted corpus hot set has
+    // never seen it — exactly the blind spot the report exists to expose
+    val batch = (1 to 60).map { i =>
+      (9100000L + i, s"zzqa zzqb zzqc unique$i filler$i")
+    }.toDF("doc_id", "text")
+    val r = Ingest.minhashCapLag(spark, sf, batch).collect().head
+    assert(r.getAs[Long]("n_batch_hot") == 1L, s"batch-hot: $r")
+    assert(r.getAs[Long]("n_lagging") == 1L, s"lagging: $r")
+    assert(r.getAs[Long]("max_lag_df") == 60L, s"max lag df: $r")
+    // the union cap drops exactly the 60 rows of the shared shingle —
+    // proof the ingest path caps it even though the corpus set cannot
+    assert(r.getAs[Long]("n_rows_capped") == 60L, s"rows capped: $r")
+    // and the capped ingest itself stays bounded: the boilerplate shingle
+    // never rides the signatures, so no batch x corpus candidate storm
+    val pairs = Ingest.minhashDedup(spark, sf, batch)
+    assert(pairs.where(col("doc_a") >= 9100000L && col("doc_b") >= 9100000L).isEmpty,
+      "batch x batch pair leaked into a batch x corpus ingest")
+  }
+
   test("semanticDedup drops shifted duplicate vectors; ANN tiers find their originals at cos 1.0") {
     val e = Tables.t(spark, sf, "embeddings")
     val shifted = e.where(col("vec_id") % 10 === 7)
@@ -163,6 +195,7 @@ class IngestSpec extends AnyFunSuite {
       "every shifted duplicate must be dropped (cos 1.0 >= tau to its original)")
     val tiers: Seq[(String, DataFrame)] = Seq(
       "annLsh" -> Ingest.annLsh(spark, sf, shifted),
+      "annLshc" -> Ingest.annLshc(spark, sf, shifted),
       "annIvfK" -> Ingest.annIvfK(spark, sf, shifted),
       "annIvfc" -> Ingest.annIvfc(spark, sf, shifted),
       "annIvfPq" -> Ingest.annIvfPq(spark, sf, shifted),

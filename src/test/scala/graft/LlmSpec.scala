@@ -150,6 +150,12 @@ class LlmSpec extends AnyFunSuite {
     // hamming-1 buckets should lift it strictly on this fixture
     val lshP = recallOf("q_baseline_ann_lsh_probe")
     assert(lshP > lshS, s"bit-flip probe recall $lshP <= single-bucket $lshS")
+    // constant-occupancy LSH composes more tables (8) with targeted
+    // multiprobe — on this fixture it must clearly beat the 4-table
+    // no-probe dial (measured 1.0 vs 0.46 at sf0.01; the honest margin
+    // asserted here is loose so corpus regeneration can't flake it)
+    val lshC = recallOf("q_sim_ann_lshc")
+    assert(lshC > lshM, s"constant-occupancy LSH recall $lshC <= lsh_multi $lshM")
   }
 
   test("multi-table LSH: every reported pair collides in some table; candidates bounded") {
@@ -476,6 +482,58 @@ class LlmSpec extends AnyFunSuite {
     }
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.distinct.length == pairs.length, "duplicate pair survived DISTINCT")
+  }
+
+  test("lshc: constant-occupancy bit dial is integer-exact (no floating log2)") {
+    import operators.LlmPipeline.lshcNbits
+    // smallest b >= 1 with 2^b >= ceil(N/64) — power-of-two edges included
+    assert(lshcNbits(1) == 1 && lshcNbits(64) == 1 && lshcNbits(65) == 1)
+    assert(lshcNbits(129) == 2)           // ceil(129/64)=3 -> 2^2
+    assert(lshcNbits(500) == 3)           // the fixture: ceil=8 -> exactly 3
+    assert(lshcNbits(2000) == 5)          // sf0.1: ceil(2000/64)=32 -> exactly 5
+    assert(lshcNbits(64L * 1024) == 10)   // exact power: 1024 cells -> 10, not 11
+    assert(lshcNbits(64L * 1024 + 1) == 11)
+    // expected occupancy N/2^nbits stays within [c/2, c] for N >= c
+    for (n <- Seq(100L, 500L, 2000L, 1000000L, 4000000000L)) {
+      val occ = n.toDouble / (1L << lshcNbits(n))
+      assert(occ <= 64.0 + 1e-9 && occ > 16.0, s"occupancy $occ at N=$n")
+    }
+  }
+
+  test("lshc: probe set per (vector, table) is the constant targeted shape") {
+    import operators.LlmPipeline
+    val nbits = LlmPipeline.lshcNbits(LlmPipeline.embCount(spark, sf))
+    val pr = LlmPipeline.lshcProbes(spark, sf)
+      .groupBy("vec_id", "tb")
+      .agg(count(lit(1)).as("n"), sum(when(col("own"), 1).otherwise(0)).as("n_own"),
+        countDistinct(col("bucket")).as("n_buckets"))
+      .collect()
+    assert(pr.nonEmpty)
+    val want = 1 + math.min(4, nbits) + (if (nbits >= 2) 1 else 0)
+    pr.foreach { r =>
+      assert(r.getAs[Long]("n") == want, s"probe count ${r.getAs[Long]("n")} != $want")
+      assert(r.getAs[Long]("n_own") == 1, "each (vec, table) must have exactly one index row")
+      // distinct XOR masks => distinct probe buckets
+      assert(r.getAs[Long]("n_buckets") == want, "duplicate probe bucket")
+    }
+  }
+
+  test("lshc ingest delta: fresh batch probes reproduce the artifact's batch rows") {
+    import operators.LlmPipeline
+    val isBatch = col("vec_id") % 10 === 7
+    val nbits = LlmPipeline.lshcNbits(LlmPipeline.embCount(spark, sf))
+    val fresh = LlmPipeline.lshcProbesPlan(
+      Tables.t(spark, sf, "embeddings").where(isBatch), nbits)
+    val stored = LlmPipeline.lshcProbes(spark, sf).where(isBatch)
+    // identical projection under the frozen geometry => row-set equality
+    assert(fresh.exceptAll(stored).isEmpty && stored.exceptAll(fresh).isEmpty,
+      "batch probes under frozen nbits diverge from the persisted artifact")
+    val rows = q("q_sim_ann_lshc_delta").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 7, s"query ${r.getLong(0)} not batch-side")
+      assert(r.getLong(1) % 10 != 7, s"neighbor ${r.getLong(1)} is batch-side")
+    }
   }
 
   test("fingerprint is deterministic and total") {

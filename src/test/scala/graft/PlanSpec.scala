@@ -206,6 +206,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("q_sim_ann_lshc: persisted probe artifact both sides, no sort-merge, map-side heaps") {
+    val p = plan("q_sim_ann_lshc").split("== Initial Plan ==").head
+    // candidates come from the one persisted (vec_id, tb, bucket, own)
+    // artifact read on BOTH join sides (probe rows vs own rows) — the
+    // nbits·tables hyperplane dots are never recomputed at query time;
+    // the candidate and vector joins broadcast, and the rerank runs
+    // through the partial heaps
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+  }
+
   test("q_sim_ann_ivf_mp probes through the cached cell ranking with map-side heaps") {
     val p = plan("q_sim_ann_ivf_mp").split("== Initial Plan ==").head
     assert(p.contains("TopKPerKeyFinal"), p)
