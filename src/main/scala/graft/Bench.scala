@@ -65,6 +65,13 @@ object Bench {
       }
     })
     val shuffleMb = scala.collection.mutable.Map.empty[String, Double]
+    // max over the same passes (ADVICE r14): the min filters shared-
+    // artifact rebuild misattribution, but alone it also hides a
+    // genuinely nondeterministic regression (e.g. AQE flipping a join to
+    // sort-merge on one of two passes). BENCH_DETAIL records both, so a
+    // large min-to-max spread is visible instead of silently discarded;
+    // scaling audits keep reading the steady-state min.
+    val shuffleMbMax = scala.collection.mutable.Map.empty[String, Double]
     val spillMb = scala.collection.mutable.Map.empty[String, Double]
     for (pass <- 1 to 3; (name, fn) <- ordered) {
       val instrumented = pass >= 2
@@ -78,6 +85,8 @@ object Bench {
           Thread.sleep(80) // let listener events drain before reading
           shuffleMb(name) = math.min(
             shuffleMb.getOrElse(name, Double.MaxValue), shuffleAcc.get / 1e6)
+          shuffleMbMax(name) = math.max(
+            shuffleMbMax.getOrElse(name, 0.0), shuffleAcc.get / 1e6)
           spillMb(name) = math.min(
             spillMb.getOrElse(name, Double.MaxValue), spillAcc.get / 1e6)
         }
@@ -162,9 +171,16 @@ object Bench {
       val base = line(results.toSeq.sortBy(_._1), "")
       val sh = shuffleMb.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      // only queries whose max meaningfully exceeds the min (>1.2x and
+      // >1 MB apart) — the interesting nondeterminism, not float noise
+      val shMax = shuffleMbMax.toSeq.sortBy(_._1)
+        .filter { case (k, v) => v > shuffleMb.getOrElse(k, 0.0) * 1.2 &&
+          v - shuffleMb.getOrElse(k, 0.0) > 1.0 }
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
       val totalSpill = spillMb.values.sum
       base.dropRight(1) +
-        s""","shuffle_mb":$sh,"spill_mb_total":${f"$totalSpill%.2f"}$spillProbe}"""
+        s""","shuffle_mb":$sh,"shuffle_mb_max_outliers":$shMax""" +
+        s""","spill_mb_total":${f"$totalSpill%.2f"}$spillProbe}"""
     }
     Files.write(Paths.get("BENCH_DETAIL.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
     println(full)

@@ -20,9 +20,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    computed fresh at O(batch) cost.
   *  - Corpus side excludes the batch's own ids (anti-join), so
   *    re-ingesting stored rows matches the registered delta queries and
-  *    genuinely new ids probe the full index. Batch-internal duplicates
+  *    genuinely new ids probe the full index. exactDedup excludes by
+  *    (doc_id, hash) — a batch row reusing a stored id with DIFFERENT
+  *    text does not hide the stored content, which stays dedupable
+  *    until actually replaced. Batch-internal duplicates
   *    are each family's next full pass's job (the documented trade),
   *    except exactDedup which flags them via `batch_dup`.
+  *  - Batch-size safety: per-batch derived tables that ride a broadcast
+  *    (the PQ tiers' ADC distance table, O(batch·M·K) rows) are
+  *    SIZE-GATED against the session broadcast budget — an oversized
+  *    batch degrades those joins to shuffles instead of failing at the
+  *    driver broadcast limit. There is no hard batch ceiling; very
+  *    large batches just lose the broadcast fast path.
   *
   * Streaming twin: [[graft.streaming.Streams]] wires the same batch
   * cores into Structured Streaming micro-batches; verdicts are

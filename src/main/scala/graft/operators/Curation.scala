@@ -188,17 +188,21 @@ object Curation extends QueryPack {
     * already in the standing corpus), `batch_dup` (a lower-id batch doc
     * carries the same hash), `keep` (neither). Only 32-byte hashes cross
     * the shuffle; the corpus side is the [[corpusDocHashes]] artifact
-    * with the batch's OWN ids anti-joined out (the facade contract: the
-    * standing corpus a batch dedups against never includes the batch
-    * itself, so re-ingesting a stored row cannot self-match), never
-    * rebuilt per ingest. Aggregating these verdicts per language
+    * with the batch's own (doc_id, h) ROWS anti-joined out (ADVICE r14:
+    * excluding by id alone let a batch row that REUSES a stored id with
+    * different text hide the stored content's hash, so a second batch
+    * doc equal to that still-standing text read keep instead of
+    * corpus_dup). Only the exact re-ingested row is excluded, so
+    * re-ingesting a stored row still cannot self-match while every
+    * hash actually standing in the corpus keeps its vote; the index is
+    * never rebuilt per ingest. Aggregating these verdicts per language
     * reproduces q_dedup_incremental's report for the fixture batch
     * (IngestSpec). */
   private[graft] def ingestExactDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.withColumn("h", contentHash(col("text")))
     val corpusH = corpusDocHashes(s, d)
-      .join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(b.select("doc_id", "h"), Seq("doc_id", "h"), "left_anti")
       .select("h").distinct()
     val w = Window.partitionBy("h").orderBy("doc_id")
     b.withColumn("rn", row_number().over(w))

@@ -1245,6 +1245,42 @@ object LlmPipeline extends QueryPack {
       .join(broadcast(cb), "m")
       .select(col("qid"), col("m"), col("code"), sqDist(col("sub"), col("centroid")).as("sd"))
 
+  /** Unsafe-row estimate of one ADC distance-table row (qid + m + code +
+    * sd, header + 8-byte slots). */
+  private val PQ_DTABLE_ROW_BYTES = 40L
+
+  /** Size-gated broadcast for a PER-BATCH ADC distance table (ADVICE
+    * r14): the table is O(batch·M·K) rows BY CONSTRUCTION, but a fresh
+    * batch plan has no Catalyst size estimate, so the generic
+    * [[maybeBroadcast]] always declines it (the r13 8×-sort-merge-fold
+    * regression) while an UNCONDITIONAL broadcast() hint would ship an
+    * arbitrarily large batch's table past the driver broadcast limit
+    * instead of degrading. This gate prices the table from the one
+    * number that determines it — the batch row count — and hints only
+    * when estRows·M·K·40B fits the session broadcast budget; above it
+    * the ADC fold degrades to shuffled joins (correct, linear, no OOM).
+    * Registered deltas pass the exact fixture size from the persisted
+    * corpus count; facades estimate rows from Catalyst's batch-plan
+    * bytes (filter-over-scan stats overshoot, which only declines
+    * EARLIER — the safe direction). */
+  private def maybeBroadcastDtable(dtable: DataFrame, estBatchRows: Long): DataFrame = {
+    val thresh = org.apache.spark.sql.graftx.Sizing.broadcastThreshold(dtable)
+    if (thresh > 0 && estBatchRows * PQ_M * PQ_K * PQ_DTABLE_ROW_BYTES <= thresh)
+      broadcast(dtable)
+    else dtable
+  }
+
+  /** Conservative row-count estimate for an embedding batch from its
+    * optimized-plan size: a (vec_id, embedding[64]) row is ≥ 256 bytes
+    * in Catalyst stats, so bytes/256 over-counts rows when stats are
+    * inflated (filters keep the child's size) and the gate declines
+    * early rather than late. Unknown stats (default huge sizeInBytes)
+    * saturate to Long.MaxValue → never broadcast → shuffled fallback. */
+  private def estBatchRows(batch: DataFrame): Long = {
+    val rows = org.apache.spark.sql.graftx.Sizing.estimatedBytes(batch) / 256
+    if (rows > BigInt(Long.MaxValue)) Long.MaxValue else math.max(1L, rows.toLong)
+  }
+
   /** Corpus-wide ADC distance table, memoized — the ONE owning call site
     * for the `pq_dtable` stage. Both full-corpus PQ tiers (trained-k
     * q_sim_ann_ivfpq and constant-cell q_sim_ann_ivfc_pq) rank against
@@ -1604,7 +1640,10 @@ object LlmPipeline extends QueryPack {
       .distinct()
     pqAdcRerank(cands,
       pqCodesWide(s, d).join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
-      broadcast(pqDtablePlan(b, cb)), b, corpusVecsExcl(s, d, batch))
+      // size-gated (ADVICE r14): an arbitrary facade batch can exceed the
+      // broadcast budget -- oversized tables degrade to shuffled folds
+      maybeBroadcastDtable(pqDtablePlan(b, cb), estBatchRows(b)),
+      b, corpusVecsExcl(s, d, batch))
   }
 
   /** Constant-cell IVF-PQ ANN ingest — the linear-class PQ tier's
@@ -1621,7 +1660,10 @@ object LlmPipeline extends QueryPack {
       .distinct()
     pqAdcRerank(cands,
       pqCodesWide(s, d).join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
-      broadcast(pqDtablePlan(b, cb)), b, corpusVecsExcl(s, d, batch))
+      // size-gated (ADVICE r14): an arbitrary facade batch can exceed the
+      // broadcast budget -- oversized tables degrade to shuffled folds
+      maybeBroadcastDtable(pqDtablePlan(b, cb), estBatchRows(b)),
+      b, corpusVecsExcl(s, d, batch))
   }
 
   def queries: Seq[(String, Fn)] = Seq(
@@ -2538,8 +2580,12 @@ object LlmPipeline extends QueryPack {
         // the batch's ADC table is O(batch*M*K) rows by construction —
         // broadcast it so the 8-level ADC fold stays map-side (without
         // the hint the fresh plan has no size estimate and every fold
-        // level sort-merge-joins, re-shuffling the candidate set 8x)
-        broadcast(pqDtablePlan(e.where(isBatch), cb)))
+        // level sort-merge-joins, re-shuffling the candidate set 8x).
+        // Size-gated on the EXACT fixture batch size from the persisted
+        // corpus count (ADVICE r14): past the broadcast budget the fold
+        // degrades to shuffled joins instead of a forced-broadcast OOM
+        maybeBroadcastDtable(pqDtablePlan(e.where(isBatch), cb),
+          embCount(s, d) / 10 + 1))
     }),
 
     // Constant-cell IVF-PQ — the memory-economy tier re-dialed for the
@@ -2590,8 +2636,12 @@ object LlmPipeline extends QueryPack {
         // the batch's ADC table is O(batch*M*K) rows by construction —
         // broadcast it so the 8-level ADC fold stays map-side (without
         // the hint the fresh plan has no size estimate and every fold
-        // level sort-merge-joins, re-shuffling the candidate set 8x)
-        broadcast(pqDtablePlan(e.where(isBatch), cb)))
+        // level sort-merge-joins, re-shuffling the candidate set 8x).
+        // Size-gated on the EXACT fixture batch size from the persisted
+        // corpus count (ADVICE r14): past the broadcast budget the fold
+        // degrades to shuffled joins instead of a forced-broadcast OOM
+        maybeBroadcastDtable(pqDtablePlan(e.where(isBatch), cb),
+          embCount(s, d) / 10 + 1))
     }),
 
     // End-to-end training-data pipeline — the composition a real corpus

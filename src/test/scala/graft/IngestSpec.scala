@@ -129,6 +129,36 @@ class IngestSpec extends AnyFunSuite {
     assert(got(9000004L) == ((false, false, true)), "novel content must keep")
   }
 
+  test("exactDedup: a batch row reusing a stored id with NEW text does not hide the stored content") {
+    val docs = Tables.t(spark, sf, "documents")
+    val hashed = docs.select(col("doc_id"),
+      sha2(lower(trim(col("text"))), 256).as("h"))
+    // a stored doc whose hash is unique in the corpus (computed, not assumed)
+    val uniqRow = hashed.withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .where(col("n") === 1).orderBy("doc_id").limit(1).collect().head
+    val uniq = uniqRow.getLong(0)
+    val oldText = docs.where(col("doc_id") === uniq)
+      .select("text").collect().head.getString(0)
+    import spark.implicits._
+    // the batch UPDATES uniq's content and separately re-submits the OLD
+    // text under a fresh id — the old text is still standing in the
+    // corpus, so the fresh-id row must flag corpus_dup (the r14 id-only
+    // anti-join reported keep here: uniq's presence in the batch removed
+    // the stored hash from the corpus view)
+    val batch = Seq(
+      (uniq, "graft exact dedup replacement text for an existing id"),
+      (9000010L, oldText)
+    ).toDF("doc_id", "text")
+    val got = Ingest.exactDedup(spark, sf, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    assert(got(uniq) == ((false, false, true)),
+      s"replacement text under a stored id must keep: ${got(uniq)}")
+    assert(got(9000010L) == ((true, false, false)),
+      s"still-standing stored content hidden by an id-reusing batch row: ${got(9000010L)}")
+  }
+
   test("minhash + substring dedup flag exact copies under genuinely new ids") {
     val docs = Tables.t(spark, sf, "documents")
     // 5 corpus docs (outside the fixture slice, >= SUBSTR_W tokens so the
