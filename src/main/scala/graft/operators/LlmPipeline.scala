@@ -676,10 +676,11 @@ object LlmPipeline extends QueryPack {
     * fine-centroid artifact is k_total rows — data-proportional, so it
     * rides joins size-gated ([[Tables.maybeBroadcast]]), keyed on g
     * (equi-join, never a cross join). */
-  private def semCoarseCentroids(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem2_coarse_nc${SEM_CELL}_lloyd1") {
+  private def semCoarseCentroids(s: SparkSession, d: String,
+      c: Int = SEM_CELL): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem2_coarse_nc${c}_lloyd1") {
       val e = t(s, d, "embeddings")
-      val kTot = math.ceil(e.count().toDouble / SEM_CELL).toInt
+      val kTot = math.ceil(e.count().toDouble / c).toInt
       val k1 = math.ceil(math.sqrt(kTot.toDouble)).toInt
       val seeds = e
         .select(col("vec_id"), col("embedding"),
@@ -723,10 +724,11 @@ object LlmPipeline extends QueryPack {
   }
 
   /** Coarse (level-1) assignment of the whole corpus: (vec_id, g). */
-  private def semCoarseAssign(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem2_coarse_assign_nc$SEM_CELL") {
+  private def semCoarseAssign(s: SparkSession, d: String,
+      c: Int = SEM_CELL): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem2_coarse_assign_nc$c") {
       val scored = semScore(t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        semCoarseCentroids(s, d), Seq.empty, "ccos")
+        semCoarseCentroids(s, d, c), Seq.empty, "ccos")
       org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
           keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
           k = 1, rankName = "arnk")
@@ -736,9 +738,10 @@ object LlmPipeline extends QueryPack {
   /** Fine (level-2) centroids, trained WITHIN each coarse cell: seed rank
     * j is the md5 order within g, seed count ⌈n_g/c⌉ — exactly enough
     * sub-cells for that cell's membership to average size c. */
-  private def semFineCentroids(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem2_fine_nc${SEM_CELL}_lloyd1") {
-      val wg = t(s, d, "embeddings").join(semCoarseAssign(s, d), "vec_id")
+  private def semFineCentroids(s: SparkSession, d: String,
+      c: Int = SEM_CELL): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem2_fine_nc${c}_lloyd1") {
+      val wg = t(s, d, "embeddings").join(semCoarseAssign(s, d, c), "vec_id")
         .select(col("vec_id"), col("g"), col("embedding"))
       val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
       val seeds = wg
@@ -746,7 +749,7 @@ object LlmPipeline extends QueryPack {
         .withColumn("j", row_number().over(byG.orderBy("mk")))
         .withColumn("ng", count(lit(1)).over(byG))
         // integer ceil-divide keeps both engines exact (no float ceil)
-        .where(col("j") <= expr(s"(ng + ${SEM_CELL - 1}) div $SEM_CELL"))
+        .where(col("j") <= expr(s"(ng + ${c - 1}) div $c"))
         .select(col("g"), col("j"), col("embedding").as("seed"))
       val init = wg.join(maybeBroadcast(seeds), "g")
         .select(col("vec_id"), col("g"), col("j"),
@@ -770,15 +773,16 @@ object LlmPipeline extends QueryPack {
     * sub-centroids, never the full fine table). Shared by the corpus
     * assignment and the ingest delta, so a fresh batch ranks cells
     * identically to the corpus-build pass. */
-  private def semCellsFor(s: SparkSession, d: String, eIn: DataFrame): DataFrame = {
+  private def semCellsFor(s: SparkSession, d: String, eIn: DataFrame,
+      c: Int = SEM_CELL): DataFrame = {
     val g1 = org.apache.spark.sql.graftx.TopK.topKPerKey(
         semScore(eIn.select(col("vec_id"), col("embedding")),
-          semCoarseCentroids(s, d), Seq.empty, "ccos"),
+          semCoarseCentroids(s, d, c), Seq.empty, "ccos"),
         keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
         k = 1, rankName = "arnk")
       .select(col("vec_id"), col("g"))
     val withG = eIn.select(col("vec_id"), col("embedding")).join(g1, "vec_id")
-    val scored = semScore(withG, semFineCentroids(s, d), Seq("g"), "fcos")
+    val scored = semScore(withG, semFineCentroids(s, d, c), Seq("g"), "fcos")
     org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
         keyNames = Seq("vec_id"), orderBy = Seq("fcos" -> false, "j" -> true),
         k = 1, rankName = "arnk")
@@ -802,9 +806,9 @@ object LlmPipeline extends QueryPack {
       }.head().getLong(0)
     }
 
-  private def semAssign(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem2_assign_nc$SEM_CELL") {
-      semCellsFor(s, d, t(s, d, "embeddings"))
+  private def semAssign(s: SparkSession, d: String, c: Int = SEM_CELL): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem2_assign_nc$c") {
+      semCellsFor(s, d, t(s, d, "embeddings"), c)
     }
 
   /** One pass of the oversize guard that q_dedup_semantic_cells flags:
@@ -1041,17 +1045,17 @@ object LlmPipeline extends QueryPack {
     * q_dedup_semantic_recall gap (τ-pairs straddling a cell boundary are
     * invisible to the rank-1 pair join). ≤ 2 rows per vector, so the
     * within-cell pair volume stays O(N·c) with a ≤4× constant. */
-  private def semAssign2(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem2_assign_top2_nc$SEM_CELL") {
+  private def semAssign2(s: SparkSession, d: String, c: Int = SEM_CELL): DataFrame =
+    Tables.memoizedOnDisk(s, d, s"sem2_assign_top2_nc$c") {
       val e = t(s, d, "embeddings")
       val g1 = org.apache.spark.sql.graftx.TopK.topKPerKey(
           semScore(e.select(col("vec_id"), col("embedding")),
-            semCoarseCentroids(s, d), Seq.empty, "ccos"),
+            semCoarseCentroids(s, d, c), Seq.empty, "ccos"),
           keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
           k = 1, rankName = "arnk")
         .select(col("vec_id"), col("g"))
       val withG = e.select(col("vec_id"), col("embedding")).join(g1, "vec_id")
-      val scored = semScore(withG, semFineCentroids(s, d), Seq("g"), "fcos")
+      val scored = semScore(withG, semFineCentroids(s, d, c), Seq("g"), "fcos")
       org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
           keyNames = Seq("vec_id"), orderBy = Seq("fcos" -> false, "j" -> true),
           k = 2, rankName = "arnk")
@@ -1666,6 +1670,44 @@ object LlmPipeline extends QueryPack {
       b, corpusVecsExcl(s, d, batch))
   }
 
+  /** The q_dedup_semantic_recall computation at an arbitrary cell-size
+    * dial `c` — shared verbatim by the registered query (c = SEM_CELL)
+    * and the production-cell-size measurement (LlmSpec drives c = 1024
+    * over a synthetic near-duplicate corpus; DESIGN.md §0.-4(5) carries
+    * both measured points). Truth is the label-blocked τ-pair join; the
+    * visibility checks are narrow id joins against the rank-1 and top-2
+    * assignments of the c-dial quantizer. */
+  private[graft] def semanticRecallReport(s: SparkSession, d: String,
+      c: Int): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val a = semAssign(s, d, c)
+    val truth = e.as("x").join(maybeBroadcast(e.as("y")),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .where(r4(cosine(col("x.embedding"), col("y.embedding"))) >= SEM_TAU)
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+    val caught = truth
+      .join(maybeBroadcast(a.select(col("vec_id").as("va"), col("cell").as("ca"))), "va")
+      .join(maybeBroadcast(a.select(col("vec_id").as("vb"), col("cell").as("cb"))), "vb")
+      .where(col("ca") === col("cb"))
+    // multiprobe visibility: a pair meets if the TOP-2 cell sets of its
+    // ends intersect (the q_dedup_semantic_mp pair-join membership test);
+    // ≤2 assignment rows per end ⇒ ≤4 join rows per pair before distinct
+    val a2 = semAssign2(s, d, c)
+    val caughtMp = truth
+      .join(maybeBroadcast(a2.select(col("vec_id").as("va"), col("cell").as("ca"))), "va")
+      .join(maybeBroadcast(a2.select(col("vec_id").as("vb"), col("cell").as("cb"))), "vb")
+      .where(col("ca") === col("cb"))
+      .select("va", "vb").distinct()
+    // three 1-row aggregates — the bounded-crossJoin pattern
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .crossJoin(caughtMp.agg(count(lit(1)).as("n_caught_mp")))
+      .select(col("n_truth"), col("n_caught"),
+        r4(col("n_caught").cast(DoubleType) / col("n_truth")).as("cell_recall"),
+        col("n_caught_mp"),
+        r4(col("n_caught_mp").cast(DoubleType) / col("n_truth")).as("mp_recall"))
+  }
+
   def queries: Seq[(String, Fn)] = Seq(
     // #42 exact dedup by normalized content hash; keeper = min doc_id.
     "q_dedup_exact" -> ((s, d) =>
@@ -2047,35 +2089,7 @@ object LlmPipeline extends QueryPack {
     // deployments at τ ≥ 0.95 compare near-identical vectors that
     // quantize together far more often. The tracked signal is the
     // round-over-round TREND, not the absolute.
-    "q_dedup_semantic_recall" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val a = semAssign(s, d)
-      val truth = e.as("x").join(maybeBroadcast(e.as("y")),
-          col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
-        .where(r4(cosine(col("x.embedding"), col("y.embedding"))) >= SEM_TAU)
-        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-      val caught = truth
-        .join(maybeBroadcast(a.select(col("vec_id").as("va"), col("cell").as("ca"))), "va")
-        .join(maybeBroadcast(a.select(col("vec_id").as("vb"), col("cell").as("cb"))), "vb")
-        .where(col("ca") === col("cb"))
-      // multiprobe visibility: a pair meets if the TOP-2 cell sets of its
-      // ends intersect (the q_dedup_semantic_mp pair-join membership test);
-      // ≤2 assignment rows per end ⇒ ≤4 join rows per pair before distinct
-      val a2 = semAssign2(s, d)
-      val caughtMp = truth
-        .join(maybeBroadcast(a2.select(col("vec_id").as("va"), col("cell").as("ca"))), "va")
-        .join(maybeBroadcast(a2.select(col("vec_id").as("vb"), col("cell").as("cb"))), "vb")
-        .where(col("ca") === col("cb"))
-        .select("va", "vb").distinct()
-      // three 1-row aggregates — the bounded-crossJoin pattern
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
-        .crossJoin(caughtMp.agg(count(lit(1)).as("n_caught_mp")))
-        .select(col("n_truth"), col("n_caught"),
-          r4(col("n_caught").cast(DoubleType) / col("n_truth")).as("cell_recall"),
-          col("n_caught_mp"),
-          r4(col("n_caught_mp").cast(DoubleType) / col("n_truth")).as("mp_recall"))
-    }),
+    "q_dedup_semantic_recall" -> ((s, d) => semanticRecallReport(s, d, SEM_CELL)),
 
     // #44 brute-force top-5 cosine neighbors, blocked by label (IVF-style:
     // label = coarse cell, probe within cell). Top-k via the custom
