@@ -68,7 +68,14 @@ object LlmPipeline extends QueryPack {
     * single-bit errors concentrate on small-margin planes. Plane ids
     * live at [[LSHC_BASE]] + tb·32 + j (stride 32 = the nbits ceiling,
     * 2^32 buckets/table ≈ 4.3e9 · c vectors — past 100 TB) so re-dials
-    * never collide with the fixed-bucket family's planes. */
+    * never collide with the fixed-bucket family's planes.
+    *
+    * Small-corpus saturation: the per-query candidate ceiling
+    * tables·probes·c ≈ 3k EXCEEDS N at the bench SFs (500/2k vectors),
+    * so there the candidate set is ≈ the whole corpus and shuffle-growth
+    * audits read ≈N — q_sim_ann_lshc_cands emits that saturation per
+    * corpus as data, and LlmSpec measures the flat candidates/query at
+    * unsaturated N (8k → 32k, ratio ≈ 1.0). */
   private val LSHC_CELL = 64
   private val LSHC_BASE = 100
   private val LSHC_T = 4
@@ -2291,6 +2298,39 @@ object LlmPipeline extends QueryPack {
         .orderBy("vec_id", "rnk")
     }),
 
+    // Constant-occupancy LSH candidate-volume report — the saturation
+    // evidence as data (the q_dedup_semantic_cells convention): the
+    // EXACT pre-distinct candidate volume of q_sim_ann_lshc, computed
+    // from narrow per-(table,bucket) counts off the persisted artifact
+    // (Σ own·probe bucket products − the N·tables own-row self matches —
+    // never materializing a pair), beside the dial ceiling
+    // tables·probes·c. At any corpus with ceiling ≥ N the candidate set
+    // is necessarily ≈ the whole corpus (`saturated` = true at both
+    // bench SFs: 3 k ceiling vs N = 500/2000), so shuffle-growth audits
+    // there measure corpus growth, not the dial class — the linear
+    // contract is the CEILING's N-independence, proven at unsaturated N
+    // in LlmSpec (candidates/query flat across 8k → 32k vectors).
+    "q_sim_ann_lshc_cands" -> ((s, d) => {
+      val pr = lshcProbes(s, d)
+      val nbits = lshcNbits(embCount(s, d))
+      val probesPerTable = 1 + math.min(LSHC_T, nbits) + (if (nbits >= 2) 1 else 0)
+      val ownC = pr.where(col("own")).groupBy("tb", "bucket")
+        .agg(count(lit(1)).as("n_own"))
+      val probeC = pr.groupBy("tb", "bucket").agg(count(lit(1)).as("n_probe"))
+      val prod = ownC.join(probeC, Seq("tb", "bucket"))
+        .agg(coalesce(sum(col("n_own") * col("n_probe")), lit(0L)).as("matched"))
+      val nv = t(s, d, "embeddings").agg(count(lit(1)).as("n_vectors"))
+      nv.crossJoin(broadcast(prod)) // two 1-row aggregates
+        .select(col("n_vectors"),
+          lit(nbits).as("nbits"),
+          lit(LSHC_TABLES.toLong * probesPerTable * LSHC_CELL).as("dial_ceiling"),
+          (col("matched") - col("n_vectors") * LSHC_TABLES).as("cand_rows"),
+          r4((col("matched") - col("n_vectors") * LSHC_TABLES)
+            .cast(DoubleType) / col("n_vectors")).as("cands_per_query"),
+          (lit(LSHC_TABLES.toLong * probesPerTable * LSHC_CELL) >= col("n_vectors"))
+            .as("saturated"))
+    }),
+
     // Constant-occupancy LSH ingest delta — the per-ingest face: a new
     // embedding batch (vec_id%10=7) computes its buckets + targeted
     // probes FRESH under the FROZEN geometry (nbits from the persisted
@@ -3650,6 +3690,22 @@ object LlmPipeline extends QueryPack {
          |   ON pa.tb = pb.tb AND pa.bucket = pb.bucket
          |  WHERE pa.vec_id % 10 = 7 AND pb.vec_id % 10 <> 7)
          |$lshCandRerankTailSql""".stripMargin,
+    "q_sim_ann_lshc_cands" ->
+      s"""WITH $lshcCtesSql,
+         |ownc AS (SELECT tb, bucket, count(*) AS n_own FROM lbuckets GROUP BY 1, 2),
+         |probec AS (SELECT tb, bucket, count(*) AS n_probe FROM lprobes GROUP BY 1, 2),
+         |prod AS (SELECT COALESCE(CAST(sum(n_own * n_probe) AS BIGINT), 0) AS matched
+         |  FROM ownc JOIN probec USING (tb, bucket)),
+         |nv AS (SELECT count(*) AS n_vectors FROM embeddings),
+         |pp AS (SELECT CAST(nbits AS INT) AS nbits,
+         |   1 + LEAST($LSHC_T, nbits) + CASE WHEN nbits >= 2 THEN 1 ELSE 0 END AS ppt
+         |  FROM lnb)
+         |SELECT nv.n_vectors, pp.nbits,
+         | CAST($LSHC_TABLES * pp.ppt * $LSHC_CELL AS BIGINT) AS dial_ceiling,
+         | prod.matched - nv.n_vectors * $LSHC_TABLES AS cand_rows,
+         | ${r4sql(s"CAST(prod.matched - nv.n_vectors * $LSHC_TABLES AS DOUBLE) / nv.n_vectors")} AS cands_per_query,
+         | ($LSHC_TABLES * pp.ppt * $LSHC_CELL >= nv.n_vectors) AS saturated
+         |FROM nv, prod, pp""".stripMargin,
     "q_baseline_ann_ivf" ->
       s"""WITH $ivfCtesSql
          |SELECT vec_id, cell, neighbor_id, cos, rnk FROM (

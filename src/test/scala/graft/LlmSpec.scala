@@ -518,6 +518,43 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("lshc linear contract at UNSATURATED N: candidates/query flat across a 4x corpus step") {
+    // At the bench SFs the dial ceiling (tables·probes·c ≈ 3k candidate
+    // rows/query) EXCEEDS the corpus size, so the candidate set
+    // saturates to ≈ the whole corpus and a shuffle-growth audit there
+    // measures corpus growth, not the dial class — q_sim_ann_lshc_cands
+    // emits that saturation per corpus as data. The linear contract is
+    // the ceiling's N-INDEPENDENCE, which is only measurable above the
+    // crossover: here N = 8192 → 32768 (4×), nbits re-dialed 7 → 9 by
+    // the integer formula, and candidates/query must stay flat at
+    // ≈ tables·probes·c. Exact pre-distinct volume via the same narrow
+    // per-(table,bucket) count product the registry row uses — no pair
+    // is ever materialized.
+    def candsPerQuery(n: Int): Double = {
+      val rnd = new scala.util.Random(42 + n)
+      val vecs = (0 until n).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      import spark.implicits._
+      val df = vecs.toDF("vec_id", "embedding")
+      val nbits = operators.LlmPipeline.lshcNbits(n.toLong)
+      val pr = operators.LlmPipeline.lshcProbesPlan(df, nbits).persist()
+      val ownC = pr.where(col("own")).groupBy("tb", "bucket")
+        .agg(count(lit(1)).as("n_own"))
+      val probeC = pr.groupBy("tb", "bucket").agg(count(lit(1)).as("n_probe"))
+      val matched = ownC.join(probeC, Seq("tb", "bucket"))
+        .agg(sum(col("n_own") * col("n_probe"))).head().getLong(0)
+      pr.unpersist(blocking = false)
+      (matched - 8L * n).toDouble / n // minus the N·tables own-row self matches
+    }
+    val small = candsPerQuery(8192)
+    val big = candsPerQuery(32768)
+    info(f"lshc candidates/query: $small%.0f @8k vs $big%.0f @32k (dial ceiling ${8 * 6 * 64})")
+    val ratio = big / small
+    assert(ratio > 0.7 && ratio < 1.3,
+      f"candidates/query grew $ratio%.2fx across a 4x corpus step — dial not N-independent")
+    assert(big < 8 * 6 * 64 * 1.5,
+      f"candidates/query $big%.0f far above the tables·probes·c ceiling — occupancy not pinned")
+  }
+
   test("lshc ingest delta: fresh batch probes reproduce the artifact's batch rows") {
     import operators.LlmPipeline
     val isBatch = col("vec_id") % 10 === 7
