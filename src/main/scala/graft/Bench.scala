@@ -22,8 +22,14 @@ object Bench {
     // pre-phase as prewarm_s — a production pipeline builds these once
     // and amortizes them across runs, so conflating them with per-query
     // time misprices both (VERDICT r9 item 1).
+    // GRAFT_BENCH_ONLY=q_a,q_b: dev loop for timing a changed query
+    // without the full-registry pass (NOT the driver protocol — the
+    // driver runs unfiltered; totals from a filtered run are partial)
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val preT0 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
@@ -35,7 +41,7 @@ object Bench {
     // round-robin passes ensure each query sees at most one inflated rep.
     // Warm caches across passes mirror the warm-cache single-run DuckDB
     // baseline (BASELINE.md).
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = selected
     val times = scala.collection.mutable.Map.empty[String, Double]
     // Errors are FIRST-CLASS bench output (VERDICT r4 item 4): a failing
     // query must not silently "benchmark" as time-to-throw while the total

@@ -1590,6 +1590,8 @@ object LlmPipeline extends QueryPack {
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
     val probes = lshcProbesPlan(b, lshcNbits(embCount(s, d)))
+      // tail inherits qid partitioning; count pinned vs AQE coalesce
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
     val corpus = lshcProbes(s, d).where(col("own"))
       .select(col("vec_id"), col("tb"), col("bucket"))
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
@@ -2277,8 +2279,22 @@ object LlmPipeline extends QueryPack {
     // q_sim_ann_lsh_mp (N²/B) cannot reach. Candidates stay narrow
     // id-pairs; wide vectors join back only for the surviving rerank.
     "q_sim_ann_lshc" -> ((s, d) => {
-      val pr = lshcProbes(s, d)
-      val idx = pr.where(col("own")).select(col("vec_id"), col("tb"), col("bucket"))
+      val art = lshcProbes(s, d)
+      // ONE narrow exchange of the probe rows (N·tables·probes ids) by
+      // query id, which the whole tail then inherits alias-aware: the
+      // candidate broadcast join preserves it, so the (qid, nid)
+      // DISTINCT and the TopK heaps both run in-stage — without it they
+      // each re-shuffled the full candidate set (22 MB at sf0.1; the
+      // probe rows are ~2 MB). Same partitioning-reuse shape that keeps
+      // q_sim_ann_ivfc's tail exchange-free off its cached probe build.
+      // The partition count is PINNED (user-specified counts are exempt
+      // from AQE coalescing): the exchange is small but everything heavy
+      // hangs below it, and AQE's size-based coalesce would fold the
+      // 2 MB of probe ids into one partition and single-thread the
+      // 6M-row candidate join + rerank (measured 3.1 -> 5.7 s at sf0.1).
+      val pr = art.repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+      val idx = art.where(col("own")).select(col("vec_id"), col("tb"), col("bucket"))
       val cands = pr.as("pa")
         .join(maybeBroadcast(idx.as("pb")), col("pa.tb") === col("pb.tb") &&
           col("pa.bucket") === col("pb.bucket") &&
@@ -2342,6 +2358,9 @@ object LlmPipeline extends QueryPack {
       val isBatch = col("vec_id") % 10 === 7
       val e = t(s, d, "embeddings")
       val probes = lshcProbesPlan(e.where(isBatch), lshcNbits(embCount(s, d)))
+        // tail inherits qid partitioning; count pinned vs AQE coalesce
+        // (see q_sim_ann_lshc)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
       val corpus = lshcProbes(s, d).where(col("own") && !isBatch)
         .select(col("vec_id"), col("tb"), col("bucket"))
       val cands = probes.as("pa")

@@ -216,6 +216,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+    // partitioning reuse (r15): the ONE hash exchange is the narrow
+    // probe-row repartition by query id; the candidate DISTINCT and the
+    // TopK heaps inherit it alias-aware and must NOT re-shuffle the
+    // candidate set (22 MB -> ~2 MB at sf0.1)
+    val hashExch = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExch <= 1, s"tail re-shuffles the candidate set ($hashExch hash exchanges):\n$p")
   }
 
   test("q_sim_ann_ivf_mp probes through the cached cell ranking with map-side heaps") {
