@@ -16,7 +16,23 @@ import org.apache.spark.sql.types._
 object Tables {
   type Fn = (SparkSession, String) => DataFrame
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  /** Reader memo: `spark.read.parquet` runs a driver-side schema-
+    * inference job on EVERY call ("parquet at Tables.scala" in the job
+    * log), so before this memo a bench pass paid ~1–3 tiny scheduled
+    * jobs per query CONSTRUCTION (≈2,000 across Bench's four passes of
+    * the 201-query registry) — pure plan-latency, no data read. The
+    * returned DataFrame is an immutable logical plan, safe to share
+    * across every query in the session; source dirs are immutable per
+    * session by the same convention every memoizedOnDisk index artifact
+    * already relies on. Keyed by session so tests with fresh sessions
+    * never alias. */
+  private val readerMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    readerMemo.getOrElseUpdate((s, dir, name), tUncached(s, dir, name))
+
+  private def tUncached(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts has shipped in two parquet encodings across driver
     // testdata generations: TIMESTAMP(NANOS), which Spark 4 rejects
     // (PARQUET_TYPE_ILLEGAL) unless read as a nanos-since-epoch LONG via

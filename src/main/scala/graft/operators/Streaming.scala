@@ -358,9 +358,12 @@ object Streaming extends QueryPack {
       t(s, d, "events")
         .select(col("event_id"), col("event_type").as("e_type"),
           hod.as("e_hod"), col("value"))
-        .join(broadcast(base), // ≤ |event types| × 24 rows by construction
-          col("e_type") === base("event_type") && col("e_hod") === base("hod"))
-        .select(col("event_id"), base("event_type"), base("hod"),
+        // explicit alias, not base("col"): both sides derive from the ONE
+        // memoized events reader (Tables.t), so df("col") references are
+        // ambiguous-self-join bait — qualified names are the stable form
+        .join(broadcast(base.as("b")), // ≤ |event types| × 24 rows by construction
+          col("e_type") === col("b.event_type") && col("e_hod") === col("b.hod"))
+        .select(col("event_id"), col("b.event_type"), col("b.hod"),
           r4(col("value")).as("value"),
           r4((col("value") - col("mean")) / col("std")).as("z"))
         .where(abs(col("z")) > SEASONAL_Z) // on the ROUNDED z: boundary-stable
