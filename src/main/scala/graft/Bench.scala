@@ -26,6 +26,15 @@ object Bench {
     // without the full-registry pass (NOT the driver protocol — the
     // driver runs unfiltered; totals from a filtered run are partial)
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // A typo'd filter name silently yields an empty (or partial) run —
+    // warn loudly rather than let a dev loop time the wrong thing
+    // (ADVICE r15).
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) System.err.println(
+        s"[bench] WARNING: GRAFT_BENCH_ONLY names not in the registry: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val preT0 = System.nanoTime()
@@ -188,7 +197,13 @@ object Bench {
         s""","shuffle_mb":$sh,"shuffle_mb_max_outliers":$shMax""" +
         s""","spill_mb_total":${f"$totalSpill%.2f"}$spillProbe}"""
     }
-    Files.write(Paths.get("BENCH_DETAIL.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
+    // A GRAFT_BENCH_ONLY dev run writes a SIDE file: the canonical
+    // BENCH_DETAIL.json is the tracked artifact the driver protocol and
+    // tools/shuffle_scaling.py read — a forgotten env var must not
+    // clobber it with partial totals (ADVICE r15).
+    val detailPath =
+      if (only.isDefined) "BENCH_DETAIL.partial.json" else "BENCH_DETAIL.json"
+    Files.write(Paths.get(detailPath), (full + "\n").getBytes(StandardCharsets.UTF_8))
     println(full)
     val budget = 1500 // chars for the final line; tail window is 2000 minus sbt's epilogue
     val byCost = results.toSeq.sortBy { case (k, v) => (-v, k) }

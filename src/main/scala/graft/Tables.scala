@@ -20,17 +20,24 @@ object Tables {
     * inference job on EVERY call ("parquet at Tables.scala" in the job
     * log), so before this memo a bench pass paid ~1–3 tiny scheduled
     * jobs per query CONSTRUCTION (≈2,000 across Bench's four passes of
-    * the 201-query registry) — pure plan-latency, no data read. The
-    * returned DataFrame is an immutable logical plan, safe to share
-    * across every query in the session; source dirs are immutable per
-    * session by the same convention every memoizedOnDisk index artifact
-    * already relies on. Keyed by session so tests with fresh sessions
-    * never alias. */
-  private val readerMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    * the 201-query registry) — pure plan-latency, no data read.
+    *
+    * Sharing CONVENTIONS (ADVICE r15) — the memo is only sound because:
+    *  - A source dir is IMMUTABLE within a session: nothing in this repo
+    *    overwrites a table path it later re-reads through [[t]] (the same
+    *    convention every memoizedOnDisk artifact relies on; writers use
+    *    /tmp sink dirs or the token-versioned index store). A same-path
+    *    rewrite would be invisible behind the memo's InMemoryFileIndex.
+    *  - Callers never disambiguate with `df("col")` on a [[t]]-derived
+    *    frame: two `t` calls now return ONE Dataset, so self-joins must
+    *    alias (`.as("b")` + `col("b.x")`) — audited repo-wide in r15/r16
+    *    (q_anomaly_seasonal was the single latent case, fixed in r15).
+    * Keyed by a weakly-referenced session ([[SessionMemo]]) so tests
+    * with fresh sessions never alias and dead sessions can be evicted. */
+  private val readerMemo = new SessionMemo[DataFrame]
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    readerMemo.getOrElseUpdate((s, dir, name), tUncached(s, dir, name))
+    readerMemo.get(s, dir, name)(tUncached(s, dir, name))
 
   private def tUncached(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts has shipped in two parquet encodings across driver
@@ -260,6 +267,42 @@ object Tables {
     * Parquet ms-timestamps surface as TIMESTAMP_NTZ, which has no direct
     * long cast — route through TimestampType (session TZ is pinned UTC). */
   def tsec(c: Column): Column = c.cast(TimestampType).cast(LongType)
+}
+
+/** Per-session memo for plan-construction-time values keyed
+  * (dir, stage), with an eviction story (ADVICE r15 — the r15 TrieMap
+  * keyed by the session itself pinned every SparkSession for the JVM
+  * lifetime):
+  *  - the OUTER map holds its SparkSession keys WEAKLY, so a session no
+  *    longer referenced elsewhere can be collected along with its memo;
+  *  - the INNER values are SOFT references. This matters beyond memory:
+  *    a memoized DataFrame strongly references its session, so a strong
+  *    value would resurrect the key through the value chain and defeat
+  *    the weak keying entirely. Soft values clear under heap pressure,
+  *    which both bounds the cache and unpins dead sessions; a cleared
+  *    entry just rebuilds (one schema-inference/footer job — the
+  *    pre-memo cost, paid only after the JVM was genuinely short of
+  *    memory).
+  * Values must be cheap to rebuild and deterministic for (session, dir,
+  * stage) — logical plans and 1-row artifact scalars, not persisted
+  * data (that is [[Tables.memoized]]'s job, with its explicit evict). */
+private[graft] final class SessionMemo[V <: AnyRef] {
+  private val maps = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), java.lang.ref.SoftReference[V]]]())
+
+  def get(s: SparkSession, dir: String, stage: String)(mk: => V): V = {
+    val m = maps.computeIfAbsent(s,
+      _ => scala.collection.concurrent.TrieMap.empty)
+    val k = (dir, stage)
+    m.get(k).flatMap(r => Option(r.get)).getOrElse {
+      // benign race: a concurrent builder's duplicate is identical and
+      // last-write-wins — same idempotence the old getOrElseUpdate had
+      val v = mk
+      m.put(k, new java.lang.ref.SoftReference(v))
+      v
+    }
+  }
 }
 
 /** One logical group of SparkEntry queries with their DuckDB oracles. */

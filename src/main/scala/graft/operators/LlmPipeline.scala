@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryPack, Tables}
+import graft.{IndexOverlay, QueryPack, Tables}
 import graft.Tables._
 import graft.multimodal.Media
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -389,18 +389,21 @@ object LlmPipeline extends QueryPack {
     * parquet artifact (warm-store read = one footer-sized job); this map
     * makes every LATER plan construction in the session zero-job —
     * registered queries stay cheap on explain/plan-only paths (ADVICE
-    * r14: eager gates in query builders). Keyed by (dir, stage) like
-    * [[Tables.memoizedOnDisk]]; tests on fresh temp dirs never alias. */
-  private val scalarMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  private def memoizedScalar(d: String, stage: String)(mk: => Long): Long =
-    scalarMemo.computeIfAbsent(s"$d#$stage", _ => mk)
+    * r14: eager gates in query builders). Keyed by (SESSION, dir, stage)
+    * via [[SessionMemo]], matching the reader memo (ADVICE r15: a
+    * dir-only key served a stale N/max-cell to any later session that
+    * regenerated the corpus at the same path — silently freezing the
+    * lshc nbits dial and the semantic skew gate). */
+  private val scalarMemo = new graft.SessionMemo[java.lang.Long]
+  private def memoizedScalar(s: SparkSession, d: String, stage: String)(mk: => Long): Long =
+    scalarMemo.get(s, d, stage)(java.lang.Long.valueOf(mk)).longValue()
 
   /** Persisted corpus vector count — the N every N-derived index dial
     * (constant-occupancy LSH bit count, batch-size gates) reads instead
     * of re-counting the corpus: built once as a 1-row artifact beside
     * the other index artifacts, then JVM-memoized per dir. */
   private[graft] def embCount(s: SparkSession, d: String): Long =
-    memoizedScalar(d, "emb_count") {
+    memoizedScalar(s, d, "emb_count") {
       Tables.memoizedOnDisk(s, d, "emb_count") {
         t(s, d, "embeddings").agg(count(lit(1)).as("n"))
       }.head().getLong(0)
@@ -806,7 +809,7 @@ object LlmPipeline extends QueryPack {
     * in full as data) and JVM-memoized per dir so repeated plan
     * constructions in a session read no Spark at all. */
   private def semMaxCell(s: SparkSession, d: String): Long =
-    memoizedScalar(d, s"sem2_cellmax_nc$SEM_CELL") {
+    memoizedScalar(s, d, s"sem2_cellmax_nc$SEM_CELL") {
       Tables.memoizedOnDisk(s, d, s"sem2_cellmax_nc$SEM_CELL") {
         semAssign(s, d).groupBy("cell").agg(count(lit(1)).as("n"))
           .agg(max(col("n")).as("max_n"))
@@ -1054,22 +1057,31 @@ object LlmPipeline extends QueryPack {
     * within-cell pair volume stays O(N·c) with a ≤4× constant. */
   private def semAssign2(s: SparkSession, d: String, c: Int = SEM_CELL): DataFrame =
     Tables.memoizedOnDisk(s, d, s"sem2_assign_top2_nc$c") {
-      val e = t(s, d, "embeddings")
-      val g1 = org.apache.spark.sql.graftx.TopK.topKPerKey(
-          semScore(e.select(col("vec_id"), col("embedding")),
-            semCoarseCentroids(s, d, c), Seq.empty, "ccos"),
-          keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
-          k = 1, rankName = "arnk")
-        .select(col("vec_id"), col("g"))
-      val withG = e.select(col("vec_id"), col("embedding")).join(g1, "vec_id")
-      val scored = semScore(withG, semFineCentroids(s, d, c), Seq("g"), "fcos")
-      org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
-          keyNames = Seq("vec_id"), orderBy = Seq("fcos" -> false, "j" -> true),
-          k = 2, rankName = "arnk")
-        .select(col("vec_id"),
-          (col("g").cast(LongType) * 1000000L + col("j")).as("cell"),
-          col("arnk"))
+      semAssign2For(s, d, t(s, d, "embeddings"), c)
     }
+
+  /** Top-2 fine-cell assignment of an ARBITRARY vector set against the
+    * frozen two-level quantizer — the [[semAssign2]] artifact body
+    * factored over its input (the [[semCellsFor]] pattern), so a commit
+    * batch ([[commitVecFamilies]]) ranks cells identically to the
+    * corpus-build pass. */
+  private def semAssign2For(s: SparkSession, d: String, e: DataFrame,
+      c: Int = SEM_CELL): DataFrame = {
+    val g1 = org.apache.spark.sql.graftx.TopK.topKPerKey(
+        semScore(e.select(col("vec_id"), col("embedding")),
+          semCoarseCentroids(s, d, c), Seq.empty, "ccos"),
+        keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
+        k = 1, rankName = "arnk")
+      .select(col("vec_id"), col("g"))
+    val withG = e.select(col("vec_id"), col("embedding")).join(g1, "vec_id")
+    val scored = semScore(withG, semFineCentroids(s, d, c), Seq("g"), "fcos")
+    org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
+        keyNames = Seq("vec_id"), orderBy = Seq("fcos" -> false, "j" -> true),
+        k = 2, rankName = "arnk")
+      .select(col("vec_id"),
+        (col("g").cast(LongType) * 1000000L + col("j")).as("cell"),
+        col("arnk"))
+  }
 
   /** Fixed probe count of the constant-cell ANN ([[ivfcProbes]]) — the
     * N-INDEPENDENT dial that buys recall at NP·c candidate rows per
@@ -1274,9 +1286,14 @@ object LlmPipeline extends QueryPack {
     * corpus count; facades estimate rows from Catalyst's batch-plan
     * bytes (filter-over-scan stats overshoot, which only declines
     * EARLIER — the safe direction). */
-  private def maybeBroadcastDtable(dtable: DataFrame, estBatchRows: Long): DataFrame = {
+  private[graft] def maybeBroadcastDtable(dtable: DataFrame, estBatchRows: Long): DataFrame = {
     val thresh = org.apache.spark.sql.graftx.Sizing.broadcastThreshold(dtable)
-    if (thresh > 0 && estBatchRows * PQ_M * PQ_K * PQ_DTABLE_ROW_BYTES <= thresh)
+    // Compare by DIVISION (ADVICE r15): the saturated unknown-stats
+    // estimate (~2^55 rows) times 5120 B/row wraps mod 2^64 to a small
+    // negative, which would pass a `product <= thresh` check and
+    // force-broadcast exactly the arbitrarily-large case the gate exists
+    // to decline. rows <= thresh/rowBytes cannot overflow.
+    if (thresh > 0 && estBatchRows <= thresh / (PQ_M * PQ_K * PQ_DTABLE_ROW_BYTES))
       broadcast(dtable)
     else dtable
   }
@@ -1441,6 +1458,13 @@ object LlmPipeline extends QueryPack {
     * jaccard denominators all live in the same capped universe the
     * corpus index was built in, and re-ingesting stored rows reproduces
     * q_dedup_minhash_delta exactly (IngestSpec). */
+  /** Corpus-side reader for the INGEST paths only: base artifact ∪
+    * committed overlay segments ([[graft.IndexOverlay]]). Registered
+    * queries read the bases directly — on a never-committed dataset the
+    * two are the same plan, so the oracle gate is untouched. */
+  private def ov(s: SparkSession, d: String, family: String, base: DataFrame): DataFrame =
+    IndexOverlay.withOverlay(s, d, family, base)
+
   private[graft] def ingestMinhashDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val bids = batch.select("doc_id")
@@ -1677,6 +1701,70 @@ object LlmPipeline extends QueryPack {
       // broadcast budget -- oversized tables degrade to shuffled folds
       maybeBroadcastDtable(pqDtablePlan(b, cb), estBatchRows(b)),
       b, corpusVecsExcl(s, d, batch))
+  }
+
+  /** Overlay rows a DOC commit appends per index family
+    * ([[graft.Ingest.commitDocs]]): each frame is the batch's rows under
+    * the corresponding base artifact's recipe with geometry FROZEN —
+    * identical expressions to the per-batch probe plans, so committed
+    * rows are exactly what [[ingestMinhashDedup]] etc. would have
+    * computed batch-side for the same rows. `novel` must already be
+    * id-novel and parquet-backed (the commit step publishes the raw
+    * segment first and derives from the read-back, so a nondeterministic
+    * user frame cannot make the families disagree).
+    *  - doc_shingles: the capped universe ([[ingestMinhashDedup]]'s
+    *    cap = frozen corpus hot set ∪ batch-local hot set; the corpus
+    *    hot-set artifact itself stays frozen — the rebuild lag
+    *    q_shingle_cap_lag measures).
+    *  - minhash_sigs: signatures over that capped universe.
+    *  - substr_postings: width-[[SUBSTR_W]] window hashes. */
+  private[graft] def commitDocFamilies(s: SparkSession, d: String,
+      novel: DataFrame): Seq[(String, DataFrame)] = {
+    val docs = novel.select(col("doc_id"), col("text")).repartition(col("doc_id"))
+    val bshRaw = rawShingles(docs, k = 3)
+    val batchHot = shingleDfs(bshRaw)
+      .where(col("df") > MAX_SHINGLE_DF).select("shingle")
+    val bsh = bshRaw
+      .join(maybeBroadcast(hotShingleSet(s, d)), Seq("shingle"), "left_anti")
+      .join(maybeBroadcast(batchHot), Seq("shingle"), "left_anti")
+    val aggs = minhashSigAggs
+    Seq(
+      "doc_shingles" -> bsh,
+      "minhash_sigs" -> bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*),
+      "substr_postings" -> substrGramsPlan(docs))
+  }
+
+  /** Overlay rows a VECTOR commit appends per index family
+    * ([[graft.Ingest.commitVectors]]) — the frozen-geometry assignment
+    * of `novel` under every persisted ANN/dedup index recipe:
+    * constant-occupancy LSH own-buckets (bit dial from the FROZEN
+    * persisted corpus count), multi-table LSH buckets, rank-1 and top-2
+    * two-level quantizer cells, trained-k IVF top-2 cells, and PQ nibble
+    * codes against the frozen codebooks. O(batch) each; the corpus-side
+    * artifacts are never touched. */
+  private[graft] def commitVecFamilies(s: SparkSession, d: String,
+      novel: DataFrame): Seq[(String, DataFrame)] = {
+    val b = novel.select(col("vec_id"), col("embedding"))
+    val cb = pqCodebooks(s, d)
+    val sd = pqSubvectors(b).join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("c"),
+        sqDist(col("sub"), col("centroid")).as("sd"))
+    val codes = org.apache.spark.sql.graftx.TopK.topKPerKey(sd,
+        keyNames = Seq("vec_id", "m"), orderBy = Seq("sd" -> true, "c" -> true),
+        k = 1, rankName = "r0")
+      .select(col("vec_id"), col("m"), col("c").as("code"))
+    val codesWide = codes.groupBy(col("vec_id").as("nid"))
+      .pivot("m", 0 until PQ_M)
+      .agg(first(col("code")))
+      .select(col("nid") +: (0 until PQ_M).map(m => col(s"$m").as(s"c_$m")): _*)
+    Seq(
+      "lshc_own" -> lshcProbesPlan(b, lshcNbits(embCount(s, d)))
+        .where(col("own")).select(col("vec_id"), col("tb"), col("bucket")),
+      "lsh_multi" -> lshMultiBucketsPlan(b),
+      "sem2_assign" -> semCellsFor(s, d, b),
+      "sem2_assign_top2" -> semAssign2For(s, d, b),
+      "ivfk_assign2" -> ivfKCellsFor(b, ivfKCentroids(s, d), 2),
+      "pq_codes_wide" -> codesWide)
   }
 
   /** The q_dedup_semantic_recall computation at an arbitrary cell-size

@@ -582,4 +582,24 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 8,
       s"expected >=8 broadcast ADC levels:\n$p")
   }
+
+  test("PQ ADC broadcast gate declines a saturated row estimate (no 64-bit wrap)") {
+    // ADVICE r15: with unknown Catalyst stats estBatchRows saturates to
+    // ~2^55, and the old `rows * M * K * 40 <= thresh` product wrapped
+    // mod 2^64 to a small NEGATIVE — force-broadcasting exactly the
+    // arbitrarily-large case the gate exists to decline. The division
+    // form cannot overflow; assert both directions of the gate.
+    val s = spark
+    import s.implicits._
+    val dtable = Seq((1L, 0, 0, 0.0)).toDF("qid", "m", "code", "sd")
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    for (huge <- Seq(Long.MaxValue, Long.MaxValue / 256))
+      assert(!hinted(operators.LlmPipeline.maybeBroadcastDtable(dtable, huge)),
+        s"saturated estimate $huge must NOT broadcast")
+    assert(hinted(operators.LlmPipeline.maybeBroadcastDtable(dtable, 100L)),
+      "a small bounded batch must still get the hint")
+  }
 }
