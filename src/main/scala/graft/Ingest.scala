@@ -102,4 +102,24 @@ object Ingest {
     * twin: q_sim_ann_ivfc_pq_delta. */
   def annIvfcPq(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     operators.LlmPipeline.ingestAnnIvfcPq(s, d, batch)
+
+  /** COMMIT a document batch into the standing index: the batch's
+    * id-novel rows (vs corpus ids ∪ previously committed ids — so
+    * re-committing is an idempotent no-op) are appended as
+    * [[IndexOverlay]] segments, raw rows plus every doc index family
+    * under FROZEN geometry, and every later ingest/probe call on `d`
+    * sees them corpus-side without an O(N) rebuild. EAGER — this is an
+    * action with side effects, not a query builder. Returns the
+    * (family, segment, n_rows) report of what landed on disk; empty
+    * when nothing was novel. Single committing writer per dataset dir
+    * is the supported regime (a lost publish race retries, never
+    * silently drops rows). */
+  def commitDocs(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+    operators.LlmPipeline.ingestCommitDocs(s, d, batch)
+
+  /** COMMIT a vector batch into the standing index — [[commitDocs]]'s
+    * contract over the vector families (raw embeddings, LSH buckets,
+    * quantizer cells, PQ codes). */
+  def commitVectors(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+    operators.LlmPipeline.ingestCommitVectors(s, d, batch)
 }

@@ -166,6 +166,12 @@ object Curation extends QueryPack {
   private[graft] def contentHash(text: Column): Column =
     sha2(lower(trim(text)), 256)
 
+  /** Overlay family name of the committed (doc_id, h) rows — shared by
+    * the doc COMMIT step (LlmPipeline.commitDocFamilies) and the
+    * exact-dedup corpus side below. Same key as the base stage: the
+    * hash recipe has no tunable geometry. */
+  private[graft] val famDocHashes = "corpus_doc_hashes"
+
   /** FULL-corpus (doc_id, h) exact-hash index as a persisted artifact:
     * built once over every stored document, published atomically,
     * reloaded from parquet by later sessions. Keeping doc_id (not a
@@ -201,7 +207,8 @@ object Curation extends QueryPack {
   private[graft] def ingestExactDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.withColumn("h", contentHash(col("text")))
-    val corpusH = corpusDocHashes(s, d)
+    val corpusH = graft.IndexOverlay.withOverlay(s, d, famDocHashes,
+        corpusDocHashes(s, d))
       .join(b.select("doc_id", "h"), Seq("doc_id", "h"), "left_anti")
       .select("h").distinct()
     val w = Window.partitionBy("h").orderBy("doc_id")

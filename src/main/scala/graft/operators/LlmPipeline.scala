@@ -1461,9 +1461,27 @@ object LlmPipeline extends QueryPack {
   /** Corpus-side reader for the INGEST paths only: base artifact ∪
     * committed overlay segments ([[graft.IndexOverlay]]). Registered
     * queries read the bases directly — on a never-committed dataset the
-    * two are the same plan, so the oracle gate is untouched. */
+    * two are the same plan (withOverlay returns `base` untouched), so
+    * the oracle gate and the zero-job plan-construction contract are
+    * untouched: the only added cost is a driver-side directory stat. */
   private def ov(s: SparkSession, d: String, family: String, base: DataFrame): DataFrame =
     IndexOverlay.withOverlay(s, d, family, base)
+
+  // Overlay FAMILY names — geometry-encoded exactly like the base stage
+  // keys they shadow (ADVICE r16): a re-dial (new nbits, new cell size,
+  // new PQ dials) changes the family name with the base stage, so stale
+  // segments committed under old geometry simply stop being read.
+  private[graft] def famDocsRaw = "docs_raw"
+  private[graft] def famVecsRaw = "vecs_raw"
+  private def famDocShingles = s"doc_shingles_k3df$MAX_SHINGLE_DF"
+  private def famMinhashSigs = s"minhash_sigs_k${MINHASH_K}x${MINHASH_SLICE}df$MAX_SHINGLE_DF"
+  private def famSubstrPostings = s"substr_postings_w$SUBSTR_W"
+  private def famLshcOwn(nbits: Int) = s"lshc_own_${LSHC_TABLES}x${nbits}c$LSHC_CELL"
+  private def famLshMulti = s"lsh_multi_${LSH_TABLES}x${LSH_TABLE_BITS}o$LSH_PLANES"
+  private def famSemAssign = s"sem2_assign_nc$SEM_CELL"
+  private def famSemAssign2 = s"sem2_assign_top2_nc$SEM_CELL"
+  private def famIvfkAssign2 = "ivfk_assign2_top2"
+  private def famPqCodesWide = s"pq_codes_wide_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD"
 
   private[graft] def ingestMinhashDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
@@ -1488,13 +1506,14 @@ object LlmPipeline extends QueryPack {
     val aggs = minhashSigAggs
     val batchBands = minhashBands(bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
     val corpusBands = minhashBands(
-      minhashSigs(s, d).join(bids, Seq("doc_id"), "left_anti"))
+      ov(s, d, famMinhashSigs, minhashSigs(s, d)).join(bids, Seq("doc_id"), "left_anti"))
     val cands = batchBands.as("ba")
       .join(maybeBroadcast(corpusBands.as("bb")), col("ba.band") === col("bb.band") &&
         col("ba.bucket") === col("bb.bucket"))
       .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
       .distinct()
-    val csh = docShingles(s, d).join(bids, Seq("doc_id"), "left_anti")
+    val csh = ov(s, d, famDocShingles, docShingles(s, d))
+      .join(bids, Seq("doc_id"), "left_anti")
     val withA = bsh.join(maybeBroadcast(cands), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("shingle"))
     val inter = withA.as("wa")
@@ -1549,7 +1568,8 @@ object LlmPipeline extends QueryPack {
     val bids = batch.select("doc_id")
     val bposts = substrGramsPlan(batch.select(col("doc_id"), col("text"))
       .repartition(col("doc_id")))
-    val corpusGh = substrPostings(s, d).join(bids, Seq("doc_id"), "left_anti")
+    val corpusGh = ov(s, d, famSubstrPostings, substrPostings(s, d))
+      .join(bids, Seq("doc_id"), "left_anti")
       .select("gh").distinct()
     substrSpanStats(bposts.join(corpusGh, "gh"))
   }
@@ -1560,9 +1580,10 @@ object LlmPipeline extends QueryPack {
   private[graft] def ingestSemanticDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
-    val corpus = t(s, d, "embeddings")
+    val corpus = ov(s, d, famVecsRaw,
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
-      .join(maybeBroadcast(semAssign(s, d)), "vec_id")
+      .join(maybeBroadcast(ov(s, d, famSemAssign, semAssign(s, d))), "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"))
     semanticVerdicts(s, d, b, corpus).orderBy("vec_id")
   }
@@ -1586,9 +1607,10 @@ object LlmPipeline extends QueryPack {
       .orderBy("vec_id", "rnk")
   }
 
-  /** Corpus-side embeddings excluding the batch's ids. */
+  /** Corpus-side embeddings (incl. committed overlay rows) excluding the
+    * batch's ids. */
   private def corpusVecsExcl(s: SparkSession, d: String, batch: DataFrame): DataFrame =
-    t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    ov(s, d, famVecsRaw, t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
       .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
 
   /** LSH-multiprobe ANN ingest: batch bucket rows computed fresh, corpus
@@ -1596,7 +1618,7 @@ object LlmPipeline extends QueryPack {
   private[graft] def ingestAnnLsh(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
-    val corpus = lshMultiBuckets(s, d)
+    val corpus = ov(s, d, famLshMulti, lshMultiBuckets(s, d))
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
     val cands = lshMultiBucketsPlan(b).as("ba")
       .join(maybeBroadcast(corpus.as("bb")), col("ba.tb") === col("bb.tb") &&
@@ -1613,11 +1635,12 @@ object LlmPipeline extends QueryPack {
   private[graft] def ingestAnnLshc(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
-    val probes = lshcProbesPlan(b, lshcNbits(embCount(s, d)))
+    val nbits = lshcNbits(embCount(s, d))
+    val probes = lshcProbesPlan(b, nbits)
       // tail inherits qid partitioning; count pinned vs AQE coalesce
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
-    val corpus = lshcProbes(s, d).where(col("own"))
-      .select(col("vec_id"), col("tb"), col("bucket"))
+    val corpus = ov(s, d, famLshcOwn(nbits), lshcProbes(s, d).where(col("own"))
+        .select(col("vec_id"), col("tb"), col("bucket")))
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
     val cands = probes.as("pa")
       .join(maybeBroadcast(corpus.as("pb")), col("pa.tb") === col("pb.tb") &&
@@ -1636,7 +1659,7 @@ object LlmPipeline extends QueryPack {
     val cents = ivfKCentroids(s, d)
     val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
     val cands = ivfKCellsFor(b, cents, np).as("a")
-      .join(maybeBroadcast(ivfKAssign2(s, d)
+      .join(maybeBroadcast(ov(s, d, famIvfkAssign2, ivfKAssign2(s, d))
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
@@ -1651,7 +1674,8 @@ object LlmPipeline extends QueryPack {
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
     val cands = ivfcProbesFor(s, d, b).as("a")
-      .join(maybeBroadcast(semAssign2(s, d).select(col("vec_id"), col("cell"))
+      .join(maybeBroadcast(
+          ov(s, d, famSemAssign2, semAssign2(s, d)).select(col("vec_id"), col("cell"))
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
@@ -1670,13 +1694,14 @@ object LlmPipeline extends QueryPack {
     val cents = ivfKCentroids(s, d)
     val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
     val cands = ivfKCellsFor(b, cents, np).as("a")
-      .join(maybeBroadcast(ivfKAssign2(s, d)
+      .join(maybeBroadcast(ov(s, d, famIvfkAssign2, ivfKAssign2(s, d))
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
       .distinct()
     pqAdcRerank(cands,
-      pqCodesWide(s, d).join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
+      ov(s, d, famPqCodesWide, pqCodesWide(s, d))
+        .join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
       // size-gated (ADVICE r14): an arbitrary facade batch can exceed the
       // broadcast budget -- oversized tables degrade to shuffled folds
       maybeBroadcastDtable(pqDtablePlan(b, cb), estBatchRows(b)),
@@ -1690,13 +1715,15 @@ object LlmPipeline extends QueryPack {
     val b = batch.select(col("vec_id"), col("embedding"))
     val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
     val cands = ivfcProbesFor(s, d, b).as("a")
-      .join(maybeBroadcast(semAssign2(s, d).select(col("vec_id"), col("cell"))
+      .join(maybeBroadcast(
+          ov(s, d, famSemAssign2, semAssign2(s, d)).select(col("vec_id"), col("cell"))
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
       .distinct()
     pqAdcRerank(cands,
-      pqCodesWide(s, d).join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
+      ov(s, d, famPqCodesWide, pqCodesWide(s, d))
+        .join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
       // size-gated (ADVICE r14): an arbitrary facade batch can exceed the
       // broadcast budget -- oversized tables degrade to shuffled folds
       maybeBroadcastDtable(pqDtablePlan(b, cb), estBatchRows(b)),
@@ -1712,6 +1739,8 @@ object LlmPipeline extends QueryPack {
     * id-novel and parquet-backed (the commit step publishes the raw
     * segment first and derives from the read-back, so a nondeterministic
     * user frame cannot make the families disagree).
+    *  - corpus_doc_hashes: the exact-dedup (doc_id, h) rows
+    *    ([[Curation.contentHash]]).
     *  - doc_shingles: the capped universe ([[ingestMinhashDedup]]'s
     *    cap = frozen corpus hot set ∪ batch-local hot set; the corpus
     *    hot-set artifact itself stays frozen — the rebuild lag
@@ -1729,9 +1758,11 @@ object LlmPipeline extends QueryPack {
       .join(maybeBroadcast(batchHot), Seq("shingle"), "left_anti")
     val aggs = minhashSigAggs
     Seq(
-      "doc_shingles" -> bsh,
-      "minhash_sigs" -> bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*),
-      "substr_postings" -> substrGramsPlan(docs))
+      Curation.famDocHashes -> docs.select(col("doc_id"),
+        Curation.contentHash(col("text")).as("h")),
+      famDocShingles -> bsh,
+      famMinhashSigs -> bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*),
+      famSubstrPostings -> substrGramsPlan(docs))
   }
 
   /** Overlay rows a VECTOR commit appends per index family
@@ -1757,14 +1788,86 @@ object LlmPipeline extends QueryPack {
       .pivot("m", 0 until PQ_M)
       .agg(first(col("code")))
       .select(col("nid") +: (0 until PQ_M).map(m => col(s"$m").as(s"c_$m")): _*)
+    val nbits = lshcNbits(embCount(s, d))
     Seq(
-      "lshc_own" -> lshcProbesPlan(b, lshcNbits(embCount(s, d)))
+      famLshcOwn(nbits) -> lshcProbesPlan(b, nbits)
         .where(col("own")).select(col("vec_id"), col("tb"), col("bucket")),
-      "lsh_multi" -> lshMultiBucketsPlan(b),
-      "sem2_assign" -> semCellsFor(s, d, b),
-      "sem2_assign_top2" -> semAssign2For(s, d, b),
-      "ivfk_assign2" -> ivfKCellsFor(b, ivfKCentroids(s, d), 2),
-      "pq_codes_wide" -> codesWide)
+      famLshMulti -> lshMultiBucketsPlan(b),
+      famSemAssign -> semCellsFor(s, d, b),
+      famSemAssign2 -> semAssign2For(s, d, b),
+      famIvfkAssign2 -> ivfKCellsFor(b, ivfKCentroids(s, d), 2),
+      famPqCodesWide -> codesWide)
+  }
+
+  /** COMMIT step of the doc-ingest lifecycle ([[graft.Ingest.commitDocs]]):
+    * make the batch's id-novel rows part of the standing corpus for every
+    * LATER ingest call, at O(batch) cost, by appending overlay segments
+    * ([[graft.IndexOverlay]]) — the raw rows first (published atomically,
+    * then re-read so every derived family is computed from the same
+    * deterministic parquet), then one segment per doc index family under
+    * frozen geometry ([[commitDocFamilies]]).
+    *
+    * EAGER — a commit is an ACTION with side effects, not a query
+    * builder; it runs Spark jobs (the novelty check and one write per
+    * family). Id-novelty is judged against corpus ids ∪ previously
+    * committed ids, so re-committing any batch is a no-op (idempotent);
+    * batch-internal id duplicates collapse deterministically to the
+    * min-text row (an id names ONE row in the standing index). Returns
+    * the (family, segment, n_rows) report of what is actually on disk —
+    * empty when nothing was novel. */
+  private[graft] def ingestCommitDocs(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val corpusIds = t(s, d, "documents").select("doc_id")
+    val standing = IndexOverlay.read(s, d, famDocsRaw)
+      .map(o => corpusIds.unionByName(o.select("doc_id"))).getOrElse(corpusIds)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("text")
+    val novel = batch.select(col("doc_id"), col("text"))
+      .join(standing, Seq("doc_id"), "left_anti")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    commitReport(s,
+      if (novel.isEmpty) Seq.empty
+      else {
+        val (rawPath, nRaw) = IndexOverlay.append(s, d, famDocsRaw, novel)
+        val pub = s.read.parquet(rawPath)
+        (famDocsRaw, rawPath, nRaw) +: commitDocFamilies(s, d, pub).map {
+          case (fam, df) =>
+            val (p, n) = IndexOverlay.append(s, d, fam, df); (fam, p, n)
+        }
+      })
+  }
+
+  /** COMMIT step of the vector-ingest lifecycle
+    * ([[graft.Ingest.commitVectors]]) — [[ingestCommitDocs]]'s contract
+    * over the vector families ([[commitVecFamilies]]). Batch-internal id
+    * duplicates collapse deterministically to the row whose embedding
+    * hashes lowest. */
+  private[graft] def ingestCommitVectors(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val corpusIds = t(s, d, "embeddings").select("vec_id")
+    val standing = IndexOverlay.read(s, d, famVecsRaw)
+      .map(o => corpusIds.unionByName(o.select("vec_id"))).getOrElse(corpusIds)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(hash(col("embedding")))
+    val novel = batch.select(col("vec_id"), col("embedding"))
+      .join(standing, Seq("vec_id"), "left_anti")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    commitReport(s,
+      if (novel.isEmpty) Seq.empty
+      else {
+        val (rawPath, nRaw) = IndexOverlay.append(s, d, famVecsRaw, novel)
+        val pub = s.read.parquet(rawPath)
+        (famVecsRaw, rawPath, nRaw) +: commitVecFamilies(s, d, pub).map {
+          case (fam, df) =>
+            val (p, n) = IndexOverlay.append(s, d, fam, df); (fam, p, n)
+        }
+      })
+  }
+
+  private def commitReport(s: SparkSession,
+      rows: Seq[(String, String, Long)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("family", "segment", "n_rows")
   }
 
   /** The q_dedup_semantic_recall computation at an arbitrary cell-size

@@ -253,6 +253,35 @@ object Streams {
           spark, sfDir, mb.toDF(), corpus), batchId)
       }
 
+  /** Streaming COMMIT sink — the WRITE half of the streaming ingest
+    * lifecycle: each micro-batch of (doc_id, text) rows is committed
+    * into the standing index via [[graft.Ingest.commitDocs]] (id-novel
+    * rows appended as frozen-geometry overlay segments, O(micro-batch)
+    * per trigger). foreachBatch delivers AT-LEAST-ONCE, and commit is
+    * idempotent on ids (a replayed micro-batch's ids are already in the
+    * raw family's standing set, so the replay appends nothing) — so
+    * at-least-once delivery composes to EXACTLY-ONCE index state, the
+    * same transactional-sink argument as [[jdbcUpsertSink]]'s keyed
+    * upsert. The per-micro-batch report (what landed, per family) goes
+    * to `report` — a metrics/audit writer in production. */
+  def commitDocsSink(spark: SparkSession, d: String, docs: DataFrame)(
+      report: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        report(graft.Ingest.commitDocs(spark, d, mb.toDF()), batchId)
+      }
+
+  /** [[commitDocsSink]] for (vec_id, embedding) streams —
+    * [[graft.Ingest.commitVectors]] per micro-batch. */
+  def commitVectorsSink(spark: SparkSession, d: String, vectors: DataFrame)(
+      report: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        report(graft.Ingest.commitVectors(spark, d, mb.toDF()), batchId)
+      }
+
   /** Running per-user totals via custom state (mapGroupsWithState): state =
     * (event count, value sum) per user, carried across micro-batches in the
     * state store. The arbitrary-stateful-processing surface the built-in

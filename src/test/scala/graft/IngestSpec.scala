@@ -241,4 +241,157 @@ class IngestSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- 3. the COMMIT lifecycle (IndexOverlay round trips) ----
+  // On a PRIVATE temp corpus — never the shared sf dir, whose index
+  // store (and therefore overlay) is shared with the driver's Verify
+  // runs and every other spec's fixture-equality assumption.
+
+  /** One temp dataset dir with both tables: 60 docs × 20 unique tokens
+    * (≥ SUBSTR_W windows each, no hot shingles) and 256 random unit
+    * vectors (dim 64, the plane/codebook width every vector family
+    * assumes). Built once per suite run; each test commits to its own
+    * FAMILY namespace implicitly via ids. */
+  private lazy val commitDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-commit").toString
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 20).map(j => s"cw${i}x$j").mkString(" "), "en")
+    }
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rnd = new scala.util.Random(20260815L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    (0 until 256).map(i => (i.toLong, unit(), i % 10))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("commitDocs round trip: committed docs are corpus-side for every doc ingest family") {
+    import spark.implicits._
+    val d = commitDir
+    val texts = (0 until 5).map { i =>
+      (0 until 20).map(j => s"nv${i}x$j").mkString(" ")
+    }
+    val batch = texts.zipWithIndex
+      .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+    val r1 = Ingest.commitDocs(spark, d, batch).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // raw + 4 derived families, each with the batch's 5 docs represented
+    assert(r1.keySet.exists(_ == "docs_raw") &&
+      r1.keySet.exists(_.startsWith("corpus_doc_hashes")) &&
+      r1.keySet.exists(_.startsWith("doc_shingles_")) &&
+      r1.keySet.exists(_.startsWith("minhash_sigs_")) &&
+      r1.keySet.exists(_.startsWith("substr_postings_")),
+      s"families committed: ${r1.keySet.mkString(",")}")
+    assert(r1("docs_raw") == 5L && r1.forall(_._2 > 0L), s"segment rows: $r1")
+    // idempotence: re-committing the same ids appends nothing
+    assert(Ingest.commitDocs(spark, d, batch).isEmpty, "re-commit must be a no-op")
+    // a LATER batch copying committed content under fresh ids is flagged
+    // by every doc family — possible only if the overlay is corpus-side
+    val probe = texts.zipWithIndex
+      .map { case (t, i) => (2000L + i, t) }.toDF("doc_id", "text")
+    val ex = Ingest.exactDedup(spark, d, probe).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0 until 5).forall(i => ex(2000L + i)),
+      s"exactDedup missed committed content: $ex")
+    val mh = Ingest.minhashDedup(spark, d, probe).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (0 until 5).foreach { i =>
+      assert(mh.exists(p => p._1 == 2000L + i && p._2 == 1000L + i && p._3 == 1.0),
+        s"minhashDedup missed committed twin of ${2000 + i}: ${mh.mkString(",")}")
+    }
+    val ss = Ingest.substringDedup(spark, d, probe).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("dup_ratio")).toMap
+    (0 until 5).foreach { i =>
+      assert(ss.get(2000L + i).contains(1.0),
+        s"substringDedup dup_ratio for ${2000 + i}: ${ss.get(2000L + i)}")
+    }
+    // and re-ingesting the COMMITTED rows themselves never self-matches
+    val self = Ingest.exactDedup(spark, d, batch).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert((0 until 5).forall(i => self(1000L + i)),
+      s"committed rows self-matched on re-ingest: $self")
+  }
+
+  test("commitVectors round trip: committed vectors are corpus-side for every vector ingest family") {
+    import spark.implicits._
+    val d = commitDir
+    val rnd = new scala.util.Random(99L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val vecs = (0 until 5).map(i => (5000L + i, unit()))
+    val batch = vecs.toDF("vec_id", "embedding")
+    val r1 = Ingest.commitVectors(spark, d, batch).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r1.keySet.exists(_ == "vecs_raw") &&
+      r1.keySet.exists(_.startsWith("lshc_own_")) &&
+      r1.keySet.exists(_.startsWith("lsh_multi_")) &&
+      r1.keySet.exists(_.startsWith("sem2_assign_nc")) &&
+      r1.keySet.exists(_.startsWith("sem2_assign_top2_")) &&
+      r1.keySet.exists(_ == "ivfk_assign2_top2") &&
+      r1.keySet.exists(_.startsWith("pq_codes_wide_")),
+      s"families committed: ${r1.keySet.mkString(",")}")
+    assert(r1("vecs_raw") == 5L && r1.forall(_._2 > 0L), s"segment rows: $r1")
+    assert(Ingest.commitVectors(spark, d, batch).isEmpty, "re-commit must be a no-op")
+    // exact copies of the COMMITTED vectors under fresh ids: every ANN
+    // tier must surface the committed twin at cos 1.0 (candidates from
+    // the committed index family, the score from the committed raw rows)
+    val probe = vecs.zipWithIndex
+      .map { case ((_, e), i) => (6000L + i, e) }.toDF("vec_id", "embedding")
+    val tiers: Seq[(String, DataFrame)] = Seq(
+      "annLsh" -> Ingest.annLsh(spark, d, probe),
+      "annLshc" -> Ingest.annLshc(spark, d, probe),
+      "annIvfK" -> Ingest.annIvfK(spark, d, probe),
+      "annIvfc" -> Ingest.annIvfc(spark, d, probe),
+      "annIvfPq" -> Ingest.annIvfPq(spark, d, probe),
+      "annIvfcPq" -> Ingest.annIvfcPq(spark, d, probe))
+    tiers.foreach { case (name, out) =>
+      val top1 = out.collect().filter(_.getInt(3) == 1)
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      (0 until 5).foreach { i =>
+        assert(top1.get(6000L + i).contains((5000L + i, 1.0)),
+          s"$name: top-1 for ${6000 + i} is ${top1.get(6000L + i)}, " +
+            s"want the committed twin (${5000 + i}, 1.0)")
+      }
+    }
+    // semantic dedup: a probe identical to a committed vector has a
+    // cos-1.0 corpus cell-mate -> dropped
+    val sem = Ingest.semanticDedup(spark, d, probe).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert((0 until 5).forall(i => sem(6000L + i)),
+      s"semanticDedup kept exact copies of committed vectors: $sem")
+  }
+
+  test("IndexOverlay.append: gap-safe max+1 naming, loud schema drift") {
+    import spark.implicits._
+    val d = commitDir
+    val fam = "testfam_overlay_contract"
+    val (p0, n0) = IndexOverlay.append(spark, d, fam,
+      Seq((1L, "a")).toDF("id", "v"))
+    assert(p0.endsWith("seg_00000") && n0 == 1L)
+    // a foreign/compacted segment leaves a GAP: next append must land
+    // PAST it, never on or before it
+    val gapPath = p0.stripSuffix("seg_00000") + "seg_00007"
+    Seq((7L, "g")).toDF("id", "v").write.parquet(gapPath)
+    val (p1, n1) = IndexOverlay.append(spark, d, fam,
+      Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+    assert(p1.endsWith("seg_00008") && n1 == 2L,
+      s"append after a gap landed on $p1 ($n1 rows)")
+    // reads union every published segment
+    assert(IndexOverlay.read(spark, d, fam).get.count() == 4L)
+    // schema drift is rejected at append, not nulled at read
+    val drift = intercept[IllegalArgumentException] {
+      IndexOverlay.append(spark, d, fam, Seq((9L, 9.0)).toDF("id", "other"))
+    }
+    assert(drift.getMessage.contains("drifts"), drift.getMessage)
+  }
 }

@@ -231,6 +231,58 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${got.size} verdicts vs batch twin ${want.length}")
   }
 
+  test("streaming commit sink: micro-batch commits accumulate; replay appends nothing (exactly-once index state)") {
+    import spark.implicits._
+    // private temp corpus (never the shared sf dir, whose index store is
+    // shared with every other spec and the driver's Verify)
+    val corpus = Files.createTempDirectory("graft-commitstream").toString
+    (0 until 40).map(i =>
+        (i.toLong, (0 until 20).map(j => s"sw${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    // 10 novel docs arriving as two files -> >=2 micro-batches
+    val novel = (0 until 10).map(i =>
+      (1000L + i, (0 until 20).map(j => s"nv${i}x$j").mkString(" ")))
+    val srcDir = Files.createTempDirectory("graft-commitsrc").toString
+    novel.take(5).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    novel.drop(5).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = novel.take(1).toDF("doc_id", "text").schema
+    def run(): Map[Long, Long] = { // batchId -> docs_raw rows committed
+      val reports = scala.collection.mutable.Map.empty[Long, Long]
+      val qy = Streams.commitDocsSink(spark, corpus,
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)) { (rep, id) =>
+          reports.synchronized {
+            reports(id) = rep.where(col("family") === "docs_raw")
+              .select(sum(col("n_rows"))).collect().head.getAs[Any](0) match {
+                case null => 0L
+                case n: Long => n
+              }
+          }
+        }
+        .option("checkpointLocation", ckpt())
+        .trigger(Trigger.AvailableNow()).start()
+      qy.awaitTermination(120000)
+      reports.toMap
+    }
+    val first = run()
+    assert(first.size >= 2, s"expected >=2 micro-batches, saw $first")
+    assert(first.values.sum == 10L, s"committed rows per micro-batch: $first")
+    assert(IndexOverlay.read(spark, corpus, "docs_raw").get.count() == 10L)
+    // REPLAY from a fresh checkpoint — at-least-once delivery of rows the
+    // index already holds. Id-idempotent commit must append NOTHING.
+    val replay = run()
+    assert(replay.values.sum == 0L, s"replay committed rows: $replay")
+    assert(IndexOverlay.read(spark, corpus, "docs_raw").get.count() == 10L,
+      "replay grew the raw family")
+    // and the committed docs are corpus-side for later ingest probes
+    val probe = Seq((2000L, novel.head._2)).toDF("doc_id", "text")
+    val v = Ingest.exactDedup(spark, corpus, probe).collect().head
+    assert(v.getBoolean(1), s"streamed-committed content not flagged: $v")
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-state").toString
