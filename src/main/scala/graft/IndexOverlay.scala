@@ -54,6 +54,17 @@ object IndexOverlay {
   private def famDir(d: String, family: String): String =
     s"${Tables.indexDir(d)}/overlay/$family"
 
+  /** Family names with at least one directory on disk (published or
+    * not) — the observability surface ([[Ingest.overlayReport]]): a
+    * re-dialed base STRANDS old-geometry families (they stop being
+    * read — correct, but silent), and this listing is how the report
+    * makes them visible. */
+  private[graft] def families(d: String): Seq[String] = {
+    val dir = new java.io.File(s"${Tables.indexDir(d)}/overlay")
+    Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+  }
+
   /** Published (marker-complete) segment paths of a family, in segment-id
     * order. Half-written segments (no _SUCCESS) are invisible. */
   private[graft] def segments(d: String, family: String): Seq[String] = {

@@ -122,4 +122,15 @@ object Ingest {
     * quantizer cells, PQ codes). */
   def commitVectors(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     operators.LlmPipeline.ingestCommitVectors(s, d, batch)
+
+  /** Overlay observability: one row per committed family on disk —
+    * (family, live, n_segments, n_rows, corpus_rows). `live` = false
+    * marks a family STRANDED by a geometry re-dial (its segments are
+    * correctly no longer read — this report is how that stops being
+    * silent); `n_rows / corpus_rows` on the raw families is the
+    * compaction dial (fold the overlay into a fresh base when committed
+    * rows become a meaningful corpus fraction). EAGER, like the
+    * commits. */
+  def overlayReport(s: SparkSession, d: String): DataFrame =
+    operators.LlmPipeline.ingestOverlayReport(s, d)
 }

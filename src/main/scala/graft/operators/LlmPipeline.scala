@@ -1870,6 +1870,41 @@ object LlmPipeline extends QueryPack {
     rows.toDF("family", "segment", "n_rows")
   }
 
+  /** Overlay observability ([[graft.Ingest.overlayReport]]) — the
+    * q_index_drift convention applied to the commit store: one row per
+    * overlay family ON DISK with its published segment/row counts,
+    * whether it is LIVE under the current frozen geometry (a re-dialed
+    * base strands old-geometry families — they stop being read, which
+    * is correct but otherwise silent: committed rows quietly missing
+    * from later probes would look like an ingest bug), and for the raw
+    * families the standing corpus size — overlay/corpus row ratio is
+    * THE compaction dial (when committed rows are a meaningful fraction
+    * of the corpus, regenerate and fold). EAGER like the commits
+    * (parquet footer-count jobs per family; never a corpus scan). */
+  private[graft] def ingestOverlayReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hasDocs = new java.io.File(s"$d/documents.parquet").exists
+    val hasVecs = new java.io.File(s"$d/embeddings.parquet").exists
+    val current: Set[String] =
+      (if (hasDocs) Set(famDocsRaw, Curation.famDocHashes, famDocShingles,
+        famMinhashSigs, famSubstrPostings) else Set.empty[String]) ++
+      (if (hasVecs) Set(famVecsRaw, famLshcOwn(lshcNbits(embCount(s, d))),
+        famLshMulti, famSemAssign, famSemAssign2, famIvfkAssign2,
+        famPqCodesWide) else Set.empty[String])
+    val rows = IndexOverlay.families(d).map { fam =>
+      val segs = IndexOverlay.segments(d, fam)
+      val n = if (segs.isEmpty) 0L
+        else s.read.option("mergeSchema", "true").parquet(segs: _*).count()
+      val corpusRows: Option[Long] =
+        if (fam == famDocsRaw && hasDocs) Some(t(s, d, "documents").count())
+        else if (fam == famVecsRaw && hasVecs) Some(embCount(s, d))
+        else None
+      (fam, current.contains(fam), segs.size, n, corpusRows)
+    }
+    rows.toDF("family", "live", "n_segments", "n_rows", "corpus_rows")
+      .orderBy("family")
+  }
+
   /** The q_dedup_semantic_recall computation at an arbitrary cell-size
     * dial `c` — shared verbatim by the registered query (c = SEM_CELL)
     * and the production-cell-size measurement (LlmSpec drives c = 1024

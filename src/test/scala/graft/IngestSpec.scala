@@ -371,6 +371,36 @@ class IngestSpec extends AnyFunSuite {
       s"semanticDedup kept exact copies of committed vectors: $sem")
   }
 
+  test("overlayReport: live families, stranded geometry, the compaction dial") {
+    import spark.implicits._
+    // self-contained docs-only corpus: the report must not require the
+    // vector artifacts (and must not list vector families as expected)
+    val d = java.nio.file.Files.createTempDirectory("graft-ovreport").toString
+    (0 until 30).map(i =>
+        (i.toLong, (0 until 20).map(j => s"rp${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val batch = (0 until 3).map(i =>
+      (1000L + i, (0 until 20).map(j => s"rn${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Ingest.commitDocs(spark, d, batch)
+    // a family committed under OLD geometry (a re-dialed cell size):
+    // correctly never read, but the report must surface it as stranded
+    IndexOverlay.append(spark, d, "sem2_assign_nc7",
+      Seq((1L, 2L)).toDF("vec_id", "cell"))
+    val rep = Ingest.overlayReport(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getLong(3), Option(r.get(4))))).toMap
+    val live = rep.filter(_._2._1).keySet
+    assert(live.size == 5 && live.contains("docs_raw"),
+      s"live doc families: $live")
+    assert(rep("docs_raw") == ((true, 1, 3L, Some(30L))),
+      s"docs_raw row: ${rep("docs_raw")} (corpus_rows is the compaction dial)")
+    assert(rep("sem2_assign_nc7")._1 == false && rep("sem2_assign_nc7")._3 == 1L,
+      s"stranded family not surfaced: ${rep.get("sem2_assign_nc7")}")
+    live.foreach { f => assert(rep(f)._3 > 0L, s"$f reports 0 rows") }
+  }
+
   test("IndexOverlay.append: gap-safe max+1 naming, loud schema drift") {
     import spark.implicits._
     val d = commitDir
