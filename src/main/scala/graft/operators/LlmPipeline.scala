@@ -1473,6 +1473,7 @@ object LlmPipeline extends QueryPack {
   // segments committed under old geometry simply stop being read.
   private[graft] def famDocsRaw = "docs_raw"
   private[graft] def famVecsRaw = "vecs_raw"
+  private def famHotShingles = s"hot_shingles_k3df$MAX_SHINGLE_DF"
   private def famDocShingles = s"doc_shingles_k3df$MAX_SHINGLE_DF"
   private def famMinhashSigs = s"minhash_sigs_k${MINHASH_K}x${MINHASH_SLICE}df$MAX_SHINGLE_DF"
   private def famSubstrPostings = s"substr_postings_w$SUBSTR_W"
@@ -1500,8 +1501,14 @@ object LlmPipeline extends QueryPack {
     // by [[ingestShingleCapLag]] / q_shingle_cap_lag.
     val batchHot = shingleDfs(bshRaw)
       .where(col("df") > MAX_SHINGLE_DF).select("shingle")
+    // standing hot set = frozen corpus artifact ∪ COMMITTED batches' novel
+    // hot shingles (overlay of the same stage) — so a probe of a doc
+    // content-identical to a committed one caps in the SAME universe the
+    // commit capped in, and boilerplate that arrived via commit cannot
+    // re-enter later batches' signatures
     val bsh = bshRaw
-      .join(maybeBroadcast(hotShingleSet(s, d)), Seq("shingle"), "left_anti")
+      .join(maybeBroadcast(ov(s, d, famHotShingles, hotShingleSet(s, d))),
+        Seq("shingle"), "left_anti")
       .join(maybeBroadcast(batchHot), Seq("shingle"), "left_anti")
     val aggs = minhashSigAggs
     val batchBands = minhashBands(bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
@@ -1548,12 +1555,16 @@ object LlmPipeline extends QueryPack {
     val bshRaw = rawShingles(batch.select(col("doc_id"), col("text"))
       .repartition(col("doc_id")), k = 3)
     val bhot = shingleDfs(bshRaw).where(col("df") > MAX_SHINGLE_DF)
-    val lag = bhot.join(maybeBroadcast(hotShingleSet(s, d)), Seq("shingle"), "left_anti")
+    // the standing hot set includes committed batches' novel hot
+    // shingles (overlay), so committed boilerplate no longer reads as
+    // lag — the residual lag is what only the next FULL rebuild learns
+    val standingHot = ov(s, d, famHotShingles, hotShingleSet(s, d))
+    val lag = bhot.join(maybeBroadcast(standingHot), Seq("shingle"), "left_anti")
     val hotAgg = bhot.agg(count(lit(1)).as("n_batch_hot"))
     val lagAgg = lag.agg(count(lit(1)).as("n_lagging"),
       coalesce(max(col("df")), lit(0L)).as("max_lag_df"))
     val capped = bshRaw.join(maybeBroadcast(
-        bhot.select("shingle").union(hotShingleSet(s, d)).distinct()),
+        bhot.select("shingle").union(standingHot).distinct()),
         Seq("shingle"), "left_semi")
       .agg(count(lit(1)).as("n_rows_capped"))
     // three 1-row aggregates — forced broadcast is safe at any scale
@@ -1741,10 +1752,13 @@ object LlmPipeline extends QueryPack {
     * user frame cannot make the families disagree).
     *  - corpus_doc_hashes: the exact-dedup (doc_id, h) rows
     *    ([[Curation.contentHash]]).
-    *  - doc_shingles: the capped universe ([[ingestMinhashDedup]]'s
-    *    cap = frozen corpus hot set ∪ batch-local hot set; the corpus
-    *    hot-set artifact itself stays frozen — the rebuild lag
-    *    q_shingle_cap_lag measures).
+    *  - hot_shingles: the batch's STANDING-NOVEL hot shingles — the cap
+    *    learns committed boilerplate immediately instead of at the next
+    *    full rebuild (the committed set IS the lag q_shingle_cap_lag
+    *    would otherwise report forever; the corpus artifact itself
+    *    stays frozen).
+    *  - doc_shingles: the capped universe (standing hot set ∪ this
+    *    batch's hot set anti-joined out).
     *  - minhash_sigs: signatures over that capped universe.
     *  - substr_postings: width-[[SUBSTR_W]] window hashes. */
   private[graft] def commitDocFamilies(s: SparkSession, d: String,
@@ -1753,13 +1767,16 @@ object LlmPipeline extends QueryPack {
     val bshRaw = rawShingles(docs, k = 3)
     val batchHot = shingleDfs(bshRaw)
       .where(col("df") > MAX_SHINGLE_DF).select("shingle")
+    val standingHot = ov(s, d, famHotShingles, hotShingleSet(s, d))
     val bsh = bshRaw
-      .join(maybeBroadcast(hotShingleSet(s, d)), Seq("shingle"), "left_anti")
+      .join(maybeBroadcast(standingHot), Seq("shingle"), "left_anti")
       .join(maybeBroadcast(batchHot), Seq("shingle"), "left_anti")
     val aggs = minhashSigAggs
     Seq(
       Curation.famDocHashes -> docs.select(col("doc_id"),
         Curation.contentHash(col("text")).as("h")),
+      famHotShingles -> batchHot
+        .join(maybeBroadcast(standingHot), Seq("shingle"), "left_anti"),
       famDocShingles -> bsh,
       famMinhashSigs -> bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*),
       famSubstrPostings -> substrGramsPlan(docs))
@@ -1886,8 +1903,9 @@ object LlmPipeline extends QueryPack {
     val hasDocs = new java.io.File(s"$d/documents.parquet").exists
     val hasVecs = new java.io.File(s"$d/embeddings.parquet").exists
     val current: Set[String] =
-      (if (hasDocs) Set(famDocsRaw, Curation.famDocHashes, famDocShingles,
-        famMinhashSigs, famSubstrPostings) else Set.empty[String]) ++
+      (if (hasDocs) Set(famDocsRaw, Curation.famDocHashes, famHotShingles,
+        famDocShingles, famMinhashSigs, famSubstrPostings)
+       else Set.empty[String]) ++
       (if (hasVecs) Set(famVecsRaw, famLshcOwn(lshcNbits(embCount(s, d))),
         famLshMulti, famSemAssign, famSemAssign2, famIvfkAssign2,
         famPqCodesWide) else Set.empty[String])

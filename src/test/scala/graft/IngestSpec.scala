@@ -289,7 +289,9 @@ class IngestSpec extends AnyFunSuite {
       r1.keySet.exists(_.startsWith("minhash_sigs_")) &&
       r1.keySet.exists(_.startsWith("substr_postings_")),
       s"families committed: ${r1.keySet.mkString(",")}")
-    assert(r1("docs_raw") == 5L && r1.forall(_._2 > 0L), s"segment rows: $r1")
+    assert(r1("docs_raw") == 5L &&
+      r1.forall { case (f, n) => n > 0L || f.startsWith("hot_shingles_") },
+      s"segment rows: $r1") // hot set legitimately empty: no boilerplate
     // idempotence: re-committing the same ids appends nothing
     assert(Ingest.commitDocs(spark, d, batch).isEmpty, "re-commit must be a no-op")
     // a LATER batch copying committed content under fresh ids is flagged
@@ -371,6 +373,36 @@ class IngestSpec extends AnyFunSuite {
       s"semanticDedup kept exact copies of committed vectors: $sem")
   }
 
+  test("committed boilerplate joins the standing capped universe (no permanent rebuild lag)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-hotcommit").toString
+    (0 until 30).map(i =>
+        (i.toLong, (0 until 20).map(j => s"hb${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // 60 committed docs sharing one corpus-novel 3-shingle: hot within
+    // the commit batch (df 60 > 50), unknown to the frozen corpus hot set
+    val boiler = (1 to 60).map(i =>
+      (5000L + i, s"zzqa zzqb zzqc unique$i filler$i")).toDF("doc_id", "text")
+    val rep = Ingest.commitDocs(spark, d, boiler).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val hotFam = rep.keys.find(_.startsWith("hot_shingles_")).get
+    assert(rep(hotFam) == 1L, s"commit must publish its novel hot shingle: $rep")
+    // a LATER batch with the same boilerplate: pre-r17 this read as
+    // rebuild lag FOREVER (the corpus artifact is frozen); now the
+    // standing hot set = corpus ∪ committed, so the lag is zero
+    val probe = (1 to 60).map(i =>
+      (7000L + i, s"zzqa zzqb zzqc uniq$i fill$i")).toDF("doc_id", "text")
+    val r = Ingest.minhashCapLag(spark, d, probe).collect().head
+    assert(r.getAs[Long]("n_batch_hot") == 1L, s"probe batch-hot: $r")
+    assert(r.getAs[Long]("n_lagging") == 0L,
+      s"committed boilerplate still reads as rebuild lag: $r")
+    // and the capped probe ingest stays bounded: no batch x batch storm
+    val pairs = Ingest.minhashDedup(spark, d, probe)
+    assert(pairs.where(col("doc_a") >= 7000L && col("doc_b") >= 7000L).isEmpty,
+      "batch x batch pair leaked")
+  }
+
   test("overlayReport: live families, stranded geometry, the compaction dial") {
     import spark.implicits._
     // self-contained docs-only corpus: the report must not require the
@@ -392,13 +424,17 @@ class IngestSpec extends AnyFunSuite {
       .map(r => r.getString(0) ->
         ((r.getBoolean(1), r.getInt(2), r.getLong(3), Option(r.get(4))))).toMap
     val live = rep.filter(_._2._1).keySet
-    assert(live.size == 5 && live.contains("docs_raw"),
+    assert(live.size == 6 && live.contains("docs_raw"),
       s"live doc families: $live")
     assert(rep("docs_raw") == ((true, 1, 3L, Some(30L))),
       s"docs_raw row: ${rep("docs_raw")} (corpus_rows is the compaction dial)")
     assert(rep("sem2_assign_nc7")._1 == false && rep("sem2_assign_nc7")._3 == 1L,
       s"stranded family not surfaced: ${rep.get("sem2_assign_nc7")}")
-    live.foreach { f => assert(rep(f)._3 > 0L, s"$f reports 0 rows") }
+    // every live family except the (legitimately empty) hot-shingle set
+    // carries the committed batch's rows
+    live.filterNot(_.startsWith("hot_shingles_")).foreach { f =>
+      assert(rep(f)._3 > 0L, s"$f reports 0 rows")
+    }
   }
 
   test("IndexOverlay.append: gap-safe max+1 naming, loud schema drift") {
