@@ -123,6 +123,24 @@ object Ingest {
   def commitVectors(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     operators.LlmPipeline.ingestCommitVectors(s, d, batch)
 
+  /** DELETE (tombstone) documents from the standing index: the ids —
+    * stored corpus rows and committed overlay rows alike — stop being
+    * corpus-side for every later ingest/probe call, without touching
+    * the source data. Retire-until-rebuild semantics: a deleted id
+    * cannot be re-committed (re-add content under a fresh id); the next
+    * corpus regeneration compacts the tombstones away. The one
+    * non-id-keyed artifact, the hot-shingle cap, is NOT retracted (a
+    * cap is conservative by nature). EAGER, idempotent; takes any
+    * 1-column id frame; returns the commit report shape. */
+  def deleteDocs(s: SparkSession, d: String, ids: DataFrame): DataFrame =
+    operators.LlmPipeline.ingestDeleteIds(s, d, ids, "doc_id",
+      operators.LlmPipeline.famDocsDeleted)
+
+  /** [[deleteDocs]] for vectors. */
+  def deleteVectors(s: SparkSession, d: String, ids: DataFrame): DataFrame =
+    operators.LlmPipeline.ingestDeleteIds(s, d, ids, "vec_id",
+      operators.LlmPipeline.famVecsDeleted)
+
   /** Overlay observability: one row per committed family on disk —
     * (family, live, n_segments, n_rows, corpus_rows). `live` = false
     * marks a family STRANDED by a geometry re-dial (its segments are

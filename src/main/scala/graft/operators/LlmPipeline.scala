@@ -1467,12 +1467,40 @@ object LlmPipeline extends QueryPack {
   private def ov(s: SparkSession, d: String, family: String, base: DataFrame): DataFrame =
     IndexOverlay.withOverlay(s, d, family, base)
 
+  /** Tombstone filter: anti-join a corpus-side frame against a deletion
+    * family's id set ([[graft.Ingest.deleteDocs]] — retire-until-rebuild
+    * semantics). Identity when nothing was ever deleted, so existing
+    * plans are untouched; the id set is O(deleted) and broadcast-gated. */
+  private[graft] def minusDeleted(s: SparkSession, d: String, base: DataFrame,
+      idCol: String, delFam: String): DataFrame =
+    IndexOverlay.read(s, d, delFam) match {
+      case Some(del) => base.join(
+        maybeBroadcast(del.select(col(del.columns.head).as(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+      case None => base
+    }
+
+  /** Doc-family corpus-side reader: base ∪ overlay, minus tombstoned
+    * doc ids. */
+  private def ovDoc(s: SparkSession, d: String, family: String,
+      base: DataFrame): DataFrame =
+    minusDeleted(s, d, ov(s, d, family, base), "doc_id", famDocsDeleted)
+
+  /** Vector-family corpus-side reader — `idCol` names the vector-id
+    * column in this family's shape (`vec_id`, or `nid` for the wide PQ
+    * codes). */
+  private def ovVec(s: SparkSession, d: String, family: String,
+      base: DataFrame, idCol: String = "vec_id"): DataFrame =
+    minusDeleted(s, d, ov(s, d, family, base), idCol, famVecsDeleted)
+
   // Overlay FAMILY names — geometry-encoded exactly like the base stage
   // keys they shadow (ADVICE r16): a re-dial (new nbits, new cell size,
   // new PQ dials) changes the family name with the base stage, so stale
   // segments committed under old geometry simply stop being read.
   private[graft] def famDocsRaw = "docs_raw"
   private[graft] def famVecsRaw = "vecs_raw"
+  private[graft] def famDocsDeleted = "docs_deleted"
+  private[graft] def famVecsDeleted = "vecs_deleted"
   private def famHotShingles = s"hot_shingles_k3df$MAX_SHINGLE_DF"
   private def famDocShingles = s"doc_shingles_k3df$MAX_SHINGLE_DF"
   private def famMinhashSigs = s"minhash_sigs_k${MINHASH_K}x${MINHASH_SLICE}df$MAX_SHINGLE_DF"
@@ -1513,13 +1541,13 @@ object LlmPipeline extends QueryPack {
     val aggs = minhashSigAggs
     val batchBands = minhashBands(bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
     val corpusBands = minhashBands(
-      ov(s, d, famMinhashSigs, minhashSigs(s, d)).join(bids, Seq("doc_id"), "left_anti"))
+      ovDoc(s, d, famMinhashSigs, minhashSigs(s, d)).join(bids, Seq("doc_id"), "left_anti"))
     val cands = batchBands.as("ba")
       .join(maybeBroadcast(corpusBands.as("bb")), col("ba.band") === col("bb.band") &&
         col("ba.bucket") === col("bb.bucket"))
       .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
       .distinct()
-    val csh = ov(s, d, famDocShingles, docShingles(s, d))
+    val csh = ovDoc(s, d, famDocShingles, docShingles(s, d))
       .join(bids, Seq("doc_id"), "left_anti")
     val withA = bsh.join(maybeBroadcast(cands), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("shingle"))
@@ -1579,7 +1607,7 @@ object LlmPipeline extends QueryPack {
     val bids = batch.select("doc_id")
     val bposts = substrGramsPlan(batch.select(col("doc_id"), col("text"))
       .repartition(col("doc_id")))
-    val corpusGh = ov(s, d, famSubstrPostings, substrPostings(s, d))
+    val corpusGh = ovDoc(s, d, famSubstrPostings, substrPostings(s, d))
       .join(bids, Seq("doc_id"), "left_anti")
       .select("gh").distinct()
     substrSpanStats(bposts.join(corpusGh, "gh"))
@@ -1591,10 +1619,10 @@ object LlmPipeline extends QueryPack {
   private[graft] def ingestSemanticDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
-    val corpus = ov(s, d, famVecsRaw,
+    val corpus = ovVec(s, d, famVecsRaw,
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
-      .join(maybeBroadcast(ov(s, d, famSemAssign, semAssign(s, d))), "vec_id")
+      .join(maybeBroadcast(ovVec(s, d, famSemAssign, semAssign(s, d))), "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"))
     semanticVerdicts(s, d, b, corpus).orderBy("vec_id")
   }
@@ -1621,7 +1649,7 @@ object LlmPipeline extends QueryPack {
   /** Corpus-side embeddings (incl. committed overlay rows) excluding the
     * batch's ids. */
   private def corpusVecsExcl(s: SparkSession, d: String, batch: DataFrame): DataFrame =
-    ov(s, d, famVecsRaw, t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+    ovVec(s, d, famVecsRaw, t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
       .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
 
   /** LSH-multiprobe ANN ingest: batch bucket rows computed fresh, corpus
@@ -1629,7 +1657,7 @@ object LlmPipeline extends QueryPack {
   private[graft] def ingestAnnLsh(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
-    val corpus = ov(s, d, famLshMulti, lshMultiBuckets(s, d))
+    val corpus = ovVec(s, d, famLshMulti, lshMultiBuckets(s, d))
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
     val cands = lshMultiBucketsPlan(b).as("ba")
       .join(maybeBroadcast(corpus.as("bb")), col("ba.tb") === col("bb.tb") &&
@@ -1650,7 +1678,7 @@ object LlmPipeline extends QueryPack {
     val probes = lshcProbesPlan(b, nbits)
       // tail inherits qid partitioning; count pinned vs AQE coalesce
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
-    val corpus = ov(s, d, famLshcOwn(nbits), lshcProbes(s, d).where(col("own"))
+    val corpus = ovVec(s, d, famLshcOwn(nbits), lshcProbes(s, d).where(col("own"))
         .select(col("vec_id"), col("tb"), col("bucket")))
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
     val cands = probes.as("pa")
@@ -1670,7 +1698,7 @@ object LlmPipeline extends QueryPack {
     val cents = ivfKCentroids(s, d)
     val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
     val cands = ivfKCellsFor(b, cents, np).as("a")
-      .join(maybeBroadcast(ov(s, d, famIvfkAssign2, ivfKAssign2(s, d))
+      .join(maybeBroadcast(ovVec(s, d, famIvfkAssign2, ivfKAssign2(s, d))
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
@@ -1686,7 +1714,7 @@ object LlmPipeline extends QueryPack {
     val b = batch.select(col("vec_id"), col("embedding"))
     val cands = ivfcProbesFor(s, d, b).as("a")
       .join(maybeBroadcast(
-          ov(s, d, famSemAssign2, semAssign2(s, d)).select(col("vec_id"), col("cell"))
+          ovVec(s, d, famSemAssign2, semAssign2(s, d)).select(col("vec_id"), col("cell"))
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
@@ -1705,13 +1733,13 @@ object LlmPipeline extends QueryPack {
     val cents = ivfKCentroids(s, d)
     val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
     val cands = ivfKCellsFor(b, cents, np).as("a")
-      .join(maybeBroadcast(ov(s, d, famIvfkAssign2, ivfKAssign2(s, d))
+      .join(maybeBroadcast(ovVec(s, d, famIvfkAssign2, ivfKAssign2(s, d))
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
       .distinct()
     pqAdcRerank(cands,
-      ov(s, d, famPqCodesWide, pqCodesWide(s, d))
+      ovVec(s, d, famPqCodesWide, pqCodesWide(s, d), "nid")
         .join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
       // size-gated (ADVICE r14): an arbitrary facade batch can exceed the
       // broadcast budget -- oversized tables degrade to shuffled folds
@@ -1727,13 +1755,13 @@ object LlmPipeline extends QueryPack {
     val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
     val cands = ivfcProbesFor(s, d, b).as("a")
       .join(maybeBroadcast(
-          ov(s, d, famSemAssign2, semAssign2(s, d)).select(col("vec_id"), col("cell"))
+          ovVec(s, d, famSemAssign2, semAssign2(s, d)).select(col("vec_id"), col("cell"))
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
       .distinct()
     pqAdcRerank(cands,
-      ov(s, d, famPqCodesWide, pqCodesWide(s, d))
+      ovVec(s, d, famPqCodesWide, pqCodesWide(s, d), "nid")
         .join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
       // size-gated (ADVICE r14): an arbitrary facade batch can exceed the
       // broadcast budget -- oversized tables degrade to shuffled folds
@@ -1834,9 +1862,13 @@ object LlmPipeline extends QueryPack {
     * empty when nothing was novel. */
   private[graft] def ingestCommitDocs(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
-    val corpusIds = t(s, d, "documents").select("doc_id")
-    val standing = IndexOverlay.read(s, d, famDocsRaw)
-      .map(o => corpusIds.unionByName(o.select("doc_id"))).getOrElse(corpusIds)
+    // novelty base = corpus ∪ committed ∪ DELETED: a tombstoned id is
+    // retired until the next corpus regeneration (re-committing it would
+    // be invisible behind its own tombstone — reject early instead)
+    val standing = (t(s, d, "documents").select("doc_id") +:
+      (IndexOverlay.read(s, d, famDocsRaw) ++
+        IndexOverlay.read(s, d, famDocsDeleted))
+        .map(_.select("doc_id")).toSeq).reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("text")
     val novel = batch.select(col("doc_id"), col("text"))
@@ -1861,9 +1893,10 @@ object LlmPipeline extends QueryPack {
     * hashes lowest. */
   private[graft] def ingestCommitVectors(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
-    val corpusIds = t(s, d, "embeddings").select("vec_id")
-    val standing = IndexOverlay.read(s, d, famVecsRaw)
-      .map(o => corpusIds.unionByName(o.select("vec_id"))).getOrElse(corpusIds)
+    val standing = (t(s, d, "embeddings").select("vec_id") +:
+      (IndexOverlay.read(s, d, famVecsRaw) ++
+        IndexOverlay.read(s, d, famVecsDeleted))
+        .map(_.select("vec_id")).toSeq).reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(hash(col("embedding")))
     val novel = batch.select(col("vec_id"), col("embedding"))
@@ -1887,6 +1920,35 @@ object LlmPipeline extends QueryPack {
     rows.toDF("family", "segment", "n_rows")
   }
 
+  /** DELETE (tombstone) step of the ingest lifecycle
+    * ([[graft.Ingest.deleteDocs]]): retire ids from the standing index
+    * until the next corpus regeneration. Appends the not-yet-deleted
+    * ids to an append-only tombstone family; every corpus-side reader
+    * ([[ovDoc]]/[[ovVec]]) anti-joins it, which retires STORED corpus
+    * rows and committed overlay rows alike without touching source
+    * data. Monotonic by design — a deleted id cannot be re-committed
+    * (the novelty base includes tombstones), so no segment-ordering /
+    * versioning machinery is needed; re-adding content happens under a
+    * fresh id, and compaction (corpus regeneration) clears the set.
+    * The one non-id-keyed family, the hot-shingle cap, is NOT
+    * retracted by deletes (a cap can only be conservative; the next
+    * rebuild re-derives it). EAGER, idempotent; returns the commit
+    * report shape. */
+  private[graft] def ingestDeleteIds(s: SparkSession, d: String,
+      ids: DataFrame, idCol: String, delFam: String): DataFrame = {
+    val base = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    val fresh = IndexOverlay.read(s, d, delFam) match {
+      case Some(del) => base.join(del.select(col(idCol)), Seq(idCol), "left_anti")
+      case None => base
+    }
+    commitReport(s,
+      if (fresh.isEmpty) Seq.empty
+      else {
+        val (p, n) = IndexOverlay.append(s, d, delFam, fresh)
+        Seq((delFam, p, n))
+      })
+  }
+
   /** Overlay observability ([[graft.Ingest.overlayReport]]) — the
     * q_index_drift convention applied to the commit store: one row per
     * overlay family ON DISK with its published segment/row counts,
@@ -1903,10 +1965,11 @@ object LlmPipeline extends QueryPack {
     val hasDocs = new java.io.File(s"$d/documents.parquet").exists
     val hasVecs = new java.io.File(s"$d/embeddings.parquet").exists
     val current: Set[String] =
-      (if (hasDocs) Set(famDocsRaw, Curation.famDocHashes, famHotShingles,
-        famDocShingles, famMinhashSigs, famSubstrPostings)
+      (if (hasDocs) Set(famDocsRaw, famDocsDeleted, Curation.famDocHashes,
+        famHotShingles, famDocShingles, famMinhashSigs, famSubstrPostings)
        else Set.empty[String]) ++
-      (if (hasVecs) Set(famVecsRaw, famLshcOwn(lshcNbits(embCount(s, d))),
+      (if (hasVecs) Set(famVecsRaw, famVecsDeleted,
+        famLshcOwn(lshcNbits(embCount(s, d))),
         famLshMulti, famSemAssign, famSemAssign2, famIvfkAssign2,
         famPqCodesWide) else Set.empty[String])
     val rows = IndexOverlay.families(d).map { fam =>

@@ -437,6 +437,128 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteDocs retires stored AND committed content from every doc family") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-deldocs").toString
+    val texts = (0 until 30).map(i => (0 until 20).map(j => s"dd${i}x$j").mkString(" "))
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val committedText = (0 until 20).map(j => s"dn0x$j").mkString(" ")
+    Ingest.commitDocs(spark, d, Seq((1000L, committedText)).toDF("doc_id", "text"))
+    // before deletion: copies of stored doc 5 and committed doc 1000 are
+    // both flagged by every family
+    def verdicts(): Map[Long, (Boolean, Boolean)] = {
+      val probe = Seq((2000L, texts(5)), (2001L, committedText))
+        .toDF("doc_id", "text")
+      val ex = Ingest.exactDedup(spark, d, probe).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val mh = Ingest.minhashDedup(spark, d, probe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Map(2000L -> ((ex(2000L), mh.contains((2000L, 5L)))),
+          2001L -> ((ex(2001L), mh.contains((2001L, 1000L)))))
+    }
+    val before = verdicts()
+    assert(before(2000L) == ((true, true)) && before(2001L) == ((true, true)),
+      s"pre-delete flags: $before")
+    val rep = Ingest.deleteDocs(spark, d, Seq(5L, 1000L).toDF("doc_id")).collect()
+    assert(rep.length == 1 && rep.head.getLong(2) == 2L, s"tombstones: ${rep.toSeq}")
+    val after = verdicts()
+    assert(after(2000L) == ((false, false)) && after(2001L) == ((false, false)),
+      s"post-delete flags (deleted content still corpus-side): $after")
+    // idempotent; and a deleted id is RETIRED — re-commit is a no-op
+    assert(Ingest.deleteDocs(spark, d, Seq(5L, 1000L).toDF("doc_id")).isEmpty)
+    assert(Ingest.commitDocs(spark, d,
+      Seq((1000L, "resurrection attempt text")).toDF("doc_id", "text")).isEmpty,
+      "a tombstoned id must not be re-committable (retire-until-rebuild)")
+    val ovr = Ingest.overlayReport(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(3)))).toMap
+    assert(ovr("docs_deleted") == ((true, 2L)), s"report: $ovr")
+  }
+
+  test("deleteVectors retires stored and committed vectors from every ANN tier and semantic dedup") {
+    import spark.implicits._
+    val d = commitDir
+    // probe = exact copy of STORED vector 3 — found at cos 1.0 everywhere
+    val emb3 = Tables.t(spark, d, "embeddings").where(col("vec_id") === 3L)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val probe = Seq((6100L, emb3)).toDF("vec_id", "embedding")
+    def tiers(): Seq[(String, Array[(Long, Long, Double)])] = Seq(
+      "annLsh" -> Ingest.annLsh(spark, d, probe),
+      "annLshc" -> Ingest.annLshc(spark, d, probe),
+      "annIvfK" -> Ingest.annIvfK(spark, d, probe),
+      "annIvfc" -> Ingest.annIvfc(spark, d, probe),
+      "annIvfPq" -> Ingest.annIvfPq(spark, d, probe),
+      "annIvfcPq" -> Ingest.annIvfcPq(spark, d, probe))
+      .map { case (n, df) => n -> df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) }
+    tiers().foreach { case (n, rows) =>
+      assert(rows.exists(p => p._2 == 3L && p._3 == 1.0),
+        s"$n: stored twin not found pre-delete: ${rows.mkString(",")}")
+    }
+    // delete the stored vector (and 5000, committed by the earlier test
+    // when the full suite runs — tombstoning an absent id is harmless)
+    Ingest.deleteVectors(spark, d, Seq(3L, 5000L).toDF("vec_id"))
+    tiers().foreach { case (n, rows) =>
+      assert(rows.nonEmpty && rows.forall(p => p._2 != 3L && p._2 != 5000L),
+        s"$n: deleted vector still served: ${rows.mkString(",")}")
+    }
+    // semantic dedup: the deleted vector is no longer a cell-mate, so its
+    // exact copy must NOT be dropped on its account (any surviving drop
+    // witness must be a different, genuinely tau-close corpus vector)
+    val sem = Ingest.semanticDedup(spark, d, probe).collect().head
+    if (sem.getBoolean(2)) {
+      val corp = Tables.t(spark, d, "embeddings")
+        .where(col("vec_id") =!= 3L).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val dot = a.indices.map(i => a(i).toDouble * b(i)).sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        dot / (na * nb)
+      }
+      assert(corp.exists(p => cos(p._2, emb3) >= 0.35),
+        "dropped with no surviving tau-close corpus witness")
+    }
+  }
+
+  test("concurrent disjoint commits: publish races retry, no rows dropped") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-conccommit").toString
+    (0 until 30).map(i =>
+        (i.toLong, (0 until 20).map(j => s"cc${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // warm the artifacts serially so the race below is about APPENDS,
+    // not about concurrent first builds (their own atomic-publish path)
+    Ingest.exactDedup(spark, d, Seq((1L, "warm")).toDF("doc_id", "text")).count()
+    Ingest.minhashDedup(spark, d, Seq((1L, "warm a b c d")).toDF("doc_id", "text")).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val totals = Await.result(Future.sequence((0 until 4).map { k =>
+      Future {
+        val batch = (0 until 5).map(i =>
+          (9000L + 100L * k + i,
+            (0 until 20).map(j => s"cb${k}x${i}x$j").mkString(" ")))
+          .toDF("doc_id", "text")
+        Ingest.commitDocs(spark, d, batch).collect()
+          .filter(_.getString(0) == "docs_raw").map(_.getLong(2)).sum
+      }
+    }), 300.seconds)
+    assert(totals.sum == 20L, s"per-commit raw rows: $totals")
+    // every committed row is on disk exactly once, across 4 segments
+    val raw = IndexOverlay.read(spark, d, "docs_raw").get
+    assert(raw.count() == 20L && raw.select("doc_id").distinct().count() == 20L,
+      "a lost publish race dropped or duplicated rows")
+    assert(IndexOverlay.segments(d, "docs_raw").size == 4)
+    // and the standing index serves all four batches' content
+    val probe = Seq((9999L,
+      (0 until 20).map(j => s"cb3x4x$j").mkString(" "))).toDF("doc_id", "text")
+    assert(Ingest.exactDedup(spark, d, probe).collect().head.getBoolean(1),
+      "content committed under concurrency not found")
+  }
+
   test("IndexOverlay.append: gap-safe max+1 naming, loud schema drift") {
     import spark.implicits._
     val d = commitDir
