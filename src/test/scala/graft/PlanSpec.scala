@@ -602,4 +602,36 @@ class PlanSpec extends AnyFunSuite {
     assert(hinted(operators.LlmPipeline.maybeBroadcastDtable(dtable, 100L)),
       "a small bounded batch must still get the hint")
   }
+
+  test("overlay-present ingest plans keep the broadcast shape (no sort-merge regression)") {
+    // r17: with commits AND tombstones on disk, the ANN ingest corpus
+    // side becomes (base ∪ overlay) ⟕̸ deleted — all three legs must
+    // still ride broadcast joins: the overlay and tombstone sets are
+    // O(committed)/O(deleted), and a sort-merge fallback here would
+    // re-shuffle the candidate set at every ingest.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-ovplan").toString
+    val rnd = new scala.util.Random(7L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    (0 until 256).map(i => (i.toLong, unit(), i % 10))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    Ingest.commitVectors(s, d, (0 until 5).map(i => (5000L + i, unit()))
+      .toDF("vec_id", "embedding"))
+    Ingest.deleteVectors(s, d, Seq(3L).toDF("vec_id"))
+    val probe = Seq((6000L, unit())).toDF("vec_id", "embedding")
+    val df = Ingest.annIvfc(s, d, probe)
+    df.collect() // finalize AQE on THIS plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"overlay/tombstone leg fell off broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected candidate + rerank + tombstone broadcasts:\n$p")
+  }
 }
