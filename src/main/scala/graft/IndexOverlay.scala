@@ -66,11 +66,17 @@ object IndexOverlay {
   }
 
   /** Published (marker-complete) segment paths of a family, in segment-id
-    * order. Half-written segments (no _SUCCESS) are invisible. */
+    * order. Half-written segments (no _SUCCESS) are invisible, and so is
+    * a concurrent writer's pre-publish temp sibling (`seg_N.tmp.<uuid>`)
+    * — parquet puts _SUCCESS inside the temp BEFORE the atomic rename,
+    * so a bare startsWith("seg_") filter would list (and read, and
+    * id-parse) a directory that is not yet, and may never be, published
+    * (caught by the concurrent-commit race test). */
+  private val SegName = "seg_(\\d+)".r
   private[graft] def segments(d: String, family: String): Seq[String] = {
     val dir = new java.io.File(famDir(d, family))
     Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("seg_") &&
+      .filter(f => f.isDirectory && SegName.pattern.matcher(f.getName).matches() &&
         new java.io.File(f, "_SUCCESS").exists)
       .map(_.getAbsolutePath).sorted.toSeq
   }
