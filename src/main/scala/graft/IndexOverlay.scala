@@ -2,22 +2,49 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
 /** Delta-segment OVERLAY store for the per-corpus index artifacts — the
   * write half of the ingest lifecycle ([[Ingest.commitDocs]] /
-  * [[Ingest.commitVectors]]).
+  * [[Ingest.commitVectors]] / [[Ingest.deleteDocs]] / [[Ingest.compact]]).
   *
   * The base artifacts ([[Tables.memoizedOnDisk]]) are built once from the
   * corpus and then frozen; every `Ingest` probe method computes its batch
   * side fresh at O(batch). The COMMIT step makes an accepted batch part
   * of the standing corpus without the O(N) rebuild: this store holds the
   * delta as parquet SEGMENTS beside the base artifact
-  * (`indexDir(d)/overlay/<family>/seg_NNNNN`), the LSM-tree shape every
-  * large index system uses — appends are O(batch), reads union
-  * base + segments, and a periodic compaction (here: corpus
-  * regeneration, which mints a fresh [[Tables.indexDir]] via the data
-  * token and so starts from an empty overlay) folds segments back into
-  * a fresh base.
+  * (`indexDir(d)/overlay/<family>/seg_NNNNN`) — the LSM-tree shape every
+  * large index system uses. Appends are O(batch), reads union
+  * base + segments, and [[Ingest.compact]] folds a family's segments
+  * into one (applying tombstones) without regenerating the corpus.
+  *
+  * == The manifest chain (r18) ==
+  *
+  * Visibility is governed by MANIFESTS (`overlay/_commits/c_NNNNN[_full]`,
+  * each an atomically-published dir holding `entries.tsv` lines of
+  * `family <TAB> segment <TAB> rows`), not by segment dirs:
+  *
+  *  - An [[append]] publishes a segment dir but the segment stays
+  *    INVISIBLE to every reader until a manifest lists it. A commit
+  *    appends all of its family segments first and publishes ONE additive
+  *    manifest last — so a multi-family commit becomes visible (to probes
+  *    AND to the id-novelty check) all-or-nothing: a crash mid-commit
+  *    leaves only unmanifested orphan dirs, the ids still read as novel,
+  *    and an at-least-once replay re-commits the batch in full (ADVICE
+  *    r17: the raw-first publish order made a mid-commit crash leave ids
+  *    permanently committed with their derived families missing).
+  *  - A `_full` manifest SUPERSEDES the chain: readers take the entries
+  *    of the latest `_full` manifest plus every later additive one.
+  *    [[Ingest.compact]] writes coalesced segments, publishes one `_full`
+  *    manifest, then garbage-collects everything the new chain no longer
+  *    references — the supersede point is a single atomic rename, so
+  *    readers flip from old state to compacted state with no window of
+  *    doubled or missing rows.
+  *  - Manifests are tiny driver-side text files: reading the chain is a
+  *    directory listing plus µs-scale file reads, never a Spark job — and
+  *    it carries per-family ROW COUNTS, so tombstone-set sizes and the
+  *    [[Ingest.overlayReport]] statistics come from the chain, not from
+  *    count jobs.
   *
   * Scope and conventions:
   *  - Committed rows are derived under the FROZEN geometry (hyperplanes,
@@ -25,7 +52,8 @@ import org.apache.spark.sql.functions.col
   *    identical expressions to the per-batch probe plans, so a committed
   *    row is bit-for-bit what the corpus build would have produced for it
   *    had geometry not moved. Geometry drift across many commits is the
-  *    documented trade; q_index_drift measures it and triggers rebuild.
+  *    documented trade; q_index_drift / [[Ingest.driftReport]] measure it
+  *    and trigger rebuild.
   *  - Family names ENCODE the frozen geometry the same way the base
   *    stage keys do (e.g. `lshc_own_8x3c64`, `sem2_assign_nc64`), so a
   *    re-dialed base under the same index dir can never union segments
@@ -38,60 +66,131 @@ import org.apache.spark.sql.functions.col
   *    driver's read-only testdata no commit ever runs, the overlay is
   *    absent, and [[withOverlay]] returns the base plan untouched, so
   *    registered plans and oracle results are unaffected.
-  *  - Single writer per dataset dir (the same convention as the base
-  *    artifact builds). A concurrent append is still SAFE: segment ids
-  *    are max+1 over published segments and each writer verifies it WON
-  *    the publish (a writer-unique token inside the published dir); a
-  *    loser retries on a fresh id instead of silently reporting the
-  *    winner's rows as its own (ADVICE r16).
+  *  - Single committing writer per dataset dir is the supported regime
+  *    (the same convention as the base artifact builds). Concurrent
+  *    commits of DISJOINT-id batches are additionally safe: segment and
+  *    manifest ids are max+1 over published dirs and each writer verifies
+  *    it WON the publish (a writer-unique token inside the published
+  *    dir); a loser retries on a fresh id instead of silently reporting
+  *    the winner's rows as its own (ADVICE r16). Concurrent commits whose
+  *    batches SHARE ids are outside the contract: both can pass the
+  *    novelty check (computed against pre-commit state) and both append,
+  *    leaving that id with one row per winner until [[Ingest.compact]],
+  *    whose all-column dedup collapses identical twins (ADVICE r17 —
+  *    same-id/different-content concurrent commits need external
+  *    coordination, as in any last-writer-wins-free store).
   *  - NOT memoized anywhere: the overlay is the one MUTABLE part of the
-  *    index store by design, so segment listings are re-stat'ed at every
-  *    plan construction (a driver-side directory listing, ~µs; zero cost
-  *    when the overlay dir does not exist).
+  *    index store by design, so the manifest chain is re-read at every
+  *    plan construction (driver-side listing + tiny file reads, ~µs;
+  *    zero cost when the overlay dir does not exist).
   */
 object IndexOverlay {
 
-  private def famDir(d: String, family: String): String =
-    s"${Tables.indexDir(d)}/overlay/$family"
+  /** One manifest line: a family's published segment and its row count
+    * (counted from the published parquet at append time, so the chain
+    * states what is actually on disk). */
+  private[graft] final case class Entry(family: String, seg: String, rows: Long)
 
-  /** Family names with at least one directory on disk (published or
+  private def ovDir(d: String): String = s"${Tables.indexDir(d)}/overlay"
+  private def famDir(d: String, family: String): String = s"${ovDir(d)}/$family"
+  private def commitsDir(d: String): String = s"${ovDir(d)}/_commits"
+
+  private def ls(path: String): Seq[java.io.File] =
+    Option(new java.io.File(path).listFiles)
+      .getOrElse(Array.empty[java.io.File]).toSeq
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
+  /** Family names with at least one directory on disk (manifested or
     * not) — the observability surface ([[Ingest.overlayReport]]): a
     * re-dialed base STRANDS old-geometry families (they stop being
     * read — correct, but silent), and this listing is how the report
     * makes them visible. */
-  private[graft] def families(d: String): Seq[String] = {
-    val dir = new java.io.File(s"${Tables.indexDir(d)}/overlay")
-    Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
-      .filter(_.isDirectory).map(_.getName).sorted.toSeq
-  }
+  private[graft] def families(d: String): Seq[String] =
+    ls(ovDir(d)).filter(f => f.isDirectory && f.getName != "_commits")
+      .map(_.getName).sorted
 
-  /** Published (marker-complete) segment paths of a family, in segment-id
-    * order. Half-written segments (no _SUCCESS) are invisible, and so is
-    * a concurrent writer's pre-publish temp sibling (`seg_N.tmp.<uuid>`)
+  // ---- segment dirs on disk (manifest-blind: allocation + GC view) ----
+
+  /** Published (marker-complete) segment DIRS of a family regardless of
+    * manifest state — the id-allocation and orphan-GC view, never the
+    * read view. Half-written segments (no _SUCCESS) are invisible, and so
+    * is a concurrent writer's pre-publish temp sibling (`seg_N.tmp.<uuid>`)
     * — parquet puts _SUCCESS inside the temp BEFORE the atomic rename,
-    * so a bare startsWith("seg_") filter would list (and read, and
-    * id-parse) a directory that is not yet, and may never be, published
-    * (caught by the concurrent-commit race test). */
+    * so a bare startsWith("seg_") filter would list a directory that is
+    * not yet, and may never be, published (caught by the concurrent-
+    * commit race test, r17). */
   private val SegName = "seg_(\\d+)".r
-  private[graft] def segments(d: String, family: String): Seq[String] = {
-    val dir = new java.io.File(famDir(d, family))
-    Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+  private[graft] def segDirsOnDisk(d: String, family: String): Seq[java.io.File] =
+    ls(famDir(d, family))
       .filter(f => f.isDirectory && SegName.pattern.matcher(f.getName).matches() &&
         new java.io.File(f, "_SUCCESS").exists)
-      .map(_.getAbsolutePath).sorted.toSeq
+      .sortBy(_.getName)
+
+  // ---- the manifest chain ----
+
+  private val ManName = "c_(\\d+)(_full)?".r
+
+  /** Published manifest dirs as (id, isFull, dir), id-ascending. A
+    * manifest dir is complete by construction (atomic rename publishes
+    * it whole); pre-publish temp siblings (`c_N.tmp.<uuid>`) and the
+    * `.lock` files fail the exact-name match. */
+  private def manifestDirs(d: String): Seq[(Int, Boolean, java.io.File)] =
+    ls(commitsDir(d)).flatMap { f =>
+      f.getName match {
+        case ManName(id, full) if f.isDirectory => Some((id.toInt, full != null, f))
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+  private def parseEntries(dir: java.io.File): Seq[Entry] = {
+    val tsv = new java.io.File(dir, "entries.tsv")
+    if (!tsv.exists) Seq.empty
+    else {
+      val src = scala.io.Source.fromFile(tsv, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map { line =>
+        val Array(fam, seg, rows) = line.split('\t')
+        Entry(fam, seg, rows.toLong)
+      }.toList
+      finally src.close()
+    }
   }
 
+  /** The chain's current state: entries of the latest `_full` manifest
+    * (the last compaction's supersede point) plus every later additive
+    * manifest, in manifest order. This IS the read view — a published
+    * segment outside this list is an orphan (crashed commit / not yet
+    * GC'd compaction input) and must never be read. */
+  private[graft] def effectiveEntries(d: String): Seq[Entry] = {
+    val mans = manifestDirs(d)
+    val fromIdx = mans.lastIndexWhere(_._2)
+    (if (fromIdx < 0) mans else mans.drop(fromIdx)).flatMap(m => parseEntries(m._3))
+  }
+
+  /** Readable (manifest-listed) segment paths of a family, chain order. */
+  private[graft] def segments(d: String, family: String): Seq[String] =
+    effectiveEntries(d).filter(_.family == family)
+      .map(e => s"${famDir(d, family)}/${e.seg}")
+
+  /** Committed row count of a family — DRIVER-SIDE, from the manifest
+    * chain (appends count their published parquet). The tombstone
+    * broadcast gate and [[Ingest.overlayReport]] read this instead of
+    * running count jobs. */
+  private[graft] def effectiveRows(d: String, family: String): Long =
+    effectiveEntries(d).filter(_.family == family).map(_.rows).sum
+
   /** All committed rows of a family, or None when nothing was ever
-    * committed (the every-registered-query fast path). mergeSchema: a
-    * family's segments are meant to share one schema ([[append]] rejects
-    * drift), but segments written by an OLDER code version predate that
-    * check — merging surfaces their full column set instead of silently
-    * projecting every segment through whichever file seeded inference
-    * (ADVICE r16). */
+    * committed (the every-registered-query fast path). No mergeSchema:
+    * [[append]] rejects name OR type drift against the family's standing
+    * schema, so a plain multi-path read is safe — and stays a footer
+    * read on one file's schema instead of a distributed footer-merge job
+    * at every plan construction (ADVICE r17). */
   private[graft] def read(s: SparkSession, d: String, family: String): Option[DataFrame] = {
     val segs = segments(d, family)
-    if (segs.isEmpty) None
-    else Some(s.read.option("mergeSchema", "true").parquet(segs: _*))
+    if (segs.isEmpty) None else Some(s.read.parquet(segs: _*))
   }
 
   /** Base artifact ∪ committed overlay rows, aligned to the base's
@@ -105,34 +204,52 @@ object IndexOverlay {
       case None    => base
     }
 
+  /** Nullability-insensitive, order-insensitive schema normal form for
+    * the append drift gate: a type change under a stable column name
+    * (e.g. int→long ids) must be rejected as loudly as a renamed column
+    * (ADVICE r17 — the name-set gate let type drift through to surface
+    * later as read-time coercion). */
+  private def normalize(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.sortBy(_.name).map(f =>
+      StructField(f.name, normalize(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(normalize(a.elementType), containsNull = true)
+    case m: MapType => MapType(normalize(m.keyType), normalize(m.valueType),
+      valueContainsNull = true)
+    case other => other
+  }
+
   /** Append one published segment of `rows` to a family; returns
-    * (segment path, rows written — counted from the published parquet,
-    * so the report states what is actually on disk).
+    * (segment path, rows written — counted from the published parquet).
+    * The segment is INVISIBLE to readers until a manifest lists it —
+    * pass the returned entry to [[publishManifest]] (or use
+    * [[appendCommitted]] for a single-family unit).
     *
     * Naming + race contract (ADVICE r16): the target id is
-    * max(published ids)+1 — robust to gaps (a compacted/removed
-    * segment never causes a name reuse) — and the writer proves it WON
-    * the publish by finding its unique token file inside the published
-    * dir. Losing a race (or landing on a foreign pre-published name)
-    * retries on a fresh id, so a commit's rows are never silently
-    * dropped while its report claims success. */
+    * max(published dirs)+1 — over ALL published dirs, manifested or not,
+    * so an orphan can never cause a name collision, and gaps (GC'd
+    * segments) never cause reuse — and the writer proves it WON the
+    * publish by finding its unique token file inside the published dir.
+    * Losing a race (or landing on a foreign pre-published name) retries
+    * on a fresh id, so a commit's rows are never silently dropped while
+    * its report claims success. */
   private[graft] def append(s: SparkSession, d: String, family: String,
       rows: DataFrame): (String, Long) = {
     // schema-drift gate: every segment of a family must carry the same
-    // columns, or a later mergeSchema read would null the gaps silently
+    // column names AND types (modulo nullability), or a later multi-path
+    // read would coerce or null silently
     segments(d, family).headOption.foreach { seg0 =>
-      val have = s.read.parquet(seg0).columns.toSet
-      val got = rows.columns.toSet
+      val have = normalize(s.read.parquet(seg0).schema)
+      val got = normalize(rows.schema)
       require(got == have,
-        s"overlay family '$family': append schema ${got.toSeq.sorted.mkString(",")} " +
-          s"drifts from the family's segments (${have.toSeq.sorted.mkString(",")}) — " +
+        s"overlay family '$family': append schema ${got.simpleString} " +
+          s"drifts from the family's segments (${have.simpleString}) — " +
           "bump the family name (geometry key) instead of mixing schemas")
     }
     val token = s"_writer.${java.util.UUID.randomUUID()}"
     var attempts = 0
     while (attempts < 64) {
-      val ids = segments(d, family)
-        .map(p => new java.io.File(p).getName.stripPrefix("seg_").toInt)
+      val ids = segDirsOnDisk(d, family)
+        .map(f => f.getName.stripPrefix("seg_").toInt)
       val path = f"${famDir(d, family)}/seg_${ids.foldLeft(-1)(math.max) + 1}%05d"
       sources.Sinks.publishAtomic(path) { tmp =>
         rows.write.parquet(tmp)
@@ -147,5 +264,83 @@ object IndexOverlay {
     }
     throw new IllegalStateException(
       s"overlay append to '$family' lost ${attempts} consecutive publish races")
+  }
+
+  /** Remove an UNMANIFESTED published segment this writer owns (its
+    * token-verified append turned out empty, or the commit aborted
+    * before its manifest) — invisible to every reader, so removal is
+    * safe at any time. */
+  private[graft] def discardSegment(path: String): Unit = {
+    deleteRec(new java.io.File(path))
+    new java.io.File(s"$path.lock").delete(); ()
+  }
+
+  /** Publish one manifest making `entries` (family, segment path, rows)
+    * visible atomically; `full = true` supersedes the whole chain (the
+    * compaction flip). Same max+1/token/retry contract as [[append]].
+    * Returns the manifest path. */
+  private[graft] def publishManifest(s: SparkSession, d: String,
+      entries: Seq[(String, String, Long)], full: Boolean): String = {
+    val lines = entries.map { case (fam, segPath, rows) =>
+      s"$fam\t${new java.io.File(segPath).getName}\t$rows"
+    }
+    val token = s"_writer.${java.util.UUID.randomUUID()}"
+    var attempts = 0
+    while (attempts < 64) {
+      val ids = manifestDirs(d).map(_._1)
+      val path = f"${commitsDir(d)}/c_${ids.foldLeft(-1)(math.max) + 1}%05d" +
+        (if (full) "_full" else "")
+      sources.Sinks.publishAtomic(path) { tmp =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "entries.tsv"),
+          lines.mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, token))
+      }
+      if (new java.io.File(path, token).exists) return path
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"overlay manifest publish lost ${attempts} consecutive races")
+  }
+
+  /** [[append]] + a 1-entry manifest — the single-family commit unit
+    * (tombstone appends, stranded-geometry test fixtures). An empty
+    * frame appends nothing: the zero-row segment is discarded and no
+    * manifest is published, so the write IS the emptiness check (the
+    * novelty plan executes exactly once — VERDICT r17). */
+  private[graft] def appendCommitted(s: SparkSession, d: String, family: String,
+      rows: DataFrame): (String, Long) = {
+    val (p, n) = append(s, d, family, rows)
+    if (n == 0L) { discardSegment(p); (p, 0L) }
+    else { publishManifest(s, d, Seq((family, p, n)), full = false); (p, n) }
+  }
+
+  /** Garbage-collect everything the chain no longer references — called
+    * by [[Ingest.compact]] right after its `_full` manifest publishes.
+    * Removes: manifests before the supersede point, segment dirs (in any
+    * family) the effective chain does not list (compacted-away inputs
+    * and crashed commits' orphans), now-empty family dirs, and stray
+    * publish-lock files. EXCLUSIVE-WRITER only: a reader that planned
+    * against the old chain before the flip must have finished executing
+    * (on a shared store, retain old segments for a grace period instead). */
+  private[graft] def gc(d: String): Unit = {
+    val mans = manifestDirs(d)
+    val fromIdx = mans.lastIndexWhere(_._2)
+    if (fromIdx > 0) mans.take(fromIdx).foreach { m =>
+      deleteRec(m._3)
+      new java.io.File(s"${m._3.getPath}.lock").delete()
+    }
+    val live: Map[String, Set[String]] = effectiveEntries(d)
+      .groupBy(_.family).map { case (f, es) => f -> es.map(_.seg).toSet }
+    families(d).foreach { fam =>
+      val keep = live.getOrElse(fam, Set.empty)
+      ls(famDir(d, fam)).foreach { f =>
+        if (f.isDirectory && !keep.contains(f.getName)) deleteRec(f)
+        else if (f.isFile && f.getName.endsWith(".lock") &&
+          !keep.contains(f.getName.stripSuffix(".lock"))) { f.delete(); () }
+      }
+      if (ls(famDir(d, fam)).isEmpty) { new java.io.File(famDir(d, fam)).delete(); () }
+    }
   }
 }

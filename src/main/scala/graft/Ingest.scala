@@ -109,11 +109,15 @@ object Ingest {
     * [[IndexOverlay]] segments, raw rows plus every doc index family
     * under FROZEN geometry, and every later ingest/probe call on `d`
     * sees them corpus-side without an O(N) rebuild. EAGER — this is an
-    * action with side effects, not a query builder. Returns the
-    * (family, segment, n_rows) report of what landed on disk; empty
-    * when nothing was novel. Single committing writer per dataset dir
-    * is the supported regime (a lost publish race retries, never
-    * silently drops rows). */
+    * action with side effects, not a query builder. CRASH-ATOMIC: the
+    * family segments become visible through one manifest publish, so a
+    * crashed partial commit is invisible and a replay re-commits it in
+    * full. Returns the (family, segment, n_rows) report of what landed
+    * on disk; empty when nothing was novel. Single committing writer
+    * per dataset dir is the supported regime; concurrent commits are
+    * additionally safe for DISJOINT-id batches (a lost publish race
+    * retries, never silently drops rows) — batches sharing ids need
+    * external coordination ([[IndexOverlay]] doc). */
   def commitDocs(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     operators.LlmPipeline.ingestCommitDocs(s, d, batch)
 
@@ -126,12 +130,16 @@ object Ingest {
   /** DELETE (tombstone) documents from the standing index: the ids —
     * stored corpus rows and committed overlay rows alike — stop being
     * corpus-side for every later ingest/probe call, without touching
-    * the source data. Retire-until-rebuild semantics: a deleted id
-    * cannot be re-committed (re-add content under a fresh id); the next
-    * corpus regeneration compacts the tombstones away. The one
-    * non-id-keyed artifact, the hot-shingle cap, is NOT retracted (a
-    * cap is conservative by nature). EAGER, idempotent; takes any
-    * 1-column id frame; returns the commit report shape. */
+    * the source data. Retire-until-fold semantics: a deleted id cannot
+    * be re-committed while its tombstone stands; [[compact]] physically
+    * drops deleted OVERLAY rows and folds those ids' tombstones away
+    * (so delete → compact → commit is the supported replace path for
+    * committed content), while corpus-stored ids stay retired until the
+    * next corpus regeneration. The one non-id-keyed artifact, the
+    * hot-shingle cap, is NOT retracted (a cap is conservative by
+    * nature). EAGER, idempotent; takes a 1-column id frame (or any
+    * frame carrying `doc_id` — anything else fails loudly); returns the
+    * commit report shape. */
   def deleteDocs(s: SparkSession, d: String, ids: DataFrame): DataFrame =
     operators.LlmPipeline.ingestDeleteIds(s, d, ids, "doc_id",
       operators.LlmPipeline.famDocsDeleted)
@@ -141,14 +149,53 @@ object Ingest {
     operators.LlmPipeline.ingestDeleteIds(s, d, ids, "vec_id",
       operators.LlmPipeline.famVecsDeleted)
 
+  /** COMPACT the overlay: fold every committed family's segments into
+    * one (applying tombstones physically — deleted overlay rows leave
+    * disk, and their now-redundant tombstones fold away), flip the
+    * manifest chain atomically, and garbage-collect what the chain no
+    * longer references (including crashed commits' orphan segments).
+    * Probe results are INVARIANT across a compact (rows are moved,
+    * never re-derived); what changes is cost — per-probe plan
+    * construction and append attempts are O(segments), so compaction is
+    * the dial that bounds them ([[overlayReport]]'s n_segments /
+    * n_rows-vs-corpus_rows columns say when; DESIGN.md §0.-6 carries the
+    * measured probe-vs-segment-count curve and budget). EAGER;
+    * O(overlay + tombstones); EXCLUSIVE writer with no in-flight
+    * readers. Returns (family, n_segments_in, n_rows_in, segment,
+    * n_rows) per effective family. */
+  def compact(s: SparkSession, d: String): DataFrame =
+    operators.LlmPipeline.ingestCompact(s, d)
+
+  /** [[compact]] iff any family's effective segment count exceeds
+    * `maxSegments` — the auto-coalesce convenience a commit-driven
+    * pipeline calls after each batch. The check is driver-side
+    * (manifest chain, no jobs); returns None when under budget. */
+  def compactIfNeeded(s: SparkSession, d: String,
+      maxSegments: Int): Option[DataFrame] = {
+    val over = IndexOverlay.effectiveEntries(d)
+      .groupBy(_.family).exists(_._2.size > maxSegments)
+    if (over) Some(compact(s, d)) else None
+  }
+
   /** Overlay observability: one row per committed family on disk —
-    * (family, live, n_segments, n_rows, corpus_rows). `live` = false
-    * marks a family STRANDED by a geometry re-dial (its segments are
-    * correctly no longer read — this report is how that stops being
-    * silent); `n_rows / corpus_rows` on the raw families is the
-    * compaction dial (fold the overlay into a fresh base when committed
-    * rows become a meaningful corpus fraction). EAGER, like the
-    * commits. */
+    * (family, live, n_segments, n_rows, n_orphan_segments, corpus_rows).
+    * `live` = false marks a family STRANDED by a geometry re-dial (its
+    * segments are correctly no longer read — this report is how that
+    * stops being silent); `n_rows / corpus_rows` on the raw families
+    * and `n_segments` anywhere are the two [[compact]] dials;
+    * `n_orphan_segments` counts crashed commits' unmanifested debris
+    * (invisible to reads, reclaimed by compact). EAGER like the commits,
+    * but ZERO Spark jobs on a warm store: segment/row statistics come
+    * from the manifest chain, corpus sizes from the persisted 1-row
+    * count artifacts. */
   def overlayReport(s: SparkSession, d: String): DataFrame =
     operators.LlmPipeline.ingestOverlayReport(s, d)
+
+  /** Lifecycle-aware drift: q_index_drift's frozen-centroid residual
+    * over base ∪ COMMITTED − deleted vectors — the rebuild trigger that
+    * actually sees the new-distribution data commits bring in (the
+    * registered query is base-only by oracle-gate design). One row per
+    * trained-k cell: (cell, n_members, drift, stale). */
+  def driftReport(s: SparkSession, d: String): DataFrame =
+    operators.LlmPipeline.ingestDriftReport(s, d)
 }

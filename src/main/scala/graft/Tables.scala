@@ -190,7 +190,9 @@ object Tables {
   /** Artifact-layout version: bump when a persisted index's schema or
     * defining constants change so stale artifacts from an older code
     * version can never be read back. */
-  private val ARTIFACT_VERSION = "v1"
+  private val ARTIFACT_VERSION = "v2" // v2 (r18): overlay reads are gated
+  // by the manifest chain — a v1 store's bare segments would turn silently
+  // invisible, so the layout change mints fresh index dirs instead
 
   /** Per-dataset content token: md5 over the sorted (name, length, mtime)
     * of the dataset's parquet files. Folded into every derived-store path

@@ -409,6 +409,17 @@ object LlmPipeline extends QueryPack {
       }.head().getLong(0)
     }
 
+  /** Persisted corpus document count — [[embCount]]'s shape for the doc
+    * table, so [[ingestOverlayReport]]'s compaction dial reads a 1-row
+    * artifact instead of running a corpus-table count per call (VERDICT
+    * r17). */
+  private[graft] def docCount(s: SparkSession, d: String): Long =
+    memoizedScalar(s, d, "doc_count") {
+      Tables.memoizedOnDisk(s, d, "doc_count") {
+        t(s, d, "documents").agg(count(lit(1)).as("n"))
+      }.head().getLong(0)
+    }
+
   /** Constant-occupancy bit count: smallest b ≥ 1 with 2^b ≥ ⌈N/c⌉.
     * Integer-exact (no floating log2 — log2(2^k) can land at k±ulp and
     * flip the ceil between engines); the oracle mirrors it as
@@ -1463,20 +1474,41 @@ object LlmPipeline extends QueryPack {
     * queries read the bases directly — on a never-committed dataset the
     * two are the same plan (withOverlay returns `base` untouched), so
     * the oracle gate and the zero-job plan-construction contract are
-    * untouched: the only added cost is a driver-side directory stat. */
+    * untouched: the overlay-ABSENT cost is one driver-side directory
+    * stat. With commits on disk, plan construction adds the driver-side
+    * manifest-chain read (µs-scale file reads) and a single-file footer
+    * schema inference — never a distributed footer-merge job (ADVICE
+    * r17: the previous mergeSchema read launched one per plan; schema
+    * agreement is now enforced at append instead). */
   private def ov(s: SparkSession, d: String, family: String, base: DataFrame): DataFrame =
     IndexOverlay.withOverlay(s, d, family, base)
+
+  /** Hard ceiling for hinting the tombstone set onto a broadcast: ids are
+    * single longs (~tens of bytes each as a BHJ relation), so 2M rows is
+    * well inside any executor's broadcast budget while covering every
+    * plausible pre-compaction tombstone set — past it, deletes should be
+    * compacted away, not broadcast. */
+  private val DELETED_BROADCAST_MAX = 2L * 1000 * 1000
 
   /** Tombstone filter: anti-join a corpus-side frame against a deletion
     * family's id set ([[graft.Ingest.deleteDocs]] — retire-until-rebuild
     * semantics). Identity when nothing was ever deleted, so existing
-    * plans are untouched; the id set is O(deleted) and broadcast-gated. */
+    * plans are untouched. The broadcast decision comes from the EXACT
+    * deleted count in the manifest chain (delete appends are pre-deduped,
+    * so the chain's row sum is the distinct-id count) — Catalyst's
+    * estimate through a distinct-over-parquet can be inflated/unknown,
+    * and a declined broadcast here would silently degrade EVERY
+    * corpus-side probe on a dataset with deletes to a shuffled anti-join
+    * (VERDICT r17). */
   private[graft] def minusDeleted(s: SparkSession, d: String, base: DataFrame,
       idCol: String, delFam: String): DataFrame =
     IndexOverlay.read(s, d, delFam) match {
-      case Some(del) => base.join(
-        maybeBroadcast(del.select(col(del.columns.head).as(idCol)).distinct()),
-        Seq(idCol), "left_anti")
+      case Some(del) =>
+        val sel = del.select(col(del.columns.head).as(idCol)).distinct()
+        val n = IndexOverlay.effectiveRows(d, delFam)
+        base.join(
+          if (n <= DELETED_BROADCAST_MAX) broadcast(sel) else maybeBroadcast(sel),
+          Seq(idCol), "left_anti")
       case None => base
     }
 
@@ -1853,18 +1885,26 @@ object LlmPipeline extends QueryPack {
     * frozen geometry ([[commitDocFamilies]]).
     *
     * EAGER — a commit is an ACTION with side effects, not a query
-    * builder; it runs Spark jobs (the novelty check and one write per
-    * family). Id-novelty is judged against corpus ids ∪ previously
-    * committed ids, so re-committing any batch is a no-op (idempotent);
-    * batch-internal id duplicates collapse deterministically to the
-    * min-text row (an id names ONE row in the standing index). Returns
-    * the (family, segment, n_rows) report of what is actually on disk —
+    * builder; it runs Spark jobs (one write per family — the raw write
+    * IS the novelty check's execution, VERDICT r17: no separate isEmpty
+    * pre-job re-running the anti-join). Id-novelty is judged against
+    * corpus ids ∪ previously committed ids, so re-committing any batch
+    * is a no-op (idempotent); batch-internal id duplicates collapse
+    * deterministically to the min-text row (an id names ONE row in the
+    * standing index). CRASH-ATOMIC across families (ADVICE r17): every
+    * family segment is appended invisibly first and ONE manifest publish
+    * flips them all visible — a crash mid-commit leaves only orphan dirs
+    * (GC'd by [[ingestCompact]]), the ids still read as novel, and an
+    * at-least-once replay re-commits the batch in full. Returns the
+    * (family, segment, n_rows) report of what is actually on disk —
     * empty when nothing was novel. */
   private[graft] def ingestCommitDocs(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     // novelty base = corpus ∪ committed ∪ DELETED: a tombstoned id is
-    // retired until the next corpus regeneration (re-committing it would
-    // be invisible behind its own tombstone — reject early instead)
+    // retired until the next corpus regeneration or compaction
+    // (re-committing it would be invisible behind its own tombstone —
+    // reject early instead; after a compaction folds an overlay-only
+    // tombstone away, the id is genuinely novel again)
     val standing = (t(s, d, "documents").select("doc_id") +:
       (IndexOverlay.read(s, d, famDocsRaw) ++
         IndexOverlay.read(s, d, famDocsDeleted))
@@ -1874,15 +1914,19 @@ object LlmPipeline extends QueryPack {
     val novel = batch.select(col("doc_id"), col("text"))
       .join(standing, Seq("doc_id"), "left_anti")
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val (rawPath, nRaw) = IndexOverlay.append(s, d, famDocsRaw, novel)
     commitReport(s,
-      if (novel.isEmpty) Seq.empty
+      if (nRaw == 0L) { IndexOverlay.discardSegment(rawPath); Seq.empty }
       else {
-        val (rawPath, nRaw) = IndexOverlay.append(s, d, famDocsRaw, novel)
         val pub = s.read.parquet(rawPath)
-        (famDocsRaw, rawPath, nRaw) +: commitDocFamilies(s, d, pub).map {
-          case (fam, df) =>
-            val (p, n) = IndexOverlay.append(s, d, fam, df); (fam, p, n)
-        }
+        val segs = (famDocsRaw, rawPath, nRaw) +:
+          commitDocFamilies(s, d, pub).flatMap { case (fam, df) =>
+            val (p, n) = IndexOverlay.append(s, d, fam, df)
+            if (n == 0L) { IndexOverlay.discardSegment(p); None }
+            else Some((fam, p, n))
+          }
+        IndexOverlay.publishManifest(s, d, segs, full = false)
+        segs
       })
   }
 
@@ -1902,15 +1946,19 @@ object LlmPipeline extends QueryPack {
     val novel = batch.select(col("vec_id"), col("embedding"))
       .join(standing, Seq("vec_id"), "left_anti")
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val (rawPath, nRaw) = IndexOverlay.append(s, d, famVecsRaw, novel)
     commitReport(s,
-      if (novel.isEmpty) Seq.empty
+      if (nRaw == 0L) { IndexOverlay.discardSegment(rawPath); Seq.empty }
       else {
-        val (rawPath, nRaw) = IndexOverlay.append(s, d, famVecsRaw, novel)
         val pub = s.read.parquet(rawPath)
-        (famVecsRaw, rawPath, nRaw) +: commitVecFamilies(s, d, pub).map {
-          case (fam, df) =>
-            val (p, n) = IndexOverlay.append(s, d, fam, df); (fam, p, n)
-        }
+        val segs = (famVecsRaw, rawPath, nRaw) +:
+          commitVecFamilies(s, d, pub).flatMap { case (fam, df) =>
+            val (p, n) = IndexOverlay.append(s, d, fam, df)
+            if (n == 0L) { IndexOverlay.discardSegment(p); None }
+            else Some((fam, p, n))
+          }
+        IndexOverlay.publishManifest(s, d, segs, full = false)
+        segs
       })
   }
 
@@ -1922,31 +1970,43 @@ object LlmPipeline extends QueryPack {
 
   /** DELETE (tombstone) step of the ingest lifecycle
     * ([[graft.Ingest.deleteDocs]]): retire ids from the standing index
-    * until the next corpus regeneration. Appends the not-yet-deleted
-    * ids to an append-only tombstone family; every corpus-side reader
-    * ([[ovDoc]]/[[ovVec]]) anti-joins it, which retires STORED corpus
-    * rows and committed overlay rows alike without touching source
-    * data. Monotonic by design — a deleted id cannot be re-committed
-    * (the novelty base includes tombstones), so no segment-ordering /
-    * versioning machinery is needed; re-adding content happens under a
-    * fresh id, and compaction (corpus regeneration) clears the set.
-    * The one non-id-keyed family, the hot-shingle cap, is NOT
-    * retracted by deletes (a cap can only be conservative; the next
-    * rebuild re-derives it). EAGER, idempotent; returns the commit
-    * report shape. */
+    * until the next corpus regeneration or [[ingestCompact]]. Appends
+    * the not-yet-deleted ids to an append-only tombstone family; every
+    * corpus-side reader ([[ovDoc]]/[[ovVec]]) anti-joins it, which
+    * retires STORED corpus rows and committed overlay rows alike
+    * without touching source data. Monotonic between compactions — a
+    * deleted id cannot be re-committed (the novelty base includes
+    * tombstones), so no segment-ordering / versioning machinery is
+    * needed; compaction physically drops deleted OVERLAY rows and folds
+    * those ids' tombstones away (delete → compact → commit is the
+    * supported replace path for committed rows), while corpus-stored
+    * ids stay retired until regeneration. The one non-id-keyed family,
+    * the hot-shingle cap, is NOT retracted by deletes (a cap can only
+    * be conservative; the next rebuild re-derives it). EAGER,
+    * idempotent; returns the commit report shape. */
   private[graft] def ingestDeleteIds(s: SparkSession, d: String,
       ids: DataFrame, idCol: String, delFam: String): DataFrame = {
-    val base = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    // take the expected id column when present; otherwise demand an
+    // unambiguous 1-column frame — silently tombstoning whatever column
+    // happened to be first would retire WRONG ids until the next
+    // regeneration (ADVICE r17)
+    val idsSel =
+      if (ids.columns.contains(idCol)) ids.select(col(idCol))
+      else {
+        require(ids.columns.length == 1,
+          s"deleteIds: pass a 1-column id frame or one carrying '$idCol'; " +
+            s"got (${ids.columns.mkString(", ")})")
+        ids.select(col(ids.columns.head).as(idCol))
+      }
+    val base = idsSel.distinct()
     val fresh = IndexOverlay.read(s, d, delFam) match {
       case Some(del) => base.join(del.select(col(idCol)), Seq(idCol), "left_anti")
       case None => base
     }
-    commitReport(s,
-      if (fresh.isEmpty) Seq.empty
-      else {
-        val (p, n) = IndexOverlay.append(s, d, delFam, fresh)
-        Seq((delFam, p, n))
-      })
+    // the write is the emptiness check (one execution of the dedup plan);
+    // appendCommitted publishes the 1-entry manifest only for novel ids
+    val (p, n) = IndexOverlay.appendCommitted(s, d, delFam, fresh)
+    commitReport(s, if (n == 0L) Seq.empty else Seq((delFam, p, n)))
   }
 
   /** Overlay observability ([[graft.Ingest.overlayReport]]) — the
@@ -1958,8 +2018,15 @@ object LlmPipeline extends QueryPack {
     * from later probes would look like an ingest bug), and for the raw
     * families the standing corpus size — overlay/corpus row ratio is
     * THE compaction dial (when committed rows are a meaningful fraction
-    * of the corpus, regenerate and fold). EAGER like the commits
-    * (parquet footer-count jobs per family; never a corpus scan). */
+    * of the corpus, [[ingestCompact]] or regenerate), and n_segments is
+    * the OTHER dial (per-probe plan cost grows with the chain; fold past
+    * the measured segment budget — DESIGN.md §0.-6). `n_orphan_segments`
+    * counts published-but-unmanifested dirs (crashed commits /
+    * un-GC'd compaction inputs — invisible to reads, reclaimed by the
+    * next compact). Segment/row statistics come from the manifest
+    * chain and corpus sizes from the persisted 1-row count artifacts,
+    * so on a warm store this runs ZERO Spark jobs (VERDICT r17 — the
+    * per-family count jobs and the per-call corpus count are gone). */
   private[graft] def ingestOverlayReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hasDocs = new java.io.File(s"$d/documents.parquet").exists
@@ -1972,18 +2039,178 @@ object LlmPipeline extends QueryPack {
         famLshcOwn(lshcNbits(embCount(s, d))),
         famLshMulti, famSemAssign, famSemAssign2, famIvfkAssign2,
         famPqCodesWide) else Set.empty[String])
+    val eff = IndexOverlay.effectiveEntries(d).groupBy(_.family)
     val rows = IndexOverlay.families(d).map { fam =>
-      val segs = IndexOverlay.segments(d, fam)
-      val n = if (segs.isEmpty) 0L
-        else s.read.option("mergeSchema", "true").parquet(segs: _*).count()
+      val es = eff.getOrElse(fam, Seq.empty)
+      val manifested = es.map(_.seg).toSet
+      val orphans = IndexOverlay.segDirsOnDisk(d, fam)
+        .count(f => !manifested.contains(f.getName))
       val corpusRows: Option[Long] =
-        if (fam == famDocsRaw && hasDocs) Some(t(s, d, "documents").count())
+        if (fam == famDocsRaw && hasDocs) Some(docCount(s, d))
         else if (fam == famVecsRaw && hasVecs) Some(embCount(s, d))
         else None
-      (fam, current.contains(fam), segs.size, n, corpusRows)
+      (fam, current.contains(fam), es.size, es.map(_.rows).sum, orphans, corpusRows)
     }
-    rows.toDF("family", "live", "n_segments", "n_rows", "corpus_rows")
+    rows.toDF("family", "live", "n_segments", "n_rows",
+        "n_orphan_segments", "corpus_rows")
       .orderBy("family")
+  }
+
+  /** COMPACT the overlay ([[graft.Ingest.compact]]) — the fold-back
+    * quarter of the lifecycle (VERDICT r17): bound per-probe cost (every
+    * `ov()` read unions every manifested segment, every append attempt
+    * lists them) without the O(corpus) regeneration. Per family, all
+    * effective segments coalesce into ONE — with tombstoned ids
+    * physically dropped from the id-keyed families — and the tombstone
+    * sets shrink to corpus-stored ids only (an id that lived only in the
+    * overlay is now gone from disk, so its tombstone folds away too —
+    * this is what makes delete → compact → commit the supported replace
+    * path; corpus-stored ids stay retired until regeneration, since
+    * their source rows are not ours to rewrite). Stranded-geometry
+    * families are carried through, not dropped: a dial change back to
+    * old geometry would make their name live again.
+    *
+    * PROBE-INVARIANT by construction: rows are moved, never re-derived —
+    * re-deriving (e.g. minhash signatures from raw docs) could land in a
+    * different capped-shingle universe than the per-batch commits used,
+    * silently changing probe results. The one row-level transform is an
+    * all-column dedup, identity on a well-formed overlay (each commit's
+    * rows are id-novel) and the healer for crash/same-id-race duplicates
+    * (exact twins collapse).
+    *
+    * Crash-safe via the manifest chain: new segments publish invisibly,
+    * ONE `_full` manifest flips the chain atomically (readers never see
+    * doubled or missing rows), and only then is the old state
+    * garbage-collected — a crash before the flip leaves orphans for the
+    * next compact; after it, only un-GC'd garbage. EXCLUSIVE writer, no
+    * in-flight readers (the GC deletes dirs a long-running old-chain
+    * plan could still be scanning — [[graft.IndexOverlay.gc]]).
+    *
+    * EAGER; O(overlay rows + tombstones), never O(corpus) — except the
+    * tombstone fold's semi-join against the corpus ID COLUMN (a
+    * single-column scan, and only when tombstones exist). Returns one
+    * row per effective family: (family, n_segments_in, n_rows_in,
+    * segment, n_rows) — `segment` null when the family folded to
+    * nothing. */
+  private[graft] def ingestCompact(s: SparkSession, d: String): DataFrame = {
+    val eff = IndexOverlay.effectiveEntries(d).groupBy(_.family)
+    if (eff.isEmpty) {
+      // nothing committed: just reclaim crashed-commit orphans
+      IndexOverlay.gc(d)
+      return commitCompactReport(s, Seq.empty)
+    }
+    val delDoc = IndexOverlay.read(s, d, famDocsDeleted)
+      .map(df => (df.select(col("doc_id")).distinct(), famDocsDeleted))
+    val delVec = IndexOverlay.read(s, d, famVecsDeleted)
+      .map(df => (df.select(col("vec_id")).distinct(), famVecsDeleted))
+    val tombFams = Set(famDocsDeleted, famVecsDeleted)
+    def minus(df: DataFrame, del: Option[(DataFrame, String)], idCol: String): DataFrame =
+      del match {
+        case Some((ids, delFam)) =>
+          val sel = ids.select(col(ids.columns.head).as(idCol))
+          df.join(
+            if (IndexOverlay.effectiveRows(d, delFam) <= DELETED_BROADCAST_MAX)
+              broadcast(sel)
+            else maybeBroadcast(sel),
+            Seq(idCol), "left_anti")
+        case None => df
+      }
+    val dataOut = eff.keys.filterNot(tombFams).toSeq.sorted.map { fam =>
+      val merged = IndexOverlay.read(s, d, fam).get.distinct()
+      val cols = merged.columns.toSet
+      val folded =
+        if (cols("doc_id")) minus(merged, delDoc, "doc_id")
+        else if (cols("vec_id")) minus(merged, delVec, "vec_id")
+        else if (cols("nid")) minus(merged, delVec, "nid")
+        else merged // non-id-keyed (hot-shingle cap): a set, dedup only
+      (fam, IndexOverlay.append(s, d, fam, folded))
+    }
+    // tombstone fold LAST (their new content must reflect what the data
+    // families above were filtered with): keep only corpus-stored ids —
+    // overlay rows of deleted ids are physically gone now
+    val tombOut = Seq(
+      (famDocsDeleted, delDoc, "documents", "doc_id"),
+      (famVecsDeleted, delVec, "embeddings", "vec_id")).flatMap {
+      case (fam, del, table, idCol) => del.map { case (ids, _) =>
+        (fam, IndexOverlay.append(s, d, fam,
+          ids.join(t(s, d, table).select(col(idCol)), Seq(idCol), "left_semi")))
+      }
+    }
+    val out = dataOut ++ tombOut
+    IndexOverlay.publishManifest(s, d,
+      out.collect { case (fam, (p, n)) if n > 0L => (fam, p, n) }, full = true)
+    out.collect { case (_, (p, 0L)) => p }.foreach(IndexOverlay.discardSegment)
+    IndexOverlay.gc(d)
+    commitCompactReport(s, out.map { case (fam, (p, n)) =>
+      val before = eff.getOrElse(fam, Seq.empty)
+      (fam, before.size, before.map(_.rows).sum,
+        if (n > 0L) p else null, n)
+    })
+  }
+
+  private def commitCompactReport(s: SparkSession,
+      rows: Seq[(String, Int, Long, String, Long)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("family", "n_segments_in", "n_rows_in", "segment", "n_rows")
+      .orderBy("family")
+  }
+
+  /** Lifecycle-aware index drift ([[graft.Ingest.driftReport]]):
+    * q_index_drift's frozen-centroid residual computed over
+    * base ∪ COMMITTED − deleted vectors. The registered query measures
+    * the BASE corpus only (correct for the oracle gate — registered
+    * plans must never see the overlay), but committed batches are
+    * exactly the new-distribution data that should drive a rebuild
+    * (VERDICT r17): off-distribution commits flip cells stale HERE
+    * while the registered query stays green. Committed members take
+    * their rank-1 cell fresh under the frozen centroids — bit-identical
+    * to what [[ivfKAssign]] would have assigned them — at O(committed·k)
+    * cost; the base side reads the persisted assignment artifact. */
+  /** Frozen-centroid residual over an arbitrary member set
+    * (cell, embedding): per trained-k cell, how far one more Lloyd step
+    * would move the frozen centroid given these members (drift =
+    * 1 − cosine of frozen centroid vs current member mean); a cell is
+    * stale when it drifted past [[DRIFT_TAU]] or lost every member. The
+    * member-mean agg is the same decimal-mean shape as training,
+    * map-side combinable, k×dims result rows at any corpus size. Shared
+    * by the registered q_index_drift (base members) and
+    * [[ingestDriftReport]] (base ∪ committed − deleted). */
+  private def ivfDriftFrom(cents: DataFrame, members: DataFrame): DataFrame = {
+    val comp = members
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"),
+        count(lit(1)).as("nm"))
+    val meansNow = comp.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        f => f.getField("m")).as("mean_now"),
+        max(col("nm")).as("nm"))
+    val dot = aggregate(zip_with(col("centroid"), col("mean_now"), (x, v) => x * v),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("mean_now"), lit(0.0), (acc, x) => acc + x * x))
+    cents.join(meansNow, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("nm"), lit(0L)).as("n_members"),
+        r4(lit(1.0) - dot / (na * nb)).as("drift"))
+      .withColumn("stale",
+        col("n_members") === 0 || col("drift") > DRIFT_TAU)
+      .orderBy("cell")
+  }
+
+  private[graft] def ingestDriftReport(s: SparkSession, d: String): DataFrame = {
+    val cents = ivfKCentroids(s, d)
+    val base = t(s, d, "embeddings").join(ivfKAssign(s, d), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val members = IndexOverlay.read(s, d, famVecsRaw) match {
+      case Some(ovRaw) =>
+        val o = ovRaw.select(col("vec_id"), col("embedding"))
+        base.unionByName(o.join(ivfKCellsFor(o, cents, 1), "vec_id")
+          .select(col("vec_id"), col("cell"), col("embedding")))
+      case None => base
+    }
+    ivfDriftFrom(cents,
+      minusDeleted(s, d, members, "vec_id", famVecsDeleted)
+        .select(col("cell"), col("embedding")))
   }
 
   /** The q_dedup_semantic_recall computation at an arbitrary cell-size
@@ -2885,29 +3112,13 @@ object LlmPipeline extends QueryPack {
     // only the two disk artifacts + embeddings; the member-mean agg is
     // the same decimal-mean shape as training, map-side combinable, k×64
     // result rows at any corpus size.
-    "q_index_drift" -> ((s, d) => {
-      val cents = ivfKCentroids(s, d)
-      val assign = ivfKAssign(s, d)
-      val comp = t(s, d, "embeddings").join(assign, "vec_id")
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"),
-          count(lit(1)).as("nm"))
-      val meansNow = comp.groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          f => f.getField("m")).as("mean_now"),
-          max(col("nm")).as("nm"))
-      val dot = aggregate(zip_with(col("centroid"), col("mean_now"), (x, v) => x * v),
-        lit(0.0), (acc, x) => acc + x)
-      val na = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
-      val nb = sqrt(aggregate(col("mean_now"), lit(0.0), (acc, x) => acc + x * x))
-      cents.join(meansNow, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("nm"), lit(0L)).as("n_members"),
-          r4(lit(1.0) - dot / (na * nb)).as("drift"))
-        .withColumn("stale",
-          col("n_members") === 0 || col("drift") > DRIFT_TAU)
-        .orderBy("cell")
-    }),
+    "q_index_drift" -> ((s, d) =>
+      // BASE-corpus members only: the oracle gate must never see the
+      // overlay. The lifecycle-aware twin over base ∪ committed − deleted
+      // is the [[ingestDriftReport]] facade method (same residual helper).
+      ivfDriftFrom(ivfKCentroids(s, d),
+        t(s, d, "embeddings").join(ivfKAssign(s, d), "vec_id")
+          .select(col("cell"), col("embedding")))),
 
     // IVF-PQ with ADC scoring — the standard large-scale vector-search
     // composition: the trained-k IVF narrows candidates (⌈√k⌉ probe

@@ -418,16 +418,21 @@ class IngestSpec extends AnyFunSuite {
     Ingest.commitDocs(spark, d, batch)
     // a family committed under OLD geometry (a re-dialed cell size):
     // correctly never read, but the report must surface it as stranded
-    IndexOverlay.append(spark, d, "sem2_assign_nc7",
+    IndexOverlay.appendCommitted(spark, d, "sem2_assign_nc7",
       Seq((1L, 2L)).toDF("vec_id", "cell"))
+    // and a crashed commit's orphan (published, never manifested)
+    IndexOverlay.append(spark, d, "docs_raw",
+      Seq((999L, "orphan text")).toDF("doc_id", "text"))
     val rep = Ingest.overlayReport(spark, d).collect()
       .map(r => r.getString(0) ->
-        ((r.getBoolean(1), r.getInt(2), r.getLong(3), Option(r.get(4))))).toMap
+        ((r.getBoolean(1), r.getInt(2), r.getLong(3), r.getInt(4),
+          Option(r.get(5))))).toMap
     val live = rep.filter(_._2._1).keySet
     assert(live.size == 6 && live.contains("docs_raw"),
       s"live doc families: $live")
-    assert(rep("docs_raw") == ((true, 1, 3L, Some(30L))),
-      s"docs_raw row: ${rep("docs_raw")} (corpus_rows is the compaction dial)")
+    assert(rep("docs_raw") == ((true, 1, 3L, 1, Some(30L))),
+      s"docs_raw row: ${rep("docs_raw")} (corpus_rows is the compaction " +
+        "dial; the unmanifested append must read as 1 orphan, not as rows)")
     assert(rep("sem2_assign_nc7")._1 == false && rep("sem2_assign_nc7")._3 == 1L,
       s"stranded family not surfaced: ${rep.get("sem2_assign_nc7")}")
     // every live family except the (legitimately empty) hot-shingle set
@@ -435,6 +440,10 @@ class IngestSpec extends AnyFunSuite {
     live.filterNot(_.startsWith("hot_shingles_")).foreach { f =>
       assert(rep(f)._3 > 0L, s"$f reports 0 rows")
     }
+    // ...and the orphan's rows are invisible to the standing index
+    assert(IndexOverlay.read(spark, d, "docs_raw").get
+        .where(col("doc_id") === 999L).isEmpty,
+      "unmanifested orphan rows leaked into the read view")
   }
 
   test("deleteDocs retires stored AND committed content from every doc family") {
@@ -559,27 +568,252 @@ class IngestSpec extends AnyFunSuite {
       "content committed under concurrency not found")
   }
 
-  test("IndexOverlay.append: gap-safe max+1 naming, loud schema drift") {
+  test("IndexOverlay: gap-safe naming, manifest-gated reads, typed schema drift") {
     import spark.implicits._
     val d = commitDir
     val fam = "testfam_overlay_contract"
-    val (p0, n0) = IndexOverlay.append(spark, d, fam,
+    val (p0, n0) = IndexOverlay.appendCommitted(spark, d, fam,
       Seq((1L, "a")).toDF("id", "v"))
     assert(p0.endsWith("seg_00000") && n0 == 1L)
-    // a foreign/compacted segment leaves a GAP: next append must land
-    // PAST it, never on or before it
+    // a foreign unmanifested segment (orphan / compacted-away debris)
+    // leaves a GAP: the next append must land PAST it (never reuse a
+    // name), and reads must NOT see it (manifest-gated visibility)
     val gapPath = p0.stripSuffix("seg_00000") + "seg_00007"
     Seq((7L, "g")).toDF("id", "v").write.parquet(gapPath)
-    val (p1, n1) = IndexOverlay.append(spark, d, fam,
+    val (p1, n1) = IndexOverlay.appendCommitted(spark, d, fam,
       Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
     assert(p1.endsWith("seg_00008") && n1 == 2L,
       s"append after a gap landed on $p1 ($n1 rows)")
-    // reads union every published segment
-    assert(IndexOverlay.read(spark, d, fam).get.count() == 4L)
-    // schema drift is rejected at append, not nulled at read
+    // reads union exactly the MANIFESTED segments: 1 + 2 rows; the
+    // orphan's row is invisible (crash-atomicity: an un-manifested
+    // segment does not exist for readers or the novelty base)
+    assert(IndexOverlay.read(spark, d, fam).get.count() == 3L)
+    // an empty append publishes nothing and leaves no manifest entry
+    val (_, nEmpty) = IndexOverlay.appendCommitted(spark, d, fam,
+      Seq.empty[(Long, String)].toDF("id", "v"))
+    assert(nEmpty == 0L && IndexOverlay.segments(d, fam).size == 2,
+      "an empty append must not mint a visible segment")
+    // schema drift is rejected at append, not nulled/coerced at read:
+    // renamed column...
     val drift = intercept[IllegalArgumentException] {
       IndexOverlay.append(spark, d, fam, Seq((9L, 9.0)).toDF("id", "other"))
     }
     assert(drift.getMessage.contains("drifts"), drift.getMessage)
+    // ...and a TYPE change under the same names (int id vs long id) —
+    // the r17 name-set gate let this through to fail later at read
+    val typeDrift = intercept[IllegalArgumentException] {
+      IndexOverlay.append(spark, d, fam, Seq((9, "i")).toDF("id", "v"))
+    }
+    assert(typeDrift.getMessage.contains("drifts"), typeDrift.getMessage)
+  }
+
+  // ---- 4. COMPACTION (r18): fold, replace path, crash recovery ----
+
+  /** Fresh two-table corpus for the compact tests (the shared commitDir
+    * must keep its segment history for the other suites' assumptions). */
+  private def freshCorpus(tag: String, nDocs: Int = 30): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    (0 until nDocs).map(i =>
+        (i.toLong, (0 until 20).map(j => s"$tag${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rnd = new scala.util.Random(tag.hashCode.toLong)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    (0 until 256).map(i => (i.toLong, unit(), i % 10))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("compact: probe-invariant fold to one segment per family; overlay tombstones fold away") {
+    import spark.implicits._
+    val d = freshCorpus("cpd")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    // two doc commits, one vector commit; then delete a STORED doc (5),
+    // a COMMITTED doc (1000), a stored vector (3) and a committed one (5000)
+    Ingest.commitDocs(spark, d, (0 until 5).map(i =>
+      (1000L + i, mkText(s"ca${i}x"))).toDF("doc_id", "text"))
+    Ingest.commitDocs(spark, d, (0 until 5).map(i =>
+      (1100L + i, mkText(s"cb${i}x"))).toDF("doc_id", "text"))
+    val rnd = new scala.util.Random(4242L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    Ingest.commitVectors(spark, d, (0 until 5).map(i =>
+      (5000L + i, unit())).toDF("vec_id", "embedding"))
+    Ingest.deleteDocs(spark, d, Seq(5L, 1000L).toDF("doc_id"))
+    Ingest.deleteVectors(spark, d, Seq(3L, 5000L).toDF("vec_id"))
+
+    // probe fixtures touching every regime: stored, committed, deleted
+    // stored, deleted committed — captured before and after the fold
+    val docProbe = Seq(
+      (9000L, Tables.t(spark, d, "documents").where(col("doc_id") === 6L)
+        .select("text").collect().head.getString(0)),
+      (9001L, mkText("ca1x")), (9002L, mkText("cb2x")),
+      (9003L, Tables.t(spark, d, "documents").where(col("doc_id") === 5L)
+        .select("text").collect().head.getString(0)),
+      (9004L, mkText("ca0x"))).toDF("doc_id", "text")
+    val vecProbe = (0 until 3).map(i => (9100L + i, unit()))
+      .toDF("vec_id", "embedding")
+    def snapshot(): Seq[Seq[String]] = Seq(
+      rows(Ingest.exactDedup(spark, d, docProbe)),
+      rows(Ingest.minhashDedup(spark, d, docProbe)),
+      rows(Ingest.substringDedup(spark, d, docProbe)),
+      rows(Ingest.annLshc(spark, d, vecProbe)),
+      rows(Ingest.annIvfcPq(spark, d, vecProbe)),
+      rows(Ingest.semanticDedup(spark, d, vecProbe)))
+    val before = snapshot()
+    assert(before.head.exists(_.contains("9001,true")),
+      s"committed content must read corpus_dup pre-compact: ${before.head}")
+
+    val rep = Ingest.compact(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(3)),
+        r.getLong(4))).toList
+    // every data family folded into exactly one segment; the doc commits
+    // had 2 segments going in
+    val repByFam = rep.map(r => r._1 -> r).toMap
+    assert(repByFam("docs_raw")._2 == 2 && repByFam("docs_raw")._4 == 9L,
+      s"docs_raw fold: ${repByFam("docs_raw")} (10 committed − 1 deleted)")
+    assert(repByFam("vecs_raw")._4 == 4L, s"vecs_raw fold: ${repByFam("vecs_raw")}")
+    // tombstones: only CORPUS-stored ids survive the fold (the committed
+    // ids' rows are physically gone, so their tombstones fold away)
+    assert(repByFam("docs_deleted")._4 == 1L && repByFam("vecs_deleted")._4 == 1L,
+      s"tombstone GC: ${repByFam("docs_deleted")}, ${repByFam("vecs_deleted")}")
+    val ovr = Ingest.overlayReport(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getInt(2), r.getInt(4)))).toMap
+    ovr.foreach { case (f, (nSeg, nOrph)) =>
+      assert(nSeg <= 1 && nOrph == 0, s"$f after compact: $nSeg segs, $nOrph orphans")
+    }
+    assert(snapshot() == before, "compact changed probe results")
+    // idempotent: a second compact folds 1 -> 1 and probes still agree
+    Ingest.compact(spark, d)
+    assert(snapshot() == before, "re-compact changed probe results")
+
+    // the REPLACE path: the deleted COMMITTED id's tombstone folded away,
+    // so it is novel again — delete -> compact -> commit re-adds content
+    // under the same id
+    val re = Ingest.commitDocs(spark, d,
+      Seq((1000L, mkText("cz9x"))).toDF("doc_id", "text")).collect()
+    assert(re.nonEmpty && re.exists(r =>
+        r.getString(0) == "docs_raw" && r.getLong(2) == 1L),
+      s"replace path closed: re-commit of a compacted-away id was ${re.toSeq}")
+    val reProbe = Ingest.exactDedup(spark, d,
+      Seq((9500L, mkText("cz9x"))).toDF("doc_id", "text")).collect().head
+    assert(reProbe.getBoolean(1), "replaced content not corpus-side")
+    // ...while the CORPUS-stored deleted id stays retired (its source row
+    // is not ours to rewrite — tombstone survives the fold)
+    assert(Ingest.commitDocs(spark, d,
+        Seq((5L, mkText("cy8x"))).toDF("doc_id", "text")).isEmpty,
+      "a corpus-stored deleted id must stay retired after compact")
+  }
+
+  test("a crashed partial commit is invisible, replayable, and compact reclaims its orphans") {
+    import spark.implicits._
+    val d = freshCorpus("cra")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    val batch = (0 until 4).map(i => (1000L + i, mkText(s"cr${i}x")))
+      .toDF("doc_id", "text")
+    // simulate the crash window: the raw segment (and one derived family)
+    // published, but the commit died BEFORE its manifest — exactly the
+    // state ADVICE r17 flagged as silently-unindexed-forever
+    IndexOverlay.append(spark, d, "docs_raw", batch)
+    IndexOverlay.append(spark, d, "corpus_doc_hashes",
+      batch.select(col("doc_id"),
+        operators.Curation.contentHash(col("text")).as("h")))
+    // invisible: probes see nothing of the crashed batch
+    val pre = Ingest.exactDedup(spark, d,
+      Seq((9000L, mkText("cr0x"))).toDF("doc_id", "text")).collect().head
+    assert(!pre.getBoolean(1), "crashed partial commit leaked into probes")
+    // replayable: the ids still read as novel, so the at-least-once
+    // replay commits the batch IN FULL (every family, not a partial diff)
+    val rep = Ingest.commitDocs(spark, d, batch).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep("docs_raw") == 4L,
+      s"replay after crash must re-commit all rows: $rep")
+    assert(rep.keySet.exists(_.startsWith("minhash_sigs_")),
+      s"replay must cover the families the crash missed: ${rep.keySet}")
+    val post = Ingest.exactDedup(spark, d,
+      Seq((9000L, mkText("cr0x"))).toDF("doc_id", "text")).collect().head
+    assert(post.getBoolean(1), "replayed commit not corpus-side")
+    // no double-rows: the read view has each id exactly once
+    val raw = IndexOverlay.read(spark, d, "docs_raw").get
+    assert(raw.count() == 4L && raw.select("doc_id").distinct().count() == 4L)
+    // compact reclaims the crash debris
+    val orphansBefore = Ingest.overlayReport(spark, d).collect()
+      .map(r => r.getInt(4)).sum
+    assert(orphansBefore >= 2, s"expected crash orphans on disk: $orphansBefore")
+    Ingest.compact(spark, d)
+    val after = Ingest.overlayReport(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getInt(2), r.getInt(4))))
+    after.foreach { case (f, (nSeg, nOrph)) =>
+      assert(nOrph == 0 && nSeg <= 1, s"$f after compact: $nSeg segs, $nOrph orphans")
+    }
+    assert(Ingest.exactDedup(spark, d,
+        Seq((9001L, mkText("cr1x"))).toDF("doc_id", "text"))
+      .collect().head.getBoolean(1), "compact lost replayed content")
+  }
+
+  test("driftReport sees committed off-distribution vectors; the registered query stays green") {
+    import spark.implicits._
+    val d = freshCorpus("dft")
+    def drift(df: DataFrame): Map[Long, (Long, Double, Boolean)] =
+      df.collect().map(r => r.getAs[Number]("cell").longValue() ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val regBefore = drift(SparkEntry.queries("q_index_drift")(spark, d))
+    val lcBefore = drift(Ingest.driftReport(spark, d))
+    assert(lcBefore == regBefore,
+      "with an empty overlay the lifecycle report IS the registered query")
+    // commit 200 vectors concentrated on one axis — new-distribution mass
+    // that lands in one rank-1 cell and drags its member mean far off the
+    // frozen centroid
+    val rnd = new scala.util.Random(7L)
+    def nearAxis(): Array[Float] = {
+      val v = Array.tabulate(64)(k =>
+        (if (k == 0) 10.0 else 0.0) + 0.05 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    Ingest.commitVectors(spark, d, (0 until 200).map(i =>
+      (8000L + i, nearAxis())).toDF("vec_id", "embedding"))
+    // the registered (base-only, oracle-gated) query is UNCHANGED...
+    assert(drift(SparkEntry.queries("q_index_drift")(spark, d)) == regBefore,
+      "registered q_index_drift must never see the overlay")
+    // ...while the lifecycle report flips at least one cell stale that
+    // the base-only view still calls fresh
+    val lcAfter = drift(Ingest.driftReport(spark, d))
+    val flipped = lcAfter.filter { case (cell, (_, _, stale)) =>
+      stale && !regBefore(cell)._3
+    }
+    assert(flipped.nonEmpty,
+      s"no cell flipped stale under 200 off-distribution commits: $lcAfter")
+    // deleting the committed vectors restores the base-only view
+    Ingest.deleteVectors(spark, d,
+      (0 until 200).map(i => 8000L + i).toDF("vec_id"))
+    assert(drift(Ingest.driftReport(spark, d)) == regBefore,
+      "tombstoned commits must leave the drift view")
+  }
+
+  test("deleteDocs rejects an ambiguous multi-column id frame; accepts one carrying doc_id") {
+    import spark.implicits._
+    val d = freshCorpus("dla", nDocs = 10)
+    val bad = intercept[IllegalArgumentException] {
+      Ingest.deleteDocs(spark, d, Seq((1L, "text")).toDF("some_id", "text"))
+    }
+    assert(bad.getMessage.contains("1-column"), bad.getMessage)
+    // a frame CARRYING doc_id among other columns selects it by name —
+    // the r17 columns.head would have tombstoned the text column here
+    val rep = Ingest.deleteDocs(spark, d,
+      Seq(("x", 2L)).toDF("text", "doc_id")).collect()
+    assert(rep.length == 1 && rep.head.getLong(2) == 1L, rep.toSeq.toString)
+    assert(IndexOverlay.read(spark, d, "docs_deleted").get
+        .collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "wrong column tombstoned")
   }
 }

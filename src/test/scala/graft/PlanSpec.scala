@@ -633,5 +633,20 @@ class PlanSpec extends AnyFunSuite {
       s"overlay/tombstone leg fell off broadcast:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       s"expected candidate + rerank + tombstone broadcasts:\n$p")
+    // r18: the tombstone anti-join must ride an EXPLICIT hint derived
+    // from the manifest chain's exact deleted count — Catalyst's own
+    // estimate through distinct-over-parquet can be inflated/unknown and
+    // would silently decline, degrading every post-delete probe to a
+    // shuffled anti-join (VERDICT r17)
+    val tomb = operators.LlmPipeline.minusDeleted(s, d,
+      Tables.t(s, d, "embeddings").select("vec_id", "embedding"),
+      "vec_id", operators.LlmPipeline.famVecsDeleted)
+    val hints = tomb.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty,
+      "bounded tombstone set did not get the explicit broadcast hint")
+    assert(tomb.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"post-delete probe plan: ${tomb.queryExecution.executedPlan}")
   }
 }
