@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   * dedup families' cap/verify paths). A half batch is timed after the
   * full batch, on the SAME store, for the linearity ratio.
   *
+  * r18 additions, each on its own isolated store:
+  *  - SEGMENT SWEEP: per-probe and per-commit cost as the manifest chain
+  *    grows (1 → 16 → 64 committed segments per doc family) — the
+  *    measured curve behind the segment budget in DESIGN.md §0.-6 —
+  *    then the cost of [[Ingest.compact]] and the probe after the fold.
+  *  - STREAMING COMMIT latency: per-micro-batch triggerExecution times
+  *    through [[graft.streaming.Streams.commitDocsSink]] (file source,
+  *    one file per trigger), the number VERDICT r17 asked for beside
+  *    the replay-idempotence proof.
+  *
   * Run: `sbt "runMain graft.CommitBench /root/testdata/sf0.01"` →
   * one JSON line. NOT part of the driver Bench protocol (commits
   * mutate state; Bench times the frozen registry).
@@ -85,13 +95,88 @@ object CommitBench {
       Ingest.annIvfcPq(spark, d, vecBatch(30000000L, 20)).count()
     }
 
+    // ---- segment sweep: probe/commit cost vs manifest-chain depth ----
+    // fresh isolated store; 20-doc batches with disjoint id ranges so
+    // every commit lands one segment per doc family
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-segsweep").toString
+    for (t <- Seq("documents", "embeddings"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$d2/$t.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+    def sweepBatch(k: Int): org.apache.spark.sql.DataFrame =
+      (0 until 20).map(i => (50000000L + 100L * k + i,
+        (0 until 20).map(j => s"sw${k}x${i}x$j").mkString(" ")))
+        .toDF("doc_id", "text")
+    val probeBatch = (0 until 20).map(i => (60000000L + i,
+      (0 until 20).map(j => s"pr${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // warm the doc artifacts + one probe plan on this store
+    Ingest.minhashDedup(spark, d2, probeBatch).count()
+    Ingest.exactDedup(spark, d2, probeBatch).count()
+    Ingest.substringDedup(spark, d2, probeBatch).count()
+    var committed = 0
+    val sweep = Seq(1, 16, 64).map { tier =>
+      var lastCommitS = 0.0
+      while (committed < tier) {
+        val (_, cS) = timed(Ingest.commitDocs(spark, d2, sweepBatch(committed)))
+        lastCommitS = cS; committed += 1
+      }
+      val (_, pS) = timed {
+        Ingest.minhashDedup(spark, d2, probeBatch).count()
+        Ingest.exactDedup(spark, d2, probeBatch).count()
+        Ingest.substringDedup(spark, d2, probeBatch).count()
+      }
+      (tier, lastCommitS, pS)
+    }
+    val (_, compactS) = timed(Ingest.compact(spark, d2).count())
+    val (_, probeAfterS) = timed {
+      Ingest.minhashDedup(spark, d2, probeBatch).count()
+      Ingest.exactDedup(spark, d2, probeBatch).count()
+      Ingest.substringDedup(spark, d2, probeBatch).count()
+    }
+
+    // ---- streaming commit latency (per micro-batch) ----
+    val d3 = java.nio.file.Files.createTempDirectory("graft-streamcommit").toString
+    for (t <- Seq("documents", "embeddings"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$d3/$t.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+    Ingest.minhashDedup(spark, d3, probeBatch).count() // warm artifacts
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-streamsrc").toString
+    val nStreamBatches = 6
+    (0 until nStreamBatches).foreach { k =>
+      (0 until 25).map(i => (70000000L + 100L * k + i,
+        (0 until 20).map(j => s"st${k}x${i}x$j").mkString(" ")))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val schema = probeBatch.schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-streamckpt").toString
+    val qy = graft.streaming.Streams.commitDocsSink(spark, d3,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)) { (_, _) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qy.awaitTermination(600000)
+    val batchMs = qy.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => p.durationMs.get("triggerExecution").toLong)
+
+    val sweepJson = sweep.map { case (tier, cS, pS) =>
+      s"""{"segments":$tier,"commit_s":${f"$cS%.2f"},"probe_s":${f"$pS%.2f"}}"""
+    }.mkString("[", ",", "]")
     println(
       s"""{"metric":"commit","sf":"$sfDir","warm_s":${f"$warmS%.1f"},""" +
       s""""doc_full":{"rows":$nDocsFull,"sec":${f"$fullDocS%.2f"}},""" +
       s""""doc_half":{"rows":$nDocsHalf,"sec":${f"$halfDocS%.2f"}},""" +
       s""""vec_full":{"rows":$nVecsFull,"sec":${f"$fullVecS%.2f"}},""" +
       s""""vec_half":{"rows":$nVecsHalf,"sec":${f"$halfVecS%.2f"}},""" +
-      s""""probe_with_overlay_s":${f"$probeS%.2f"}}""")
+      s""""probe_with_overlay_s":${f"$probeS%.2f"},""" +
+      s""""seg_sweep":$sweepJson,""" +
+      s""""compact_s":${f"$compactS%.2f"},""" +
+      s""""probe_after_compact_s":${f"$probeAfterS%.2f"},""" +
+      s""""stream_commit_batch_ms":${batchMs.mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }
