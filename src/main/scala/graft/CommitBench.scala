@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * dedup families' cap/verify paths). A half batch is timed after the
   * full batch, on the SAME store, for the linearity ratio.
   *
+  * Also times [[Ingest.replaceDocs]]/[[Ingest.replaceVectors]] (r18):
+  * an upsert batch where half the rows changed content and half are
+  * identical — the change gate should bill only the changed half — plus
+  * the idempotent replay (publishes nothing).
+  *
   * r18 additions, each on its own isolated store:
   *  - SEGMENT SWEEP: per-probe and per-commit cost as the manifest chain
   *    grows (1 → 16 → 64 committed segments per doc family) — the
@@ -94,6 +99,24 @@ object CommitBench {
       Ingest.minhashDedup(spark, d, docBatch(30000000L, 20)).count()
       Ingest.annIvfcPq(spark, d, vecBatch(30000000L, 20)).count()
     }
+
+    // ---- replace (upsert) cost on the same warm store: half the
+    // previously committed batch changes content, half is identical —
+    // the change gate must write/tombstone exactly the changed half;
+    // the replay is the idempotent fast path (publishes nothing) ----
+    // (batch ids are ≡ 7 or 17 mod 20 — the committed fixture slice —
+    // so "half changed" splits on mod 20, not parity)
+    val upsertD = docBatch(10000000L, 20).select(col("doc_id"),
+      when(col("doc_id") % 20 === 7, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    val (repR, replaceDocS) = timed(Ingest.replaceDocs(spark, d, upsertD))
+    val nChangedD = rowsOf(repR, "docs_deleted")
+    val (_, replayDocS) = timed(Ingest.replaceDocs(spark, d, upsertD).count())
+    val upsertV = vecBatch(10000000L, 20).select(col("vec_id"),
+      when(col("vec_id") % 20 === 7, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")).as("embedding"))
+    val (repRV, replaceVecS) = timed(Ingest.replaceVectors(spark, d, upsertV))
+    val nChangedV = rowsOf(repRV, "vecs_deleted")
 
     // ---- segment sweep: probe/commit cost vs manifest-chain depth ----
     // fresh isolated store; 20-doc batches with disjoint id ranges so
@@ -173,6 +196,9 @@ object CommitBench {
       s""""vec_full":{"rows":$nVecsFull,"sec":${f"$fullVecS%.2f"}},""" +
       s""""vec_half":{"rows":$nVecsHalf,"sec":${f"$halfVecS%.2f"}},""" +
       s""""probe_with_overlay_s":${f"$probeS%.2f"},""" +
+      s""""replace_doc":{"changed":$nChangedD,"sec":${f"$replaceDocS%.2f"}},""" +
+      s""""replace_doc_replay_s":${f"$replayDocS%.2f"},""" +
+      s""""replace_vec":{"changed":$nChangedV,"sec":${f"$replaceVecS%.2f"}},""" +
       s""""seg_sweep":$sweepJson,""" +
       s""""compact_s":${f"$compactS%.2f"},""" +
       s""""probe_after_compact_s":${f"$probeAfterS%.2f"},""" +

@@ -33,6 +33,16 @@ import org.apache.spark.sql.types._
   *    and an at-least-once replay re-commits the batch in full (ADVICE
   *    r17: the raw-first publish order made a mid-commit crash leave ids
   *    permanently committed with their derived families missing).
+  *  - Manifest ids are the overlay's SEQUENCE NUMBERS: they totally
+  *    order everything ever made visible, and tombstone segments take
+  *    their shadow scope from them — a tombstone in manifest `m`
+  *    retires the base artifact's rows and overlay segments from
+  *    EARLIER manifests (id < m), never co-published segments of its
+  *    own manifest. That one rule gives the lifecycle its last verb
+  *    (r18): publishing a tombstone segment and fresh row segments in
+  *    ONE manifest is an atomic REPLACE ([[Ingest.replaceDocs]]), and a
+  *    commit after a delete simply wins (re-insert) instead of being
+  *    rejected by a permanent tombstone.
   *  - A `_full` manifest SUPERSEDES the chain: readers take the entries
   *    of the latest `_full` manifest plus every later additive one.
   *    [[Ingest.compact]] writes coalesced segments, publishes one `_full`
@@ -159,21 +169,40 @@ object IndexOverlay {
     }
   }
 
-  /** The chain's current state: entries of the latest `_full` manifest
-    * (the last compaction's supersede point) plus every later additive
-    * manifest, in manifest order. This IS the read view — a published
-    * segment outside this list is an orphan (crashed commit / not yet
-    * GC'd compaction input) and must never be read. */
-  private[graft] def effectiveEntries(d: String): Seq[Entry] = {
+  /** The chain's current state WITH each entry's manifest id: entries of
+    * the latest `_full` manifest (the last compaction's supersede point)
+    * plus every later additive manifest, in manifest order. This IS the
+    * read view — a published segment outside this list is an orphan
+    * (crashed commit / not yet GC'd compaction input) and must never be
+    * read. The manifest id is the overlay's SEQUENCE NUMBER: it totally
+    * orders every segment ever made visible, which is what gives
+    * tombstones their shadow scope (a tombstone segment in manifest `m`
+    * shadows the base artifact and row segments with manifest id < `m`,
+    * never its own manifest's co-published segments — so one manifest
+    * holding a tombstone segment AND fresh row segments is an atomic
+    * REPLACE, and a row committed after a delete is visible again). */
+  private[graft] def effectiveEntriesSeq(d: String): Seq[(Int, Entry)] = {
     val mans = manifestDirs(d)
     val fromIdx = mans.lastIndexWhere(_._2)
-    (if (fromIdx < 0) mans else mans.drop(fromIdx)).flatMap(m => parseEntries(m._3))
+    (if (fromIdx < 0) mans else mans.drop(fromIdx))
+      .flatMap(m => parseEntries(m._3).map(e => (m._1, e)))
   }
+
+  private[graft] def effectiveEntries(d: String): Seq[Entry] =
+    effectiveEntriesSeq(d).map(_._2)
 
   /** Readable (manifest-listed) segment paths of a family, chain order. */
   private[graft] def segments(d: String, family: String): Seq[String] =
     effectiveEntries(d).filter(_.family == family)
       .map(e => s"${famDir(d, family)}/${e.seg}")
+
+  /** [[segments]] with each segment's (manifest id = sequence number,
+    * chain-recorded row count) — the seq-shadowed tombstone reads and
+    * their broadcast gates. */
+  private[graft] def segmentsWithSeq(d: String, family: String): Seq[(String, Int, Long)] =
+    effectiveEntriesSeq(d).collect { case (m, e) if e.family == family =>
+      (s"${famDir(d, family)}/${e.seg}", m, e.rows)
+    }
 
   /** Committed row count of a family — DRIVER-SIDE, from the manifest
     * chain (appends count their published parquet). The tombstone

@@ -103,19 +103,22 @@ object Ingest {
   def annIvfcPq(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     operators.LlmPipeline.ingestAnnIvfcPq(s, d, batch)
 
-  /** COMMIT a document batch into the standing index: the batch's
-    * id-novel rows (vs corpus ids ∪ previously committed ids — so
-    * re-committing is an idempotent no-op) are appended as
+  /** COMMIT a document batch into the standing index: the batch's rows
+    * whose ids are not currently VISIBLE are appended as
     * [[IndexOverlay]] segments, raw rows plus every doc index family
     * under FROZEN geometry, and every later ingest/probe call on `d`
-    * sees them corpus-side without an O(N) rebuild. EAGER — this is an
-    * action with side effects, not a query builder. CRASH-ATOMIC: the
-    * family segments become visible through one manifest publish, so a
-    * crashed partial commit is invisible and a replay re-commits it in
-    * full. Returns the (family, segment, n_rows) report of what landed
-    * on disk; empty when nothing was novel. Single committing writer
-    * per dataset dir is the supported regime; concurrent commits are
-    * additionally safe for DISJOINT-id batches (a lost publish race
+    * sees them corpus-side without an O(N) rebuild. Re-committing any
+    * batch is an idempotent no-op; a commit never changes a visible
+    * row's content (that is [[replaceDocs]]); committing a DELETED id
+    * re-inserts it — the new rows' manifest is later than the
+    * tombstone's, so they win (sequence semantics, r18). EAGER — this
+    * is an action with side effects, not a query builder. CRASH-ATOMIC:
+    * the family segments become visible through one manifest publish,
+    * so a crashed partial commit is invisible and a replay re-commits
+    * it in full. Returns the (family, segment, n_rows) report of what
+    * landed on disk; empty when nothing was novel. Single committing
+    * writer per dataset dir is the supported regime; concurrent commits
+    * are additionally safe for DISJOINT-id batches (a lost publish race
     * retries, never silently drops rows) — batches sharing ids need
     * external coordination ([[IndexOverlay]] doc). */
   def commitDocs(s: SparkSession, d: String, batch: DataFrame): DataFrame =
@@ -127,31 +130,58 @@ object Ingest {
   def commitVectors(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     operators.LlmPipeline.ingestCommitVectors(s, d, batch)
 
-  /** DELETE (tombstone) documents from the standing index: the ids —
-    * stored corpus rows and committed overlay rows alike — stop being
-    * corpus-side for every later ingest/probe call, without touching
-    * the source data. Retire-until-fold semantics: a deleted id cannot
-    * be re-committed while its tombstone stands; [[compact]] physically
-    * drops deleted OVERLAY rows and folds those ids' tombstones away
-    * (so delete → compact → commit is the supported replace path for
-    * committed content), while corpus-stored ids stay retired until the
-    * next corpus regeneration. The one non-id-keyed artifact, the
-    * hot-shingle cap, is NOT retracted (a cap is conservative by
-    * nature). EAGER, idempotent; takes a 1-column id frame (or any
+  /** REPLACE (upsert) documents: make the batch's rows THE standing
+    * content for their ids, in one atomic manifest — ids with different
+    * visible content swap to the batch's text (the old row, corpus-
+    * stored or committed, is shadowed by a tombstone co-published with
+    * the replacement segments; source parquet is never touched), unseen
+    * ids insert, identical content is a no-op. Every doc index family
+    * re-derives the changed ids under frozen geometry, so probes flip
+    * from old content to new with no window of both or neither.
+    * Idempotent (replaying a replace publishes nothing) — so an
+    * at-least-once stream of upserts composes to exactly-once index
+    * state ([[graft.streaming.Streams.replaceDocsSink]]). EAGER;
+    * returns the commit report (the tombstone family's row counts what
+    * was superseded). */
+  def replaceDocs(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+    operators.LlmPipeline.ingestReplaceDocs(s, d, batch)
+
+  /** [[replaceDocs]] for vectors: changed embeddings re-index under
+    * frozen geometry, unseen ids insert, identical embeddings no-op. */
+  def replaceVectors(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+    operators.LlmPipeline.ingestReplaceVectors(s, d, batch)
+
+  /** DELETE (tombstone) documents from the standing index: the
+    * currently-visible ids among `ids` — stored corpus rows and
+    * committed overlay rows alike — stop being corpus-side for every
+    * later ingest/probe call, without touching the source data. The
+    * tombstone shadows what came BEFORE it in the manifest chain, so a
+    * later [[commitDocs]] of the same id re-inserts it (r18; deletes
+    * are no longer permanent-until-compaction). Deleting an id with no
+    * visible row is a no-op, which also makes re-running a delete
+    * idempotent. [[compact]] physically drops deleted overlay rows and
+    * folds overlay-only tombstones away; corpus-stored ids keep one as
+    * long as their base row must stay hidden. The one non-id-keyed
+    * artifact, the hot-shingle cap, is NOT retracted (a cap is
+    * conservative by nature). EAGER; takes a 1-column id frame (or any
     * frame carrying `doc_id` — anything else fails loudly); returns the
     * commit report shape. */
   def deleteDocs(s: SparkSession, d: String, ids: DataFrame): DataFrame =
     operators.LlmPipeline.ingestDeleteIds(s, d, ids, "doc_id",
-      operators.LlmPipeline.famDocsDeleted)
+      operators.LlmPipeline.famDocsDeleted,
+      operators.LlmPipeline.visibleDocs(s, d).select("doc_id"))
 
   /** [[deleteDocs]] for vectors. */
   def deleteVectors(s: SparkSession, d: String, ids: DataFrame): DataFrame =
     operators.LlmPipeline.ingestDeleteIds(s, d, ids, "vec_id",
-      operators.LlmPipeline.famVecsDeleted)
+      operators.LlmPipeline.famVecsDeleted,
+      operators.LlmPipeline.visibleVecs(s, d).select("vec_id"))
 
   /** COMPACT the overlay: fold every committed family's segments into
-    * one (applying tombstones physically — deleted overlay rows leave
-    * disk, and their now-redundant tombstones fold away), flip the
+    * one holding exactly the VISIBLE rows (deleted rows and the
+    * superseded copies behind a replace leave disk; overlay-only
+    * tombstones fold away, corpus-stored ids keep one while their base
+    * row must stay hidden), flip the
     * manifest chain atomically, and garbage-collect what the chain no
     * longer references (including crashed commits' orphan segments).
     * Probe results are INVARIANT across a compact (rows are moved,

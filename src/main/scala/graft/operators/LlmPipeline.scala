@@ -1490,40 +1490,86 @@ object LlmPipeline extends QueryPack {
     * compacted away, not broadcast. */
   private val DELETED_BROADCAST_MAX = 2L * 1000 * 1000
 
-  /** Tombstone filter: anti-join a corpus-side frame against a deletion
-    * family's id set ([[graft.Ingest.deleteDocs]] — retire-until-rebuild
-    * semantics). Identity when nothing was ever deleted, so existing
-    * plans are untouched. The broadcast decision comes from the EXACT
-    * deleted count in the manifest chain (delete appends are pre-deduped,
-    * so the chain's row sum is the distinct-id count) — Catalyst's
-    * estimate through a distinct-over-parquet can be inflated/unknown,
-    * and a declined broadcast here would silently degrade EVERY
-    * corpus-side probe on a dataset with deletes to a shuffled anti-join
-    * (VERDICT r17). */
-  private[graft] def minusDeleted(s: SparkSession, d: String, base: DataFrame,
-      idCol: String, delFam: String): DataFrame =
-    IndexOverlay.read(s, d, delFam) match {
-      case Some(del) =>
-        val sel = del.select(col(del.columns.head).as(idCol)).distinct()
-        val n = IndexOverlay.effectiveRows(d, delFam)
-        base.join(
-          if (n <= DELETED_BROADCAST_MAX) broadcast(sel) else maybeBroadcast(sel),
-          Seq(idCol), "left_anti")
-      case None => base
+  /** Anti-join `df` against the ids of the given tombstone SEGMENTS
+    * (none → identity). The broadcast decision comes from the chain's
+    * recorded row counts — an exact upper bound on the distinct-id
+    * count — because Catalyst's estimate through distinct-over-parquet
+    * can be inflated/unknown, and a declined broadcast here would
+    * silently degrade every corpus-side probe on a dataset with deletes
+    * to a shuffled anti-join (VERDICT r17). */
+  private def minusTombSegs(s: SparkSession, df: DataFrame, idCol: String,
+      tombs: Seq[(String, Int, Long)]): DataFrame =
+    if (tombs.isEmpty) df
+    else {
+      val del = s.read.parquet(tombs.map(_._1): _*)
+      val sel = del.select(col(del.columns.head).as(idCol)).distinct()
+      val n = tombs.map(_._3).sum
+      df.join(
+        if (n <= DELETED_BROADCAST_MAX) broadcast(sel) else maybeBroadcast(sel),
+        Seq(idCol), "left_anti")
     }
 
+  /** Tombstone filter for the BASE artifact (and any other pre-overlay
+    * frame): anti-join against EVERY effective tombstone segment of
+    * `delFam` — the base is older than any manifest, so every tombstone
+    * shadows it. Identity when nothing was ever deleted, so existing
+    * plans are untouched. Overlay segments must NOT use this — their
+    * shadow set depends on their manifest id ([[overlayVisible]]). */
+  private[graft] def minusDeleted(s: SparkSession, d: String, base: DataFrame,
+      idCol: String, delFam: String): DataFrame =
+    minusTombSegs(s, base, idCol, IndexOverlay.segmentsWithSeq(d, delFam))
+
+  /** The VISIBLE overlay rows of a family under the manifest chain's
+    * sequence-ordered tombstones (None when nothing was committed): a
+    * tombstone segment in manifest `m` shadows row segments from
+    * EARLIER manifests only (id < m) — never its own manifest's
+    * co-published rows — so a row committed after a delete is visible
+    * (re-insert) and an atomic same-manifest tombstone+rows publish is
+    * a replace ([[ingestReplaceDocs]]). Row segments sharing a shadow
+    * set read as one multi-path scan; the plan holds ≤ (tombstone
+    * manifests + 1) anti-join branches, each against a chain-counted
+    * (usually broadcast) id set, and [[ingestCompact]] folds it all
+    * back to at most one branch. */
+  private def overlayVisible(s: SparkSession, d: String, family: String,
+      idCol: String, delFam: String): Option[DataFrame] = {
+    val segs = IndexOverlay.segmentsWithSeq(d, family)
+    if (segs.isEmpty) None
+    else {
+      val tombs = IndexOverlay.segmentsWithSeq(d, delFam)
+      val parts = segs.groupBy { case (_, m, _) => tombs.filter(_._2 > m) }
+        .toSeq.sortBy(_._2.head._2) // deterministic plan: oldest group first
+        .map { case (shadow, ss) =>
+          minusTombSegs(s, s.read.parquet(ss.map(_._1): _*), idCol, shadow)
+        }
+      Some(parts.reduce(_ unionByName _))
+    }
+  }
+
+  /** Seq-aware corpus-side reader: (base − every tombstone) ∪ visible
+    * overlay rows, aligned to the base's column set by name (an overlay
+    * segment missing a base column fails analysis loudly rather than
+    * nulling). */
+  private def ovSeq(s: SparkSession, d: String, family: String,
+      base: DataFrame, idCol: String, delFam: String): DataFrame = {
+    val b = minusDeleted(s, d, base, idCol, delFam)
+    overlayVisible(s, d, family, idCol, delFam) match {
+      case Some(o) => b.unionByName(o.select(base.columns.map(col).toIndexedSeq: _*))
+      case None    => b
+    }
+  }
+
   /** Doc-family corpus-side reader: base ∪ overlay, minus tombstoned
-    * doc ids. */
-  private def ovDoc(s: SparkSession, d: String, family: String,
+    * doc ids (sequence-ordered — see [[overlayVisible]]). */
+  private[graft] def ovDoc(s: SparkSession, d: String, family: String,
       base: DataFrame): DataFrame =
-    minusDeleted(s, d, ov(s, d, family, base), "doc_id", famDocsDeleted)
+    ovSeq(s, d, family, base, "doc_id", famDocsDeleted)
 
   /** Vector-family corpus-side reader — `idCol` names the vector-id
     * column in this family's shape (`vec_id`, or `nid` for the wide PQ
     * codes). */
   private def ovVec(s: SparkSession, d: String, family: String,
       base: DataFrame, idCol: String = "vec_id"): DataFrame =
-    minusDeleted(s, d, ov(s, d, family, base), idCol, famVecsDeleted)
+    ovSeq(s, d, family, base, idCol, famVecsDeleted)
 
   // Overlay FAMILY names — geometry-encoded exactly like the base stage
   // keys they shadow (ADVICE r16): a re-dial (new nbits, new cell size,
@@ -1888,39 +1934,60 @@ object LlmPipeline extends QueryPack {
     * builder; it runs Spark jobs (one write per family — the raw write
     * IS the novelty check's execution, VERDICT r17: no separate isEmpty
     * pre-job re-running the anti-join). Id-novelty is judged against
-    * corpus ids ∪ previously committed ids, so re-committing any batch
-    * is a no-op (idempotent); batch-internal id duplicates collapse
-    * deterministically to the min-text row (an id names ONE row in the
-    * standing index). CRASH-ATOMIC across families (ADVICE r17): every
-    * family segment is appended invisibly first and ONE manifest publish
-    * flips them all visible — a crash mid-commit leaves only orphan dirs
-    * (GC'd by [[ingestCompact]]), the ids still read as novel, and an
-    * at-least-once replay re-commits the batch in full. Returns the
-    * (family, segment, n_rows) report of what is actually on disk —
-    * empty when nothing was novel. */
+    * the ids currently VISIBLE (corpus ∪ committed − seq-effective
+    * tombstones, [[visibleDocs]]): re-committing any batch is a no-op
+    * (idempotent), a commit never changes a standing row's content
+    * (that is [[ingestReplaceDocs]]'s verb), and committing a DELETED
+    * id re-inserts it — the new segment's manifest is later than the
+    * tombstone's, so the row simply wins (r18 seq semantics; before,
+    * tombstones were permanent until compaction). Batch-internal id
+    * duplicates collapse deterministically to the min-text row (an id
+    * names ONE visible row in the standing index). CRASH-ATOMIC across
+    * families (ADVICE r17): every family segment is appended invisibly
+    * first and ONE manifest publish flips them all visible — a crash
+    * mid-commit leaves only orphan dirs (GC'd by [[ingestCompact]]),
+    * the ids still read as novel, and an at-least-once replay
+    * re-commits the batch in full. Returns the (family, segment,
+    * n_rows) report of what is actually on disk — empty when nothing
+    * was novel. */
   private[graft] def ingestCommitDocs(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
-    // novelty base = corpus ∪ committed ∪ DELETED: a tombstoned id is
-    // retired until the next corpus regeneration or compaction
-    // (re-committing it would be invisible behind its own tombstone —
-    // reject early instead; after a compaction folds an overlay-only
-    // tombstone away, the id is genuinely novel again)
-    val standing = (t(s, d, "documents").select("doc_id") +:
-      (IndexOverlay.read(s, d, famDocsRaw) ++
-        IndexOverlay.read(s, d, famDocsDeleted))
-        .map(_.select("doc_id")).toSeq).reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("text")
     val novel = batch.select(col("doc_id"), col("text"))
-      .join(standing, Seq("doc_id"), "left_anti")
+      .join(visibleDocs(s, d).select("doc_id"), Seq("doc_id"), "left_anti")
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-    val (rawPath, nRaw) = IndexOverlay.append(s, d, famDocsRaw, novel)
+    publishCommit(s, d, famDocsRaw, novel, commitDocFamilies(s, d, _))
+  }
+
+  /** The standing index's current (doc_id, text) view — corpus ∪
+    * committed raw rows, under sequence-ordered tombstones: the novelty
+    * base for commits, the change detector for replaces, the
+    * visibility guard for deletes. */
+  private[graft] def visibleDocs(s: SparkSession, d: String): DataFrame =
+    ovDoc(s, d, famDocsRaw,
+      t(s, d, "documents").select(col("doc_id"), col("text")))
+
+  /** [[visibleDocs]] for vectors: the standing (vec_id, embedding). */
+  private[graft] def visibleVecs(s: SparkSession, d: String): DataFrame =
+    ovVec(s, d, famVecsRaw,
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+
+  /** Shared publish tail of the commit verbs: append `novel` as the raw
+    * family's segment (the write IS the emptiness check), derive every
+    * index family from the published parquet, and flip them all visible
+    * through ONE manifest — all-or-nothing for readers and the novelty
+    * base. */
+  private def publishCommit(s: SparkSession, d: String, rawFam: String,
+      novel: DataFrame,
+      derive: DataFrame => Seq[(String, DataFrame)]): DataFrame = {
+    val (rawPath, nRaw) = IndexOverlay.append(s, d, rawFam, novel)
     commitReport(s,
       if (nRaw == 0L) { IndexOverlay.discardSegment(rawPath); Seq.empty }
       else {
         val pub = s.read.parquet(rawPath)
-        val segs = (famDocsRaw, rawPath, nRaw) +:
-          commitDocFamilies(s, d, pub).flatMap { case (fam, df) =>
+        val segs = (rawFam, rawPath, nRaw) +:
+          derive(pub).flatMap { case (fam, df) =>
             val (p, n) = IndexOverlay.append(s, d, fam, df)
             if (n == 0L) { IndexOverlay.discardSegment(p); None }
             else Some((fam, p, n))
@@ -1928,6 +1995,90 @@ object LlmPipeline extends QueryPack {
         IndexOverlay.publishManifest(s, d, segs, full = false)
         segs
       })
+  }
+
+  /** REPLACE (upsert) step of the doc-ingest lifecycle
+    * ([[graft.Ingest.replaceDocs]]): make the batch's rows THE standing
+    * content for their ids — changed ids swap content, unseen ids
+    * insert, unchanged ids are a no-op — in ONE atomic manifest. The
+    * mechanism is the manifest chain's sequence rule: the old rows (base
+    * or earlier-manifest overlay rows, in the raw family and every
+    * derived index family alike) are shadowed by a tombstone segment
+    * co-published WITH the replacement segments, whose own manifest the
+    * tombstone does not reach — so readers flip from old content to new
+    * atomically, and a crash mid-replace leaves only invisible orphans
+    * for an at-least-once replay to redo in full. Works for
+    * corpus-stored ids too (the base row is shadowed; the source
+    * parquet is never touched). Idempotent: replaying a replace finds
+    * every id already visible with identical content and publishes
+    * nothing. Returns the commit report; the tombstone family's row
+    * counts what was superseded. */
+  private[graft] def ingestReplaceDocs(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("text")
+    val b = batch.select(col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    // one outer join computes both halves: rows to write (changed ∪
+    // novel) and ids to supersede (changed only)
+    val cur = visibleDocs(s, d).withColumnRenamed("text", "cur_text")
+    val joined = b.join(cur, Seq("doc_id"), "left")
+      .where(col("cur_text").isNull || !(col("text") <=> col("cur_text")))
+    val toWrite = joined.select(col("doc_id"), col("text"))
+    // the tombstone appends FIRST (invisible until the shared manifest);
+    // its ids come from the published raw segment ∩ currently-visible —
+    // the same read-back-what-landed discipline as the derived families
+    replaceVia(s, d, famDocsRaw, famDocsDeleted, "doc_id", toWrite,
+      cur.select("doc_id"), commitDocFamilies(s, d, _))
+  }
+
+  /** [[ingestReplaceDocs]] for vectors ([[graft.Ingest.replaceVectors]]):
+    * changed embeddings swap (every ANN/dedup family re-derives the id
+    * under frozen geometry), unseen ids insert, identical embeddings
+    * no-op. */
+  private[graft] def ingestReplaceVectors(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(hash(col("embedding")))
+    val b = batch.select(col("vec_id"), col("embedding"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val cur = visibleVecs(s, d).withColumnRenamed("embedding", "cur_embedding")
+    val joined = b.join(cur, Seq("vec_id"), "left")
+      .where(col("cur_embedding").isNull ||
+        !(col("embedding") <=> col("cur_embedding")))
+    val toWrite = joined.select(col("vec_id"), col("embedding"))
+    replaceVia(s, d, famVecsRaw, famVecsDeleted, "vec_id", toWrite,
+      cur.select("vec_id"), commitVecFamilies(s, d, _))
+  }
+
+  /** Replace tail: append the to-write rows invisibly, read the
+    * published parquet back, tombstone (published ids ∩ currently
+    * visible) invisibly too, then hand both plus the derived families
+    * to one manifest publish. The tombstone rides the SAME manifest as
+    * the rows, so (sequence rule) it shadows every older copy of those
+    * ids without touching the replacements. */
+  private def replaceVia(s: SparkSession, d: String, rawFam: String,
+      delFam: String, idCol: String, toWrite: DataFrame, visibleIds: DataFrame,
+      derive: DataFrame => Seq[(String, DataFrame)]): DataFrame = {
+    val (rawPath, nRaw) = IndexOverlay.append(s, d, rawFam, toWrite)
+    if (nRaw == 0L) {
+      IndexOverlay.discardSegment(rawPath)
+      return commitReport(s, Seq.empty)
+    }
+    val pub = s.read.parquet(rawPath)
+    val superseded = pub.select(idCol).join(visibleIds, Seq(idCol), "left_semi")
+    val (tombPath, nTomb) = IndexOverlay.append(s, d, delFam, superseded)
+    val extra =
+      if (nTomb == 0L) { IndexOverlay.discardSegment(tombPath); Nil }
+      else Seq((delFam, tombPath, nTomb))
+    val segs = extra ++ ((rawFam, rawPath, nRaw) +:
+      derive(pub).flatMap { case (fam, df) =>
+        val (p, n) = IndexOverlay.append(s, d, fam, df)
+        if (n == 0L) { IndexOverlay.discardSegment(p); None }
+        else Some((fam, p, n))
+      })
+    IndexOverlay.publishManifest(s, d, segs, full = false)
+    commitReport(s, segs)
   }
 
   /** COMMIT step of the vector-ingest lifecycle
@@ -1937,29 +2088,12 @@ object LlmPipeline extends QueryPack {
     * hashes lowest. */
   private[graft] def ingestCommitVectors(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
-    val standing = (t(s, d, "embeddings").select("vec_id") +:
-      (IndexOverlay.read(s, d, famVecsRaw) ++
-        IndexOverlay.read(s, d, famVecsDeleted))
-        .map(_.select("vec_id")).toSeq).reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(hash(col("embedding")))
     val novel = batch.select(col("vec_id"), col("embedding"))
-      .join(standing, Seq("vec_id"), "left_anti")
+      .join(visibleVecs(s, d).select("vec_id"), Seq("vec_id"), "left_anti")
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-    val (rawPath, nRaw) = IndexOverlay.append(s, d, famVecsRaw, novel)
-    commitReport(s,
-      if (nRaw == 0L) { IndexOverlay.discardSegment(rawPath); Seq.empty }
-      else {
-        val pub = s.read.parquet(rawPath)
-        val segs = (famVecsRaw, rawPath, nRaw) +:
-          commitVecFamilies(s, d, pub).flatMap { case (fam, df) =>
-            val (p, n) = IndexOverlay.append(s, d, fam, df)
-            if (n == 0L) { IndexOverlay.discardSegment(p); None }
-            else Some((fam, p, n))
-          }
-        IndexOverlay.publishManifest(s, d, segs, full = false)
-        segs
-      })
+    publishCommit(s, d, famVecsRaw, novel, commitVecFamilies(s, d, _))
   }
 
   private def commitReport(s: SparkSession,
@@ -1969,23 +2103,24 @@ object LlmPipeline extends QueryPack {
   }
 
   /** DELETE (tombstone) step of the ingest lifecycle
-    * ([[graft.Ingest.deleteDocs]]): retire ids from the standing index
-    * until the next corpus regeneration or [[ingestCompact]]. Appends
-    * the not-yet-deleted ids to an append-only tombstone family; every
-    * corpus-side reader ([[ovDoc]]/[[ovVec]]) anti-joins it, which
-    * retires STORED corpus rows and committed overlay rows alike
-    * without touching source data. Monotonic between compactions — a
-    * deleted id cannot be re-committed (the novelty base includes
-    * tombstones), so no segment-ordering / versioning machinery is
-    * needed; compaction physically drops deleted OVERLAY rows and folds
-    * those ids' tombstones away (delete → compact → commit is the
-    * supported replace path for committed rows), while corpus-stored
-    * ids stay retired until regeneration. The one non-id-keyed family,
-    * the hot-shingle cap, is NOT retracted by deletes (a cap can only
-    * be conservative; the next rebuild re-derives it). EAGER,
-    * idempotent; returns the commit report shape. */
+    * ([[graft.Ingest.deleteDocs]]): retire currently-VISIBLE ids from
+    * the standing index. Appends the visible ids among `ids` to the
+    * tombstone family; under the manifest chain's sequence rule the new
+    * tombstone shadows every standing copy — corpus-stored rows and
+    * committed overlay rows alike — without touching source data, while
+    * a LATER commit of the same id re-inserts it (r18; tombstones are
+    * no longer permanent-until-compaction). Ids with no visible row are
+    * skipped (deleting the absent is a no-op, not a pre-emptive block),
+    * which also makes re-running a delete publish nothing (idempotent).
+    * Compaction physically drops deleted overlay rows and folds
+    * overlay-only ids' tombstones away; corpus-stored ids keep a
+    * tombstone as long as their base row must stay hidden. The one
+    * non-id-keyed family, the hot-shingle cap, is NOT retracted by
+    * deletes (a cap can only be conservative; the next rebuild
+    * re-derives it). EAGER; returns the commit report shape. */
   private[graft] def ingestDeleteIds(s: SparkSession, d: String,
-      ids: DataFrame, idCol: String, delFam: String): DataFrame = {
+      ids: DataFrame, idCol: String, delFam: String,
+      visibleIds: DataFrame): DataFrame = {
     // take the expected id column when present; otherwise demand an
     // unambiguous 1-column frame — silently tombstoning whatever column
     // happened to be first would retire WRONG ids until the next
@@ -1998,13 +2133,9 @@ object LlmPipeline extends QueryPack {
             s"got (${ids.columns.mkString(", ")})")
         ids.select(col(ids.columns.head).as(idCol))
       }
-    val base = idsSel.distinct()
-    val fresh = IndexOverlay.read(s, d, delFam) match {
-      case Some(del) => base.join(del.select(col(idCol)), Seq(idCol), "left_anti")
-      case None => base
-    }
+    val fresh = idsSel.distinct().join(visibleIds, Seq(idCol), "left_semi")
     // the write is the emptiness check (one execution of the dedup plan);
-    // appendCommitted publishes the 1-entry manifest only for novel ids
+    // appendCommitted publishes the 1-entry manifest only for live ids
     val (p, n) = IndexOverlay.appendCommitted(s, d, delFam, fresh)
     commitReport(s, if (n == 0L) Seq.empty else Seq((delFam, p, n)))
   }
@@ -2060,13 +2191,14 @@ object LlmPipeline extends QueryPack {
     * quarter of the lifecycle (VERDICT r17): bound per-probe cost (every
     * `ov()` read unions every manifested segment, every append attempt
     * lists them) without the O(corpus) regeneration. Per family, all
-    * effective segments coalesce into ONE — with tombstoned ids
-    * physically dropped from the id-keyed families — and the tombstone
-    * sets shrink to corpus-stored ids only (an id that lived only in the
-    * overlay is now gone from disk, so its tombstone folds away too —
-    * this is what makes delete → compact → commit the supported replace
-    * path; corpus-stored ids stay retired until regeneration, since
-    * their source rows are not ours to rewrite). Stranded-geometry
+    * effective segments coalesce into ONE holding exactly the VISIBLE
+    * rows under the chain's sequence rule — deleted rows and the
+    * superseded copies behind a replace/re-insert physically leave
+    * disk — and the tombstone sets shrink to corpus-stored ids only: a
+    * base row must stay hidden whether its id was deleted or replaced
+    * (its newest row rides the same `_full` manifest, which the folded
+    * tombstone does not shadow), while an overlay-only id's tombstone
+    * folds away with its rows. Stranded-geometry
     * families are carried through, not dropped: a dial change back to
     * old geometry would make their name live again.
     *
@@ -2100,38 +2232,39 @@ object LlmPipeline extends QueryPack {
       return commitCompactReport(s, Seq.empty)
     }
     val delDoc = IndexOverlay.read(s, d, famDocsDeleted)
-      .map(df => (df.select(col("doc_id")).distinct(), famDocsDeleted))
+      .map(df => df.select(col("doc_id")).distinct())
     val delVec = IndexOverlay.read(s, d, famVecsDeleted)
-      .map(df => (df.select(col("vec_id")).distinct(), famVecsDeleted))
+      .map(df => df.select(col("vec_id")).distinct())
     val tombFams = Set(famDocsDeleted, famVecsDeleted)
-    def minus(df: DataFrame, del: Option[(DataFrame, String)], idCol: String): DataFrame =
-      del match {
-        case Some((ids, delFam)) =>
-          val sel = ids.select(col(ids.columns.head).as(idCol))
-          df.join(
-            if (IndexOverlay.effectiveRows(d, delFam) <= DELETED_BROADCAST_MAX)
-              broadcast(sel)
-            else maybeBroadcast(sel),
-            Seq(idCol), "left_anti")
-        case None => df
-      }
     val dataOut = eff.keys.filterNot(tombFams).toSeq.sorted.map { fam =>
-      val merged = IndexOverlay.read(s, d, fam).get.distinct()
-      val cols = merged.columns.toSet
+      // the fold keeps exactly the VISIBLE rows under the chain's
+      // sequence rule — a replaced/re-inserted id keeps its newest row
+      // (an all-tombstone anti-join would drop it), the superseded
+      // copies and deleted rows leave disk; distinct() is identity on a
+      // well-formed overlay and the healer for crash/race duplicates
+      val cols = IndexOverlay.read(s, d, fam).get.columns.toSet
+      val delFam =
+        if (cols("doc_id")) famDocsDeleted
+        else if (cols("vec_id") || cols("nid")) famVecsDeleted
+        else "" // non-id-keyed (hot-shingle cap): a set, dedup only
+      val idCol =
+        if (cols("doc_id")) "doc_id" else if (cols("vec_id")) "vec_id" else "nid"
       val folded =
-        if (cols("doc_id")) minus(merged, delDoc, "doc_id")
-        else if (cols("vec_id")) minus(merged, delVec, "vec_id")
-        else if (cols("nid")) minus(merged, delVec, "nid")
-        else merged // non-id-keyed (hot-shingle cap): a set, dedup only
+        if (delFam.isEmpty) IndexOverlay.read(s, d, fam).get.distinct()
+        else overlayVisible(s, d, fam, idCol, delFam).get.distinct()
       (fam, IndexOverlay.append(s, d, fam, folded))
     }
     // tombstone fold LAST (their new content must reflect what the data
-    // families above were filtered with): keep only corpus-stored ids —
-    // overlay rows of deleted ids are physically gone now
+    // families above were filtered with): keep corpus-stored ids only —
+    // a base row must stay hidden whether its id was deleted or
+    // replaced/re-inserted (the newest row rides the SAME full manifest,
+    // which the folded tombstone does not shadow), while an id that
+    // lived only in the overlay is physically gone now, so its
+    // tombstone folds away and the id is novel again
     val tombOut = Seq(
       (famDocsDeleted, delDoc, "documents", "doc_id"),
       (famVecsDeleted, delVec, "embeddings", "vec_id")).flatMap {
-      case (fam, del, table, idCol) => del.map { case (ids, _) =>
+      case (fam, del, table, idCol) => del.map { ids =>
         (fam, IndexOverlay.append(s, d, fam,
           ids.join(t(s, d, table).select(col(idCol)), Seq(idCol), "left_semi")))
       }
@@ -2199,18 +2332,23 @@ object LlmPipeline extends QueryPack {
 
   private[graft] def ingestDriftReport(s: SparkSession, d: String): DataFrame = {
     val cents = ivfKCentroids(s, d)
-    val base = t(s, d, "embeddings").join(ivfKAssign(s, d), "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"))
-    val members = IndexOverlay.read(s, d, famVecsRaw) match {
+    // base members read the persisted assignment (shadowed by every
+    // tombstone); overlay members must be the seq-VISIBLE rows — an
+    // all-tombstone anti-join would drop replaced/re-inserted vectors
+    // from the drift view — and take rank-1 cells fresh under the
+    // frozen centroids (bit-identical to what the build would assign)
+    val base = minusDeleted(s, d,
+      t(s, d, "embeddings").join(ivfKAssign(s, d), "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding")),
+      "vec_id", famVecsDeleted)
+    val members = overlayVisible(s, d, famVecsRaw, "vec_id", famVecsDeleted) match {
       case Some(ovRaw) =>
         val o = ovRaw.select(col("vec_id"), col("embedding"))
         base.unionByName(o.join(ivfKCellsFor(o, cents, 1), "vec_id")
           .select(col("vec_id"), col("cell"), col("embedding")))
       case None => base
     }
-    ivfDriftFrom(cents,
-      minusDeleted(s, d, members, "vec_id", famVecsDeleted)
-        .select(col("cell"), col("embedding")))
+    ivfDriftFrom(cents, members.select(col("cell"), col("embedding")))
   }
 
   /** The q_dedup_semantic_recall computation at an arbitrary cell-size

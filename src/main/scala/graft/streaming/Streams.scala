@@ -282,6 +282,38 @@ object Streams {
         report(graft.Ingest.commitVectors(spark, d, mb.toDF()), batchId)
       }
 
+  /** Streaming UPSERT sink — the CDC-apply shape: each micro-batch of
+    * (doc_id, text) rows is applied to the standing index via
+    * [[graft.Ingest.replaceDocs]] (changed ids swap content atomically,
+    * unseen ids insert, identical rows no-op). Exactly-once index state
+    * under foreachBatch's at-least-once delivery, like
+    * [[commitDocsSink]] but covering UPDATES: redelivery of a failed
+    * trigger's micro-batch (the actual at-least-once failure mode)
+    * finds its rows already visible with identical content and
+    * publishes nothing, and a full ordered replay re-applies the
+    * changelog to converge on the same final state. Within one
+    * micro-batch the per-id winner is deterministic (min text);
+    * cross-batch, the latest trigger wins — standard changelog
+    * ordering, so feed it a per-key-ordered stream (e.g. a compacted
+    * topic / CDC feed). */
+  def replaceDocsSink(spark: SparkSession, d: String, docs: DataFrame)(
+      report: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        report(graft.Ingest.replaceDocs(spark, d, mb.toDF()), batchId)
+      }
+
+  /** [[replaceDocsSink]] for (vec_id, embedding) streams —
+    * [[graft.Ingest.replaceVectors]] per micro-batch. */
+  def replaceVectorsSink(spark: SparkSession, d: String, vectors: DataFrame)(
+      report: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        report(graft.Ingest.replaceVectors(spark, d, mb.toDF()), batchId)
+      }
+
   /** Running per-user totals via custom state (mapGroupsWithState): state =
     * (event count, value sum) per user, carried across micro-batches in the
     * state store. The arbitrary-stateful-processing surface the built-in

@@ -475,14 +475,25 @@ class IngestSpec extends AnyFunSuite {
     val after = verdicts()
     assert(after(2000L) == ((false, false)) && after(2001L) == ((false, false)),
       s"post-delete flags (deleted content still corpus-side): $after")
-    // idempotent; and a deleted id is RETIRED — re-commit is a no-op
+    // idempotent: the ids are no longer visible, so a re-delete is a no-op
     assert(Ingest.deleteDocs(spark, d, Seq(5L, 1000L).toDF("doc_id")).isEmpty)
-    assert(Ingest.commitDocs(spark, d,
-      Seq((1000L, "resurrection attempt text")).toDF("doc_id", "text")).isEmpty,
-      "a tombstoned id must not be re-committable (retire-until-rebuild)")
     val ovr = Ingest.overlayReport(spark, d).collect()
       .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(3)))).toMap
     assert(ovr("docs_deleted") == ((true, 2L)), s"report: $ovr")
+    // sequence semantics (r18): a LATER commit of a deleted id RE-INSERTS
+    // it — the new segment's manifest is past the tombstone's, so the row
+    // wins; the old content stays retired
+    val resText = (0 until 20).map(j => s"rz0x$j").mkString(" ")
+    val re = Ingest.commitDocs(spark, d,
+      Seq((1000L, resText)).toDF("doc_id", "text")).collect()
+    assert(re.exists(r => r.getString(0) == "docs_raw" && r.getLong(2) == 1L),
+      s"a deleted id must be re-insertable by a later commit: ${re.toSeq}")
+    val reProbe = Seq((3000L, resText), (3001L, committedText))
+      .toDF("doc_id", "text")
+    val reFlags = Ingest.exactDedup(spark, d, reProbe).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(reFlags(3000L) && !reFlags(3001L),
+      s"re-inserted content must be corpus-side, the deleted old content not: $reFlags")
   }
 
   test("deleteVectors retires stored and committed vectors from every ANN tier and semantic dedup") {
@@ -696,22 +707,32 @@ class IngestSpec extends AnyFunSuite {
     Ingest.compact(spark, d)
     assert(snapshot() == before, "re-compact changed probe results")
 
-    // the REPLACE path: the deleted COMMITTED id's tombstone folded away,
-    // so it is novel again — delete -> compact -> commit re-adds content
-    // under the same id
+    // re-insert after the fold: the deleted COMMITTED id's tombstone
+    // folded away (novel again) and a commit re-adds content under the
+    // same id
     val re = Ingest.commitDocs(spark, d,
       Seq((1000L, mkText("cz9x"))).toDF("doc_id", "text")).collect()
     assert(re.nonEmpty && re.exists(r =>
         r.getString(0) == "docs_raw" && r.getLong(2) == 1L),
-      s"replace path closed: re-commit of a compacted-away id was ${re.toSeq}")
+      s"re-commit of a compacted-away id was ${re.toSeq}")
     val reProbe = Ingest.exactDedup(spark, d,
       Seq((9500L, mkText("cz9x"))).toDF("doc_id", "text")).collect().head
-    assert(reProbe.getBoolean(1), "replaced content not corpus-side")
-    // ...while the CORPUS-stored deleted id stays retired (its source row
-    // is not ours to rewrite — tombstone survives the fold)
-    assert(Ingest.commitDocs(spark, d,
-        Seq((5L, mkText("cy8x"))).toDF("doc_id", "text")).isEmpty,
-      "a corpus-stored deleted id must stay retired after compact")
+    assert(reProbe.getBoolean(1), "re-inserted content not corpus-side")
+    // the CORPUS-stored deleted id keeps its tombstone through the fold
+    // (its base row must stay hidden) — but a LATER commit re-inserts it
+    // too (sequence semantics, r18): new content corpus-side, old retired
+    val re5 = Ingest.commitDocs(spark, d,
+      Seq((5L, mkText("cy8x"))).toDF("doc_id", "text")).collect()
+    assert(re5.exists(r => r.getString(0) == "docs_raw" && r.getLong(2) == 1L),
+      s"a corpus-stored deleted id must be re-insertable: ${re5.toSeq}")
+    val re5Flags = Ingest.exactDedup(spark, d, Seq(
+        (9600L, mkText("cy8x")),
+        (9601L, Tables.t(spark, d, "documents").where(col("doc_id") === 5L)
+          .select("text").collect().head.getString(0)))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(re5Flags(9600L) && !re5Flags(9601L),
+      s"post-re-insert: new content corpus-side, old base text retired: $re5Flags")
   }
 
   test("a crashed partial commit is invisible, replayable, and compact reclaims its orphans") {
@@ -815,5 +836,127 @@ class IngestSpec extends AnyFunSuite {
     assert(IndexOverlay.read(spark, d, "docs_deleted").get
         .collect().map(_.getLong(0)).toSeq == Seq(2L),
       "wrong column tombstoned")
+  }
+
+  // ---- 5. REPLACE / upsert (r18 sequence semantics) ----
+
+  test("replaceDocs: changed ids swap content atomically, inserts land, identical rows no-op; replay publishes nothing") {
+    import spark.implicits._
+    val d = freshCorpus("rpd")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    Ingest.commitDocs(spark, d, Seq((1000L, mkText("rav"))).toDF("doc_id", "text"))
+    val text6 = Tables.t(spark, d, "documents").where(col("doc_id") === 6L)
+      .select("text").collect().head.getString(0)
+    val oldText5 = Tables.t(spark, d, "documents").where(col("doc_id") === 5L)
+      .select("text").collect().head.getString(0)
+    // 5 = corpus-stored CHANGE, 1000 = committed CHANGE, 2000 = INSERT,
+    // 6 = identical (must publish nothing for it)
+    val batch = Seq((5L, mkText("rn5")), (1000L, mkText("rn1k")),
+      (2000L, mkText("rn2k")), (6L, text6)).toDF("doc_id", "text")
+    val rep = Ingest.replaceDocs(spark, d, batch).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep("docs_raw") == 3L, s"write set = 2 changes + 1 insert: $rep")
+    assert(rep("docs_deleted") == 2L, s"superseded set = the 2 changes: $rep")
+    // new content corpus-side, superseded content retired, across families
+    def flags(probes: Seq[(Long, String)]): Map[Long, Boolean] =
+      Ingest.exactDedup(spark, d, probes.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val f = flags(Seq((9000L, mkText("rn5")), (9001L, mkText("rn1k")),
+      (9002L, mkText("rn2k")), (9003L, text6),
+      (9004L, oldText5), (9005L, mkText("rav"))))
+    assert(f == Map(9000L -> true, 9001L -> true, 9002L -> true,
+      9003L -> true, 9004L -> false, 9005L -> false),
+      s"post-replace exact-dedup view: $f")
+    val mh = Ingest.minhashDedup(spark, d,
+        Seq((9100L, mkText("rn5"))).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((9100L, 5L)),
+      s"minhash index must serve the id's NEW signature: $mh")
+    // idempotent: replaying the same upsert batch publishes nothing
+    assert(Ingest.replaceDocs(spark, d, batch).isEmpty,
+      "replayed replace must find identical content and no-op")
+    // the visible view is the upserted state
+    val vis = operators.LlmPipeline.visibleDocs(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vis(5L) == mkText("rn5") && vis(1000L) == mkText("rn1k") &&
+      vis(2000L) == mkText("rn2k") && vis(6L) == text6,
+      "visibleDocs must reflect the upsert")
+    assert(vis.size == 32, s"30 corpus + 1000 + 2000 = 32 visible ids: ${vis.size}")
+  }
+
+  test("replaceVectors re-indexes a changed embedding across every ANN tier") {
+    import spark.implicits._
+    val d = freshCorpus("rpv")
+    val emb3 = Tables.t(spark, d, "embeddings").where(col("vec_id") === 3L)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val rnd = new scala.util.Random(99L)
+    val newEmb = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rep = Ingest.replaceVectors(spark, d,
+        Seq((3L, newEmb)).toDF("vec_id", "embedding")).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep("vecs_raw") == 1L && rep("vecs_deleted") == 1L, rep.toString)
+    def hitsAt1(probe: Array[Float]): Map[String, Boolean] = Seq(
+      "annLsh" -> Ingest.annLsh(spark, d, Seq((9100L, probe)).toDF("vec_id", "embedding")),
+      "annLshc" -> Ingest.annLshc(spark, d, Seq((9100L, probe)).toDF("vec_id", "embedding")),
+      "annIvfK" -> Ingest.annIvfK(spark, d, Seq((9100L, probe)).toDF("vec_id", "embedding")),
+      "annIvfc" -> Ingest.annIvfc(spark, d, Seq((9100L, probe)).toDF("vec_id", "embedding")),
+      "annIvfPq" -> Ingest.annIvfPq(spark, d, Seq((9100L, probe)).toDF("vec_id", "embedding")),
+      "annIvfcPq" -> Ingest.annIvfcPq(spark, d, Seq((9100L, probe)).toDF("vec_id", "embedding")))
+      .map { case (n, df) => n -> df.collect()
+        .exists(r => r.getLong(1) == 3L && r.getDouble(2) == 1.0) }.toMap
+    val newHits = hitsAt1(newEmb)
+    assert(newHits.values.forall(identity),
+      s"every tier must serve the REPLACED embedding at cos 1.0: $newHits")
+    val oldHits = hitsAt1(emb3)
+    assert(oldHits.values.forall(h => !h),
+      s"no tier may still serve the superseded embedding at cos 1.0: $oldHits")
+    // replay no-ops (array equality through the null-safe change gate)
+    assert(Ingest.replaceVectors(spark, d,
+      Seq((3L, newEmb)).toDF("vec_id", "embedding")).isEmpty)
+  }
+
+  test("replace survives compact: probes invariant, superseded copies leave disk, crash debris is invisible") {
+    import spark.implicits._
+    val d = freshCorpus("rpc")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    Ingest.replaceDocs(spark, d, Seq(
+      (5L, mkText("rc5")), (1500L, mkText("rc15"))).toDF("doc_id", "text"))
+    // a second replace of the SAME id exercises tombstone-over-tombstone
+    // sequencing (the older replacement row must fall out of the fold)
+    Ingest.replaceDocs(spark, d, Seq((5L, mkText("rc5b"))).toDF("doc_id", "text"))
+    // crash debris: a replace that died after its invisible appends
+    IndexOverlay.append(spark, d, "docs_raw",
+      Seq((7L, mkText("dead"))).toDF("doc_id", "text"))
+    IndexOverlay.append(spark, d, "docs_deleted", Seq(7L).toDF("doc_id"))
+    val probe = Seq((9000L, mkText("rc5b")), (9001L, mkText("rc5")),
+      (9002L, mkText("rc15")), (9003L, mkText("dead"))).toDF("doc_id", "text")
+    def snap(): Seq[String] = rows(Ingest.exactDedup(spark, d, probe)) ++
+      rows(Ingest.minhashDedup(spark, d, probe)) ++
+      rows(Ingest.substringDedup(spark, d, probe))
+    val before = snap()
+    assert(before.exists(_.startsWith("[9000,true")) &&
+      before.exists(_.startsWith("[9001,false")) &&
+      before.exists(_.startsWith("[9003,false")),
+      s"pre-compact: latest replacement visible, older + crashed not: $before")
+    Ingest.compact(spark, d)
+    assert(snap() == before, "compact changed the post-replace probe view")
+    // the fold kept the NEWEST row per replaced id, dropped superseded
+    // copies, and retained the corpus-stored id's tombstone
+    val raw = IndexOverlay.read(spark, d, "docs_raw").get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(raw == Map(5L -> mkText("rc5b"), 1500L -> mkText("rc15")),
+      s"folded docs_raw: $raw")
+    assert(IndexOverlay.read(spark, d, "docs_deleted").get.collect()
+        .map(_.getLong(0)).toSeq == Seq(5L),
+      "only the corpus-stored replaced id keeps a tombstone through the fold")
+    // and the lifecycle continues after the fold: replace again
+    Ingest.replaceDocs(spark, d, Seq((5L, mkText("rc5c"))).toDF("doc_id", "text"))
+    assert(Ingest.exactDedup(spark, d,
+        Seq((9100L, mkText("rc5c"))).toDF("doc_id", "text"))
+      .collect().head.getBoolean(1), "post-compact replace not corpus-side")
   }
 }

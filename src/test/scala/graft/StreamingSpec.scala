@@ -283,6 +283,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(v.getBoolean(1), s"streamed-committed content not flagged: $v")
   }
 
+  test("streaming upsert sink: changelog applies in order; redelivery and full replay converge (exactly-once state)") {
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("graft-upsertstream").toString
+    (0 until 40).map(i =>
+        (i.toLong, (0 until 20).map(j => s"up${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    // changelog: trigger 1 upserts corpus doc 5 and inserts 1000 (v1);
+    // trigger 2 re-upserts 1000 (v2 — lexically smaller than v1, so the
+    // final state is v2 whether the source splits the files into two
+    // triggers or collapses them into one batch's min-text winner)
+    val srcDir = Files.createTempDirectory("graft-upsertsrc").toString
+    Seq((5L, mkText("uc5")), (1000L, mkText("ukb")))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    val lastBatch = Seq((1000L, mkText("uka")))
+    lastBatch.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = lastBatch.toDF("doc_id", "text").schema
+    def visible(): Map[Long, String] =
+      graft.operators.LlmPipeline.visibleDocs(spark, corpus).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def run(): Unit = {
+      val qy = Streams.replaceDocsSink(spark, corpus,
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)) { (_, _) => () }
+        .option("checkpointLocation", ckpt())
+        .trigger(Trigger.AvailableNow()).start()
+      qy.awaitTermination(120000)
+    }
+    run()
+    val applied = visible()
+    assert(applied(5L) == mkText("uc5") && applied(1000L) == mkText("uka"),
+      s"changelog not applied: 5 -> ${applied(5L).take(8)}, 1000 -> ${applied(1000L).take(8)}")
+    assert(applied.size == 41, s"40 corpus + 1 insert: ${applied.size}")
+    // redelivery of the failed trigger's micro-batch (the actual
+    // at-least-once failure mode) finds identical content -> publishes
+    // NOTHING
+    assert(Ingest.replaceDocs(spark, corpus,
+        lastBatch.toDF("doc_id", "text")).isEmpty,
+      "redelivered micro-batch must no-op")
+    // and a FULL ordered replay from a fresh checkpoint converges to the
+    // same final state (it may republish intermediate versions)
+    run()
+    assert(visible() == applied, "full replay did not converge")
+    // old content retired, new served, for the index probes too
+    val f = Ingest.exactDedup(spark, corpus, Seq(
+        (9000L, mkText("uka")), (9001L, mkText("ukb")))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(f == Map(9000L -> true, 9001L -> false),
+      s"probe view after upsert stream: $f")
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-state").toString
