@@ -649,4 +649,36 @@ class PlanSpec extends AnyFunSuite {
     assert(tomb.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       s"post-delete probe plan: ${tomb.queryExecution.executedPlan}")
   }
+
+  test("post-replace probe plans: every shadow-group anti-join rides broadcast") {
+    // r18 sequence semantics: a replace leaves the overlay split into
+    // shadow GROUPS — segments older than the replace's tombstone
+    // anti-join it, the replacement rows (same manifest) do not, and the
+    // base anti-joins every tombstone. Each group's anti-join must ride
+    // a broadcast hinted from the manifest chain's exact counts; a
+    // sort-merge fallback would shuffle the corpus side once per group,
+    // at every probe, on any store with a replace in its history.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-rpplan").toString
+    (0 until 30).map(i =>
+        (i.toLong, (0 until 20).map(j => s"rp${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    Ingest.commitDocs(s, d, Seq((1000L, mkText("pa"))).toDF("doc_id", "text"))
+    // replace a corpus-stored AND the committed id: the commit's segment
+    // now sits in an older shadow group than the replacement's
+    Ingest.replaceDocs(s, d, Seq(
+      (5L, mkText("pb")), (1000L, mkText("pc"))).toDF("doc_id", "text"))
+    val probe = Seq((9000L, mkText("pb"))).toDF("doc_id", "text")
+    val df = Ingest.exactDedup(s, d, probe)
+    df.collect() // finalize AQE on THIS plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"a shadow-group anti-join fell off broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected base + older-group tombstone anti-joins on broadcast:\n$p")
+  }
 }
