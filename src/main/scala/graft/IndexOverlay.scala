@@ -88,7 +88,11 @@ import org.apache.spark.sql.types._
   *    leaving that id with one row per winner until [[Ingest.compact]],
   *    whose all-column dedup collapses identical twins (ADVICE r17 —
   *    same-id/different-content concurrent commits need external
-  *    coordination, as in any last-writer-wins-free store).
+  *    coordination). Concurrent REPLACES of the same id, by contrast,
+  *    are well-defined (r18): each publishes tombstone+rows in one
+  *    manifest, manifest ids serialize them, and the later manifest's
+  *    tombstone shadows the earlier's rows while its own rows stand —
+  *    LAST WRITER WINS, exactly one visible row either way.
   *  - NOT memoized anywhere: the overlay is the one MUTABLE part of the
   *    index store by design, so the manifest chain is re-read at every
   *    plan construction (driver-side listing + tiny file reads, ~µs;

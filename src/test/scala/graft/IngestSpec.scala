@@ -959,4 +959,66 @@ class IngestSpec extends AnyFunSuite {
         Seq((9100L, mkText("rc5c"))).toDF("doc_id", "text"))
       .collect().head.getBoolean(1), "post-compact replace not corpus-side")
   }
+
+  test("concurrent same-id replaces: manifest order serializes to last-writer-wins, one visible row") {
+    import spark.implicits._
+    val d = freshCorpus("rcc")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    // warm the doc artifacts serially (the race is about the replaces)
+    Ingest.exactDedup(spark, d, Seq((1L, "warm")).toDF("doc_id", "text")).count()
+    Ingest.minhashDedup(spark, d, Seq((1L, "warm a b c d")).toDF("doc_id", "text")).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val texts = (0 until 4).map(k => mkText(s"rw${k}y"))
+    Await.result(Future.sequence((0 until 4).map { k =>
+      Future {
+        Ingest.replaceDocs(spark, d, Seq((5L, texts(k))).toDF("doc_id", "text"))
+      }
+    }), 300.seconds)
+    // exactly ONE visible row for the contended id, and it is whichever
+    // writer's manifest published last (sequence rule: the later
+    // manifest's tombstone shadows every earlier row, never its own)
+    val vis = operators.LlmPipeline.visibleDocs(spark, d)
+      .where(col("doc_id") === 5L).collect().map(_.getString(1))
+    assert(vis.length == 1 && texts.contains(vis.head),
+      s"contended id visible rows: ${vis.length}")
+    val winners = IndexOverlay.segmentsWithSeq(d, "docs_raw")
+      .sortBy(_._2).map(_._1)
+    val lastRow = spark.read.parquet(winners.last).collect()
+    assert(lastRow.length == 1 && lastRow.head.getString(1) == vis.head,
+      "the visible row must be the LAST manifest's")
+    // the fold collapses the contention to one physical row and the
+    // probe view is unchanged by it
+    val probe = Seq((9000L, vis.head)).toDF("doc_id", "text")
+    val before = rows(Ingest.exactDedup(spark, d, probe))
+    Ingest.compact(spark, d)
+    val raw = IndexOverlay.read(spark, d, "docs_raw").get
+      .where(col("doc_id") === 5L).collect()
+    assert(raw.length == 1 && raw.head.getString(1) == vis.head,
+      s"fold must keep exactly the winner's row: ${raw.length}")
+    assert(rows(Ingest.exactDedup(spark, d, probe)) == before,
+      "compact changed the post-contention probe view")
+  }
+
+  test("driftReport counts a replaced vector once, with its new embedding") {
+    import spark.implicits._
+    val d = freshCorpus("rdf")
+    def members(df: DataFrame): Long =
+      df.agg(sum(col("n_members"))).collect().head.getLong(0)
+    val baseTotal = members(Ingest.driftReport(spark, d))
+    assert(baseTotal == 256L, s"fresh corpus members: $baseTotal")
+    // replace one vector with strongly off-distribution mass
+    val nearAxis = {
+      val v = Array.tabulate(64)(k => if (k == 0) 1.0f else 0.0f)
+      v
+    }
+    Ingest.replaceVectors(spark, d, Seq((3L, nearAxis)).toDF("vec_id", "embedding"))
+    val after = Ingest.driftReport(spark, d)
+    // still 256 members: the old embedding left the drift view when the
+    // new one entered — an all-tombstone anti-join would count 255, a
+    // shadow-blind union 257
+    assert(members(after) == 256L,
+      s"replaced vector must drift-count exactly once: ${members(after)}")
+  }
 }
