@@ -2019,17 +2019,12 @@ object LlmPipeline extends QueryPack {
       .partitionBy("doc_id").orderBy("text")
     val b = batch.select(col("doc_id"), col("text"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-    // one outer join computes both halves: rows to write (changed ∪
-    // novel) and ids to supersede (changed only)
     val cur = visibleDocs(s, d).withColumnRenamed("text", "cur_text")
-    val joined = b.join(cur, Seq("doc_id"), "left")
+    val cls = b.join(cur, Seq("doc_id"), "left")
       .where(col("cur_text").isNull || !(col("text") <=> col("cur_text")))
-    val toWrite = joined.select(col("doc_id"), col("text"))
-    // the tombstone appends FIRST (invisible until the shared manifest);
-    // its ids come from the published raw segment ∩ currently-visible —
-    // the same read-back-what-landed discipline as the derived families
-    replaceVia(s, d, famDocsRaw, famDocsDeleted, "doc_id", toWrite,
-      cur.select("doc_id"), commitDocFamilies(s, d, _))
+      .select(col("doc_id"), col("text"), col("cur_text").isNotNull.as("was_visible"))
+    replaceVia(s, d, famDocsRaw, famDocsDeleted, "doc_id", cls,
+      commitDocFamilies(s, d, _))
   }
 
   /** [[ingestReplaceDocs]] for vectors ([[graft.Ingest.replaceVectors]]):
@@ -2043,30 +2038,39 @@ object LlmPipeline extends QueryPack {
     val b = batch.select(col("vec_id"), col("embedding"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
     val cur = visibleVecs(s, d).withColumnRenamed("embedding", "cur_embedding")
-    val joined = b.join(cur, Seq("vec_id"), "left")
+    val cls = b.join(cur, Seq("vec_id"), "left")
       .where(col("cur_embedding").isNull ||
         !(col("embedding") <=> col("cur_embedding")))
-    val toWrite = joined.select(col("vec_id"), col("embedding"))
-    replaceVia(s, d, famVecsRaw, famVecsDeleted, "vec_id", toWrite,
-      cur.select("vec_id"), commitVecFamilies(s, d, _))
+      .select(col("vec_id"), col("embedding"),
+        col("cur_embedding").isNotNull.as("was_visible"))
+    replaceVia(s, d, famVecsRaw, famVecsDeleted, "vec_id", cls,
+      commitVecFamilies(s, d, _))
   }
 
-  /** Replace tail: append the to-write rows invisibly, read the
-    * published parquet back, tombstone (published ids ∩ currently
-    * visible) invisibly too, then hand both plus the derived families
-    * to one manifest publish. The tombstone rides the SAME manifest as
-    * the rows, so (sequence rule) it shadows every older copy of those
-    * ids without touching the replacements. */
+  /** Replace tail. `cls` is the change CLASSIFICATION — the batch's
+    * changed ∪ novel rows, each tagged `was_visible` (⇒ its standing
+    * copy must be superseded). It is materialized ONCE with an eager
+    * localCheckpoint — the single corpus-side pass a replace executes
+    * (the r17 "plan executed twice" lesson applied forward: without it
+    * the visibility join would run again for the tombstone's semi-join)
+    * — then everything downstream reads the O(batch) pinned result: the
+    * raw segment appends the (id, payload) columns, the tombstone
+    * appends the was_visible ids, the derived families compute from the
+    * published raw parquet, and ONE manifest flips rows + tombstone
+    * visible together (sequence rule: the co-published tombstone
+    * shadows every OLDER copy of those ids, never the replacements). */
   private def replaceVia(s: SparkSession, d: String, rawFam: String,
-      delFam: String, idCol: String, toWrite: DataFrame, visibleIds: DataFrame,
+      delFam: String, idCol: String, cls: DataFrame,
       derive: DataFrame => Seq[(String, DataFrame)]): DataFrame = {
-    val (rawPath, nRaw) = IndexOverlay.append(s, d, rawFam, toWrite)
+    val pinned = cls.localCheckpoint() // eager: the one visibility pass
+    val (rawPath, nRaw) = IndexOverlay.append(s, d, rawFam,
+      pinned.drop("was_visible"))
     if (nRaw == 0L) {
       IndexOverlay.discardSegment(rawPath)
       return commitReport(s, Seq.empty)
     }
     val pub = s.read.parquet(rawPath)
-    val superseded = pub.select(idCol).join(visibleIds, Seq(idCol), "left_semi")
+    val superseded = pinned.where(col("was_visible")).select(idCol)
     val (tombPath, nTomb) = IndexOverlay.append(s, d, delFam, superseded)
     val extra =
       if (nTomb == 0L) { IndexOverlay.discardSegment(tombPath); Nil }
