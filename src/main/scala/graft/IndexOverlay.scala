@@ -208,13 +208,6 @@ object IndexOverlay {
       (s"${famDir(d, family)}/${e.seg}", m, e.rows)
     }
 
-  /** Committed row count of a family — DRIVER-SIDE, from the manifest
-    * chain (appends count their published parquet). The tombstone
-    * broadcast gate and [[Ingest.overlayReport]] read this instead of
-    * running count jobs. */
-  private[graft] def effectiveRows(d: String, family: String): Long =
-    effectiveEntries(d).filter(_.family == family).map(_.rows).sum
-
   /** All committed rows of a family, or None when nothing was ever
     * committed (the every-registered-query fast path). No mergeSchema:
     * [[append]] rejects name OR type drift against the family's standing

