@@ -159,6 +159,40 @@ object CommitBench {
       Ingest.substringDedup(spark, d2, probeBatch).count()
     }
 
+    // ---- replace sweep: probe cost vs un-compacted replace depth ----
+    // every replace adds a tombstone segment, i.e. one more shadow-group
+    // anti-join branch to every corpus-side probe plan — this measures
+    // that tax (and therefore whether the compactIfNeeded segment budget,
+    // which tombstone segments count toward, also bounds it)
+    val d4 = java.nio.file.Files.createTempDirectory("graft-repsweep").toString
+    for (t <- Seq("documents", "embeddings"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$d4/$t.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+    Ingest.minhashDedup(spark, d4, probeBatch).count()
+    Ingest.exactDedup(spark, d4, probeBatch).count()
+    Ingest.commitDocs(spark, d4, (0 until 20).map(i => (80000000L + i,
+      (0 until 20).map(j => s"rb${i}x$j").mkString(" "))).toDF("doc_id", "text"))
+    var replaced = 0
+    val repSweep = Seq(1, 8, 32).map { tier =>
+      while (replaced < tier) {
+        Ingest.replaceDocs(spark, d4, (0 until 20).map(i => (80000000L + i,
+          (0 until 20).map(j => s"rv${replaced}x${i}x$j").mkString(" ")))
+          .toDF("doc_id", "text"))
+        replaced += 1
+      }
+      val (_, pS) = timed {
+        Ingest.minhashDedup(spark, d4, probeBatch).count()
+        Ingest.exactDedup(spark, d4, probeBatch).count()
+      }
+      (tier, pS)
+    }
+    val (_, repCompactS) = timed(Ingest.compact(spark, d4).count())
+    val (_, repProbeAfterS) = timed {
+      Ingest.minhashDedup(spark, d4, probeBatch).count()
+      Ingest.exactDedup(spark, d4, probeBatch).count()
+    }
+
     // ---- streaming commit latency (per micro-batch) ----
     val d3 = java.nio.file.Files.createTempDirectory("graft-streamcommit").toString
     for (t <- Seq("documents", "embeddings"))
@@ -202,6 +236,11 @@ object CommitBench {
       s""""seg_sweep":$sweepJson,""" +
       s""""compact_s":${f"$compactS%.2f"},""" +
       s""""probe_after_compact_s":${f"$probeAfterS%.2f"},""" +
+      s""""replace_sweep":${repSweep.map { case (tier, pS) =>
+        s"""{"replaces":$tier,"probe_s":${f"$pS%.2f"}}"""
+      }.mkString("[", ",", "]")},""" +
+      s""""replace_compact_s":${f"$repCompactS%.2f"},""" +
+      s""""replace_probe_after_s":${f"$repProbeAfterS%.2f"},""" +
       s""""stream_commit_batch_ms":${batchMs.mkString("[", ",", "]")}}""")
     spark.stop()
   }

@@ -33,9 +33,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    driver broadcast limit. There is no hard batch ceiling; very
   *    large batches just lose the broadcast fast path.
   *
+  * Beyond the PROBE methods above, the facade is the full index
+  * LIFECYCLE (r17–r18): [[commitDocs]]/[[commitVectors]] (insert),
+  * [[replaceDocs]]/[[replaceVectors]] (upsert), [[deleteDocs]]/
+  * [[deleteVectors]] (tombstone), [[compact]] (fold), with
+  * [[overlayReport]] and [[driftReport]] as the observability pair —
+  * all over [[IndexOverlay]]'s manifest chain, all O(batch) except the
+  * O(overlay) fold.
+  *
   * Streaming twin: [[graft.streaming.Streams]] wires the same batch
   * cores into Structured Streaming micro-batches; verdicts are
-  * batch-split-invariant (StreamingSpec).
+  * batch-split-invariant (StreamingSpec), and the commit/replace sinks
+  * compose at-least-once delivery to exactly-once index state.
   */
 object Ingest {
 

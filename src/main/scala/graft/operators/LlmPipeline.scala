@@ -1525,24 +1525,59 @@ object LlmPipeline extends QueryPack {
     * EARLIER manifests only (id < m) — never its own manifest's
     * co-published rows — so a row committed after a delete is visible
     * (re-insert) and an atomic same-manifest tombstone+rows publish is
-    * a replace ([[ingestReplaceDocs]]). Row segments sharing a shadow
-    * set read as one multi-path scan; the plan holds ≤ (tombstone
-    * manifests + 1) anti-join branches, each against a chain-counted
-    * (usually broadcast) id set, and [[ingestCompact]] folds it all
-    * back to at most one branch. */
+    * a replace ([[ingestReplaceDocs]]).
+    *
+    * Shape: a family's segments read as ONE multi-path scan whose rows
+    * recover their manifest id through a literal segment-name → seq map
+    * over the scan's `_metadata.file_path` (tombstones likewise), and
+    * visibility is ONE broadcast anti-join with the non-equi conjunct
+    * `tombstone._seq > row._seq` — each segment file is scanned exactly
+    * once, in one scan node, and the plan holds one join however many
+    * replaces/deletes the chain accumulated. (Two rejected cuts, both
+    * measured by `graft.CommitBench`'s sweeps: grouping row segments by
+    * tombstone SUFFIX made R replaces re-read O(R²) tombstone files —
+    * probe 1.6 s → 18.5 s across 1 → 32 un-compacted replaces; a union
+    * of per-segment scans with `lit(seq)` columns made EVERY
+    * multi-segment store pay R scan nodes — the plain 64-commit probe
+    * regressed 2.4 s → 21 s. The single-scan shape keeps both curves
+    * within the segment budget's shallow slope.) */
   private def overlayVisible(s: SparkSession, d: String, family: String,
       idCol: String, delFam: String): Option[DataFrame] = {
     val segs = IndexOverlay.segmentsWithSeq(d, family)
     if (segs.isEmpty) None
     else {
+      val rows = segScanWithSeq(s, segs)
       val tombs = IndexOverlay.segmentsWithSeq(d, delFam)
-      val parts = segs.groupBy { case (_, m, _) => tombs.filter(_._2 > m) }
-        .toSeq.sortBy(_._2.head._2) // deterministic plan: oldest group first
-        .map { case (shadow, ss) =>
-          minusTombSegs(s, s.read.parquet(ss.map(_._1): _*), idCol, shadow)
-        }
-      Some(parts.reduce(_ unionByName _))
+      if (tombs.isEmpty) Some(rows.drop("_seq"))
+      else {
+        val t = segScanWithSeq(s, tombs)
+        val tombSeq = t.select(col(t.columns.head).as(idCol),
+          col("_seq").as("_tseq"))
+        val n = tombs.map(_._3).sum
+        val shadowed = rows.join(
+          if (n <= DELETED_BROADCAST_MAX) broadcast(tombSeq)
+          else maybeBroadcast(tombSeq),
+          rows(idCol) === tombSeq(idCol) && col("_tseq") > col("_seq"),
+          "left_anti")
+        Some(shadowed.drop("_seq"))
+      }
     }
+  }
+
+  /** One multi-path scan over `segs` plus a `_seq` column: the owning
+    * manifest id, recovered per row by looking the file's `seg_NNNNN`
+    * path component up in a literal map (a miss — impossible while the
+    * scan paths and the map come from the same chain read — fails loud
+    * rather than silently un-shadowing the row). */
+  private def segScanWithSeq(s: SparkSession,
+      segs: Seq[(String, Int, Long)]): DataFrame = {
+    val df = s.read.parquet(segs.map(_._1): _*)
+    val segToSeq = map(segs.flatMap { case (p, sq, _) =>
+      Seq(lit(new java.io.File(p).getName), lit(sq)) }.toIndexedSeq: _*)
+    val sq = element_at(segToSeq,
+      regexp_extract(col("_metadata.file_path"), "/(seg_\\d+)/", 1))
+    df.withColumn("_seq", coalesce(sq,
+      raise_error(lit("overlay read: no manifest seq for a scanned segment file"))))
   }
 
   /** Seq-aware corpus-side reader: (base − every tombstone) ∪ visible

@@ -650,14 +650,13 @@ class PlanSpec extends AnyFunSuite {
       s"post-delete probe plan: ${tomb.queryExecution.executedPlan}")
   }
 
-  test("post-replace probe plans: every shadow-group anti-join rides broadcast") {
-    // r18 sequence semantics: a replace leaves the overlay split into
-    // shadow GROUPS — segments older than the replace's tombstone
-    // anti-join it, the replacement rows (same manifest) do not, and the
-    // base anti-joins every tombstone. Each group's anti-join must ride
-    // a broadcast hinted from the manifest chain's exact counts; a
-    // sort-merge fallback would shuffle the corpus side once per group,
-    // at every probe, on any store with a replace in its history.
+  test("post-replace probe plans: the seq-shadow anti-joins ride broadcast") {
+    // r18 sequence semantics: after a replace the corpus side is (base
+    // ⟕̸ all tombstones) ∪ (overlay ⟕̸ tombstones on the non-equi
+    // `tombstone._seq > row._seq`). Both anti-joins must ride broadcasts
+    // hinted from the manifest chain's exact counts; a sort-merge
+    // fallback would shuffle the corpus side at every probe on any
+    // store with a replace in its history.
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.functions._
