@@ -258,12 +258,21 @@ object Streams {
     * into the standing index via [[graft.Ingest.commitDocs]] (id-novel
     * rows appended as frozen-geometry overlay segments, O(micro-batch)
     * per trigger). foreachBatch delivers AT-LEAST-ONCE, and commit is
-    * idempotent on ids (a replayed micro-batch's ids are already in the
-    * raw family's standing set, so the replay appends nothing) — so
-    * at-least-once delivery composes to EXACTLY-ONCE index state, the
-    * same transactional-sink argument as [[jdbcUpsertSink]]'s keyed
-    * upsert. The per-micro-batch report (what landed, per family) goes
-    * to `report` — a metrics/audit writer in production. */
+    * idempotent on ids (a replayed micro-batch's ids are already
+    * VISIBLE, so the replay appends nothing) — so at-least-once
+    * delivery composes to EXACTLY-ONCE index state, the same
+    * transactional-sink argument as [[jdbcUpsertSink]]'s keyed upsert.
+    * Ordering caveat (r18 sequence semantics): commit novelty is judged
+    * against VISIBLE ids, so replaying a micro-batch whose ids were
+    * DELETED after the original commit re-inserts them — deletes and
+    * stream replay are ordered by manifest publish, not by event time.
+    * The failure-mode replay (the last un-checkpointed trigger re-runs)
+    * cannot interleave with a later delete; a full from-scratch replay
+    * can, and should be treated as changelog re-application — re-issue
+    * deletes after it, exactly as with any CDC resync (IngestSpec pins
+    * the re-insert behavior). The per-micro-batch report (what landed,
+    * per family) goes to `report` — a metrics/audit writer in
+    * production. */
   def commitDocsSink(spark: SparkSession, d: String, docs: DataFrame)(
       report: (DataFrame, Long) => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
