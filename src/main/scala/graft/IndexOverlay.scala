@@ -92,7 +92,11 @@ import org.apache.spark.sql.types._
   *    are well-defined (r18): each publishes tombstone+rows in one
   *    manifest, manifest ids serialize them, and the later manifest's
   *    tombstone shadows the earlier's rows while its own rows stand —
-  *    LAST WRITER WINS, exactly one visible row either way.
+  *    LAST WRITER WINS, exactly one visible row either way. This holds
+  *    whether or not the id had a prior visible row: a replace
+  *    tombstones its ENTIRE landing set (ADVICE r18 — was_visible-only
+  *    tombstones left a raced INSERT with one standing row per winner),
+  *    so the no-prior-row race serializes identically.
   *  - NOT memoized anywhere: the overlay is the one MUTABLE part of the
   *    index store by design, so the manifest chain is re-read at every
   *    plan construction (driver-side listing + tiny file reads, ~µs;

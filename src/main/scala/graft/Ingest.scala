@@ -150,8 +150,9 @@ object Ingest {
     * Idempotent (replaying a replace publishes nothing) — so an
     * at-least-once stream of upserts composes to exactly-once index
     * state ([[graft.streaming.Streams.replaceDocsSink]]). EAGER;
-    * returns the commit report (the tombstone family's row counts what
-    * was superseded). */
+    * returns the commit report (the tombstone family's row counts the
+    * landing ids — superseded AND inserted, so a raced insert
+    * serializes last-writer-wins like an update). */
   def replaceDocs(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     operators.LlmPipeline.ingestReplaceDocs(s, d, batch)
 

@@ -1574,8 +1574,13 @@ object LlmPipeline extends QueryPack {
     val df = s.read.parquet(segs.map(_._1): _*)
     val segToSeq = map(segs.flatMap { case (p, sq, _) =>
       Seq(lit(new java.io.File(p).getName), lit(sq)) }.toIndexedSeq: _*)
+    // anchored to the file's PARENT component (ADVICE r18): the segment
+    // dir is always the parquet file's parent, while a dataset rooted
+    // under a path that itself contains a seg_N component would match
+    // a first-occurrence pattern and look up the wrong (or a colliding)
+    // segment name
     val sq = element_at(segToSeq,
-      regexp_extract(col("_metadata.file_path"), "/(seg_\\d+)/", 1))
+      regexp_extract(col("_metadata.file_path"), "/(seg_\\d+)/[^/]+$", 1))
     df.withColumn("_seq", coalesce(sq,
       raise_error(lit("overlay read: no manifest seq for a scanned segment file"))))
   }
@@ -2090,10 +2095,20 @@ object LlmPipeline extends QueryPack {
     * the visibility join would run again for the tombstone's semi-join)
     * — then everything downstream reads the O(batch) pinned result: the
     * raw segment appends the (id, payload) columns, the tombstone
-    * appends the was_visible ids, the derived families compute from the
+    * appends EVERY landing id, the derived families compute from the
     * published raw parquet, and ONE manifest flips rows + tombstone
     * visible together (sequence rule: the co-published tombstone
-    * shadows every OLDER copy of those ids, never the replacements). */
+    * shadows every OLDER copy of those ids, never the replacements).
+    *
+    * The tombstone covers every id that lands — not just the
+    * `was_visible` ones (ADVICE r18): when two replaces race on an id
+    * with NO prior visible row, both classify it as an insert, and
+    * was_visible-only tombstones would leave BOTH rows standing (two
+    * different contents under one id, uncollapsible by compact's
+    * dedup). A tombstone that shadows nothing is harmless — it reaches
+    * only manifests older than its own — so tombstoning the whole
+    * landing set makes the insert race last-writer-wins exactly like
+    * the update race, at the cost of a few extra id rows per publish. */
   private def replaceVia(s: SparkSession, d: String, rawFam: String,
       delFam: String, idCol: String, cls: DataFrame,
       derive: DataFrame => Seq[(String, DataFrame)]): DataFrame = {
@@ -2105,7 +2120,7 @@ object LlmPipeline extends QueryPack {
       return commitReport(s, Seq.empty)
     }
     val pub = s.read.parquet(rawPath)
-    val superseded = pinned.where(col("was_visible")).select(idCol)
+    val superseded = pinned.select(idCol)
     val (tombPath, nTomb) = IndexOverlay.append(s, d, delFam, superseded)
     val extra =
       if (nTomb == 0L) { IndexOverlay.discardSegment(tombPath); Nil }

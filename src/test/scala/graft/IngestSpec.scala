@@ -856,7 +856,10 @@ class IngestSpec extends AnyFunSuite {
     val rep = Ingest.replaceDocs(spark, d, batch).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(rep("docs_raw") == 3L, s"write set = 2 changes + 1 insert: $rep")
-    assert(rep("docs_deleted") == 2L, s"superseded set = the 2 changes: $rep")
+    // the tombstone covers the whole landing set (2 changes + 1 insert):
+    // the insert's tombstone shadows nothing today, but it is what makes
+    // a raced same-novel-id replace last-writer-wins (ADVICE r18)
+    assert(rep("docs_deleted") == 3L, s"tombstone set = landing ids: $rep")
     // new content corpus-side, superseded content retired, across families
     def flags(probes: Seq[(Long, String)]): Map[Long, Boolean] =
       Ingest.exactDedup(spark, d, probes.toDF("doc_id", "text")).collect()
@@ -999,6 +1002,48 @@ class IngestSpec extends AnyFunSuite {
       s"fold must keep exactly the winner's row: ${raw.length}")
     assert(rows(Ingest.exactDedup(spark, d, probe)) == before,
       "compact changed the post-contention probe view")
+  }
+
+  test("concurrent replaces of a NOVEL id: the insert race serializes to last-writer-wins too") {
+    import spark.implicits._
+    val d = freshCorpus("rcn")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    // warm the doc artifacts serially (the race is about the replaces)
+    Ingest.exactDedup(spark, d, Seq((1L, "warm")).toDF("doc_id", "text")).count()
+    Ingest.minhashDedup(spark, d, Seq((1L, "warm a b c d")).toDF("doc_id", "text")).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // id 7000 has NO prior visible row: every racer classifies it as an
+    // INSERT (was_visible = false). Tombstoning the whole landing set
+    // (ADVICE r18) makes the later manifest shadow the earlier rows
+    // anyway — without it, all four rows would stand under one id, and
+    // compact's all-column dedup could never collapse the different
+    // contents.
+    val texts = (0 until 4).map(k => mkText(s"nv${k}y"))
+    Await.result(Future.sequence((0 until 4).map { k =>
+      Future {
+        Ingest.replaceDocs(spark, d, Seq((7000L, texts(k))).toDF("doc_id", "text"))
+      }
+    }), 300.seconds)
+    val vis = operators.LlmPipeline.visibleDocs(spark, d)
+      .where(col("doc_id") === 7000L).collect().map(_.getString(1))
+    assert(vis.length == 1 && texts.contains(vis.head),
+      s"contended NOVEL id must resolve to exactly one visible row: ${vis.toSeq}")
+    val winners = IndexOverlay.segmentsWithSeq(d, "docs_raw").sortBy(_._2).map(_._1)
+    val lastRow = spark.read.parquet(winners.last).collect()
+    assert(lastRow.length == 1 && lastRow.head.getString(1) == vis.head,
+      "the visible row must be the LAST manifest's")
+    // the fold collapses the race to one physical row with the winner's text
+    Ingest.compact(spark, d)
+    val raw = IndexOverlay.read(spark, d, "docs_raw").get
+      .where(col("doc_id") === 7000L).collect()
+    assert(raw.length == 1 && raw.head.getString(1) == vis.head,
+      s"fold must keep exactly the winner's row: ${raw.length}")
+    // overlay-only id: its tombstones fold away with the race, and the
+    // id stays visible with the winner's content
+    assert(IndexOverlay.read(spark, d, "docs_deleted").isEmpty,
+      "novel-id race tombstones must fold away entirely")
   }
 
   test("lifecycle model fuzz: a seeded op sequence tracks an in-memory reference model exactly") {
