@@ -200,11 +200,22 @@ object Ingest {
     * the dial that bounds them ([[overlayReport]]'s n_segments /
     * n_rows-vs-corpus_rows columns say when; DESIGN.md §0.-6 carries the
     * measured probe-vs-segment-count curve and budget). EAGER;
-    * O(overlay + tombstones); EXCLUSIVE writer with no in-flight
-    * readers. Returns (family, n_segments_in, n_rows_in, segment,
-    * n_rows) per effective family. */
+    * O(overlay + tombstones); EXCLUSIVE writer — or, on a shared store,
+    * pass `retainMillis` > 0 to keep the superseded chain (manifests
+    * AND their segments) readable for that grace window, so a plan
+    * constructed against the pre-compact chain still executes after the
+    * flip; the deferred debris is reclaimed by any later
+    * compact/[[gc]]-bearing call once the window passes (r19 task 4).
+    * Returns (family, n_segments_in, n_rows_in, segment, n_rows) per
+    * effective family. */
   def compact(s: SparkSession, d: String): DataFrame =
     operators.LlmPipeline.ingestCompact(s, d)
+
+  /** [[compact]] with a reader grace period: the superseded chain stays
+    * on disk (invisible to new plans, scannable by in-flight ones) until
+    * `retainMillis` after the flip. */
+  def compact(s: SparkSession, d: String, retainMillis: Long): DataFrame =
+    operators.LlmPipeline.ingestCompact(s, d, retainMillis)
 
   /** [[compact]] iff any family's effective segment count exceeds
     * `maxSegments` — the auto-coalesce convenience a commit-driven
@@ -216,6 +227,34 @@ object Ingest {
       .groupBy(_.family).exists(_._2.size > maxSegments)
     if (over) Some(compact(s, d)) else None
   }
+
+  /** PROMOTE the standing state — base ∪ committed overlay − tombstones
+    * — into a fresh corpus GENERATION ([[graft.CorpusGen]]), returning
+    * the overlay to EMPTY: new base snapshots (`(doc_id, text)` /
+    * `(vec_id, embedding)`; the user's source parquet is never touched)
+    * plus new base artifacts per index family, flipped atomically (the
+    * generation's watermark retires every overlay manifest in the same
+    * publish — no window of doubled or missing rows; a crash before the
+    * flip leaves only an invisible temp dir). FROZEN-GEOMETRY: rows are
+    * moved, never re-derived, so every probe is INVARIANT across a
+    * promotion — except ids a geometry re-dial had STRANDED (committed
+    * under an old dial, silently absent from current-geometry probes),
+    * which promotion HEALS by re-deriving them from the snapshot under
+    * the current geometry. The retrain flavor is promote + a re-dial:
+    * new family/stage names then derive from the promoted snapshot
+    * (re-measure recall). EXCLUSIVE writer, like [[compact]]; no-op
+    * when nothing was committed since the last promotion. EAGER;
+    * O(corpus) — the rebuild-shaped verb, amortized over the commits it
+    * folds (CommitBench measures it). After it, probes pay the plain
+    * one-branch base plan again: no overlay union, no tombstone
+    * anti-join. */
+  def promote(s: SparkSession, d: String): DataFrame =
+    operators.LlmPipeline.ingestPromote(s, d)
+
+  /** [[promote]] with a reader grace period for the retired overlay
+    * chain and the superseded generation ([[compact]]'s contract). */
+  def promote(s: SparkSession, d: String, retainMillis: Long): DataFrame =
+    operators.LlmPipeline.ingestPromote(s, d, retainMillis)
 
   /** Overlay observability: one row per committed family on disk —
     * (family, live, n_segments, n_rows, n_orphan_segments, corpus_rows).

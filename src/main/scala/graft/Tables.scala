@@ -203,15 +203,17 @@ object Tables {
   private val tokenCache = scala.collection.concurrent.TrieMap[String, String]()
   private[graft] def dataToken(d: String): String =
     tokenCache.getOrElseUpdate(d, {
-      val files = Option(new java.io.File(d).listFiles).getOrElse(Array.empty)
-        .filter(f => f.isDirectory || f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
+      // through the Hadoop FileSystem layer, so a dataset dir on HDFS
+      // tokens exactly like a local one (r19 store port)
+      val files = graft.sources.Store.list(d)
+        .filter(f => f.isDir || f.name.endsWith(".parquet"))
+        .sortBy(_.name)
         .map { f =>
           // directory-shaped tables (the layout real datasets have) fold
           // in as name:mtime — a rewrite bumps the directory mtime, which
           // is enough to mint a new artifact path
-          if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
-          else s"${f.getName}/:${f.lastModified}"
+          if (f.isDir) s"${f.name}/:${f.mtime}"
+          else s"${f.name}:${f.len}:${f.mtime}"
         }
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(files.mkString("|").getBytes("UTF-8"))

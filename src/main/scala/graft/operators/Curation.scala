@@ -207,7 +207,7 @@ object Curation extends QueryPack {
   private[graft] def ingestExactDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.withColumn("h", contentHash(col("text")))
-    val corpusH = LlmPipeline.ovDoc(s, d, famDocHashes, corpusDocHashes(s, d))
+    val corpusH = LlmPipeline.stdDocHashes(s, d)
       .join(b.select("doc_id", "h"), Seq("doc_id", "h"), "left_anti")
       .select("h").distinct()
     val w = Window.partitionBy("h").orderBy("doc_id")

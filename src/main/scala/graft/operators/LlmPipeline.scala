@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{IndexOverlay, QueryPack, Tables}
+import graft.{CorpusGen, IndexOverlay, QueryPack, Tables}
 import graft.Tables._
 import graft.multimodal.Media
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1573,7 +1573,7 @@ object LlmPipeline extends QueryPack {
       segs: Seq[(String, Int, Long)]): DataFrame = {
     val df = s.read.parquet(segs.map(_._1): _*)
     val segToSeq = map(segs.flatMap { case (p, sq, _) =>
-      Seq(lit(new java.io.File(p).getName), lit(sq)) }.toIndexedSeq: _*)
+      Seq(lit(graft.sources.Store.name(p)), lit(sq)) }.toIndexedSeq: _*)
     // anchored to the file's PARENT component (ADVICE r18): the segment
     // dir is always the parquet file's parent, while a dataset rooted
     // under a path that itself contains a seg_N component would match
@@ -1610,6 +1610,84 @@ object LlmPipeline extends QueryPack {
   private def ovVec(s: SparkSession, d: String, family: String,
       base: DataFrame, idCol: String = "vec_id"): DataFrame =
     ovSeq(s, d, family, base, idCol, famVecsDeleted)
+
+  // ---- promoted-corpus generation plumbing (r19, [[CorpusGen]]) ----
+
+  /** Ingest-path corpus TABLE view: the latest promoted snapshot when
+    * one exists, else the source table's standing columns. Registered
+    * queries never read this — the oracle gate reads the source tables
+    * directly, and on a never-promoted store this IS the source table
+    * (one directory listing of overhead). */
+  private[graft] def corpusDocs(s: SparkSession, d: String): DataFrame =
+    CorpusGen.table(s, d, "documents").getOrElse(
+      t(s, d, "documents").select(col("doc_id"), col("text")))
+
+  private[graft] def corpusVecs(s: SparkSession, d: String): DataFrame =
+    CorpusGen.table(s, d, "embeddings").getOrElse(
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+
+  /** Gen-aware BASE artifact of an ingest family: the promoted artifact
+    * when the current generation carries it; identity (the gen-0
+    * artifact) on a never-promoted store. A generation that predates
+    * the family — a post-promote re-dial minted a new geometry name —
+    * falls back to the gen-0 artifact RESTRICTED to snapshot ids:
+    * deleted-then-promoted ids must not resurface through the old
+    * artifact (their tombstones were folded away), while
+    * committed-then-promoted rows stay missing from this family until
+    * the next [[ingestPromote]] heals it. */
+  private def genArt(s: SparkSession, d: String, family: String,
+      idCol: String, table: String, tableIdCol: String)(
+      gen0: => DataFrame): DataFrame =
+    CorpusGen.artifact(s, d, family).getOrElse {
+      CorpusGen.table(s, d, table) match {
+        case Some(snap) =>
+          gen0.join(snap.select(col(tableIdCol).as(idCol)), Seq(idCol), "left_semi")
+        case None => gen0
+      }
+    }
+
+  private def genArtDoc(s: SparkSession, d: String, family: String)(
+      gen0: => DataFrame): DataFrame =
+    genArt(s, d, family, "doc_id", "documents", "doc_id")(gen0)
+
+  private def genArtVec(s: SparkSession, d: String, family: String,
+      idCol: String = "vec_id")(gen0: => DataFrame): DataFrame =
+    genArt(s, d, family, idCol, "embeddings", "vec_id")(gen0)
+
+  // The STANDING corpus-side view per index family — gen-aware base
+  // (promoted artifact, else gen-0) ∪ visible overlay rows under the
+  // chain's sequence-ordered tombstones. These are what every ingest
+  // probe reads corpus-side AND what [[ingestPromote]] folds into the
+  // next generation (the fold is by construction exactly the view, so
+  // promotion is probe-invariant).
+  private[operators] def stdDocHashes(s: SparkSession, d: String): DataFrame =
+    ovDoc(s, d, Curation.famDocHashes,
+      genArtDoc(s, d, Curation.famDocHashes)(Curation.corpusDocHashes(s, d)))
+  private def stdHotShingles(s: SparkSession, d: String): DataFrame =
+    ov(s, d, famHotShingles,
+      CorpusGen.artifact(s, d, famHotShingles).getOrElse(hotShingleSet(s, d)))
+  private def stdDocShingles(s: SparkSession, d: String): DataFrame =
+    ovDoc(s, d, famDocShingles, genArtDoc(s, d, famDocShingles)(docShingles(s, d)))
+  private def stdMinhashSigs(s: SparkSession, d: String): DataFrame =
+    ovDoc(s, d, famMinhashSigs, genArtDoc(s, d, famMinhashSigs)(minhashSigs(s, d)))
+  private def stdSubstrPostings(s: SparkSession, d: String): DataFrame =
+    ovDoc(s, d, famSubstrPostings,
+      genArtDoc(s, d, famSubstrPostings)(substrPostings(s, d)))
+  private def stdLshcOwn(s: SparkSession, d: String, nbits: Int): DataFrame =
+    ovVec(s, d, famLshcOwn(nbits),
+      genArtVec(s, d, famLshcOwn(nbits))(lshcProbes(s, d).where(col("own"))
+        .select(col("vec_id"), col("tb"), col("bucket"))))
+  private def stdLshMulti(s: SparkSession, d: String): DataFrame =
+    ovVec(s, d, famLshMulti, genArtVec(s, d, famLshMulti)(lshMultiBuckets(s, d)))
+  private def stdSemAssign(s: SparkSession, d: String): DataFrame =
+    ovVec(s, d, famSemAssign, genArtVec(s, d, famSemAssign)(semAssign(s, d)))
+  private def stdSemAssign2(s: SparkSession, d: String): DataFrame =
+    ovVec(s, d, famSemAssign2, genArtVec(s, d, famSemAssign2)(semAssign2(s, d)))
+  private def stdIvfkAssign2(s: SparkSession, d: String): DataFrame =
+    ovVec(s, d, famIvfkAssign2, genArtVec(s, d, famIvfkAssign2)(ivfKAssign2(s, d)))
+  private def stdPqCodesWide(s: SparkSession, d: String): DataFrame =
+    ovVec(s, d, famPqCodesWide,
+      genArtVec(s, d, famPqCodesWide, "nid")(pqCodesWide(s, d)), "nid")
 
   // Overlay FAMILY names — geometry-encoded exactly like the base stage
   // keys they shadow (ADVICE r16): a re-dial (new nbits, new cell size,
@@ -1653,19 +1731,19 @@ object LlmPipeline extends QueryPack {
     // commit capped in, and boilerplate that arrived via commit cannot
     // re-enter later batches' signatures
     val bsh = bshRaw
-      .join(maybeBroadcast(ov(s, d, famHotShingles, hotShingleSet(s, d))),
+      .join(maybeBroadcast(stdHotShingles(s, d)),
         Seq("shingle"), "left_anti")
       .join(maybeBroadcast(batchHot), Seq("shingle"), "left_anti")
     val aggs = minhashSigAggs
     val batchBands = minhashBands(bsh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
     val corpusBands = minhashBands(
-      ovDoc(s, d, famMinhashSigs, minhashSigs(s, d)).join(bids, Seq("doc_id"), "left_anti"))
+      stdMinhashSigs(s, d).join(bids, Seq("doc_id"), "left_anti"))
     val cands = batchBands.as("ba")
       .join(maybeBroadcast(corpusBands.as("bb")), col("ba.band") === col("bb.band") &&
         col("ba.bucket") === col("bb.bucket"))
       .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
       .distinct()
-    val csh = ovDoc(s, d, famDocShingles, docShingles(s, d))
+    val csh = stdDocShingles(s, d)
       .join(bids, Seq("doc_id"), "left_anti")
     val withA = bsh.join(maybeBroadcast(cands), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("shingle"))
@@ -1704,7 +1782,7 @@ object LlmPipeline extends QueryPack {
     // the standing hot set includes committed batches' novel hot
     // shingles (overlay), so committed boilerplate no longer reads as
     // lag — the residual lag is what only the next FULL rebuild learns
-    val standingHot = ov(s, d, famHotShingles, hotShingleSet(s, d))
+    val standingHot = stdHotShingles(s, d)
     val lag = bhot.join(maybeBroadcast(standingHot), Seq("shingle"), "left_anti")
     val hotAgg = bhot.agg(count(lit(1)).as("n_batch_hot"))
     val lagAgg = lag.agg(count(lit(1)).as("n_lagging"),
@@ -1725,7 +1803,7 @@ object LlmPipeline extends QueryPack {
     val bids = batch.select("doc_id")
     val bposts = substrGramsPlan(batch.select(col("doc_id"), col("text"))
       .repartition(col("doc_id")))
-    val corpusGh = ovDoc(s, d, famSubstrPostings, substrPostings(s, d))
+    val corpusGh = stdSubstrPostings(s, d)
       .join(bids, Seq("doc_id"), "left_anti")
       .select("gh").distinct()
     substrSpanStats(bposts.join(corpusGh, "gh"))
@@ -1737,10 +1815,9 @@ object LlmPipeline extends QueryPack {
   private[graft] def ingestSemanticDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
-    val corpus = ovVec(s, d, famVecsRaw,
-        t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+    val corpus = ovVec(s, d, famVecsRaw, corpusVecs(s, d))
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
-      .join(maybeBroadcast(ovVec(s, d, famSemAssign, semAssign(s, d))), "vec_id")
+      .join(maybeBroadcast(stdSemAssign(s, d)), "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"))
     semanticVerdicts(s, d, b, corpus).orderBy("vec_id")
   }
@@ -1767,7 +1844,7 @@ object LlmPipeline extends QueryPack {
   /** Corpus-side embeddings (incl. committed overlay rows) excluding the
     * batch's ids. */
   private def corpusVecsExcl(s: SparkSession, d: String, batch: DataFrame): DataFrame =
-    ovVec(s, d, famVecsRaw, t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+    ovVec(s, d, famVecsRaw, corpusVecs(s, d))
       .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
 
   /** LSH-multiprobe ANN ingest: batch bucket rows computed fresh, corpus
@@ -1775,7 +1852,7 @@ object LlmPipeline extends QueryPack {
   private[graft] def ingestAnnLsh(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
-    val corpus = ovVec(s, d, famLshMulti, lshMultiBuckets(s, d))
+    val corpus = stdLshMulti(s, d)
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
     val cands = lshMultiBucketsPlan(b).as("ba")
       .join(maybeBroadcast(corpus.as("bb")), col("ba.tb") === col("bb.tb") &&
@@ -1796,8 +1873,7 @@ object LlmPipeline extends QueryPack {
     val probes = lshcProbesPlan(b, nbits)
       // tail inherits qid partitioning; count pinned vs AQE coalesce
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
-    val corpus = ovVec(s, d, famLshcOwn(nbits), lshcProbes(s, d).where(col("own"))
-        .select(col("vec_id"), col("tb"), col("bucket")))
+    val corpus = stdLshcOwn(s, d, nbits)
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
     val cands = probes.as("pa")
       .join(maybeBroadcast(corpus.as("pb")), col("pa.tb") === col("pb.tb") &&
@@ -1816,7 +1892,7 @@ object LlmPipeline extends QueryPack {
     val cents = ivfKCentroids(s, d)
     val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
     val cands = ivfKCellsFor(b, cents, np).as("a")
-      .join(maybeBroadcast(ovVec(s, d, famIvfkAssign2, ivfKAssign2(s, d))
+      .join(maybeBroadcast(stdIvfkAssign2(s, d)
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
@@ -1832,7 +1908,7 @@ object LlmPipeline extends QueryPack {
     val b = batch.select(col("vec_id"), col("embedding"))
     val cands = ivfcProbesFor(s, d, b).as("a")
       .join(maybeBroadcast(
-          ovVec(s, d, famSemAssign2, semAssign2(s, d)).select(col("vec_id"), col("cell"))
+          stdSemAssign2(s, d).select(col("vec_id"), col("cell"))
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
@@ -1851,13 +1927,13 @@ object LlmPipeline extends QueryPack {
     val cents = ivfKCentroids(s, d)
     val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
     val cands = ivfKCellsFor(b, cents, np).as("a")
-      .join(maybeBroadcast(ovVec(s, d, famIvfkAssign2, ivfKAssign2(s, d))
+      .join(maybeBroadcast(stdIvfkAssign2(s, d)
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
       .distinct()
     pqAdcRerank(cands,
-      ovVec(s, d, famPqCodesWide, pqCodesWide(s, d), "nid")
+      stdPqCodesWide(s, d)
         .join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
       // size-gated (ADVICE r14): an arbitrary facade batch can exceed the
       // broadcast budget -- oversized tables degrade to shuffled folds
@@ -1873,13 +1949,13 @@ object LlmPipeline extends QueryPack {
     val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
     val cands = ivfcProbesFor(s, d, b).as("a")
       .join(maybeBroadcast(
-          ovVec(s, d, famSemAssign2, semAssign2(s, d)).select(col("vec_id"), col("cell"))
+          stdSemAssign2(s, d).select(col("vec_id"), col("cell"))
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
         col("a.cell") === col("bb.cell"))
       .select(col("a.vec_id").as("qid"), col("bb.vec_id").as("nid"))
       .distinct()
     pqAdcRerank(cands,
-      ovVec(s, d, famPqCodesWide, pqCodesWide(s, d), "nid")
+      stdPqCodesWide(s, d)
         .join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
       // size-gated (ADVICE r14): an arbitrary facade batch can exceed the
       // broadcast budget -- oversized tables degrade to shuffled folds
@@ -1913,7 +1989,7 @@ object LlmPipeline extends QueryPack {
     val bshRaw = rawShingles(docs, k = 3)
     val batchHot = shingleDfs(bshRaw)
       .where(col("df") > MAX_SHINGLE_DF).select("shingle")
-    val standingHot = ov(s, d, famHotShingles, hotShingleSet(s, d))
+    val standingHot = stdHotShingles(s, d)
     val bsh = bshRaw
       .join(maybeBroadcast(standingHot), Seq("shingle"), "left_anti")
       .join(maybeBroadcast(batchHot), Seq("shingle"), "left_anti")
@@ -2005,13 +2081,11 @@ object LlmPipeline extends QueryPack {
     * base for commits, the change detector for replaces, the
     * visibility guard for deletes. */
   private[graft] def visibleDocs(s: SparkSession, d: String): DataFrame =
-    ovDoc(s, d, famDocsRaw,
-      t(s, d, "documents").select(col("doc_id"), col("text")))
+    ovDoc(s, d, famDocsRaw, corpusDocs(s, d))
 
   /** [[visibleDocs]] for vectors: the standing (vec_id, embedding). */
   private[graft] def visibleVecs(s: SparkSession, d: String): DataFrame =
-    ovVec(s, d, famVecsRaw,
-      t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+    ovVec(s, d, famVecsRaw, corpusVecs(s, d))
 
   /** Shared publish tail of the commit verbs: append `novel` as the raw
     * family's segment (the write IS the emptiness check), derive every
@@ -2214,8 +2288,8 @@ object LlmPipeline extends QueryPack {
     * per-family count jobs and the per-call corpus count are gone). */
   private[graft] def ingestOverlayReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hasDocs = new java.io.File(s"$d/documents.parquet").exists
-    val hasVecs = new java.io.File(s"$d/embeddings.parquet").exists
+    val hasDocs = graft.sources.Store.exists(s"$d/documents.parquet")
+    val hasVecs = graft.sources.Store.exists(s"$d/embeddings.parquet")
     val current: Set[String] =
       (if (hasDocs) Set(famDocsRaw, famDocsDeleted, Curation.famDocHashes,
         famHotShingles, famDocShingles, famMinhashSigs, famSubstrPostings)
@@ -2229,10 +2303,15 @@ object LlmPipeline extends QueryPack {
       val es = eff.getOrElse(fam, Seq.empty)
       val manifested = es.map(_.seg).toSet
       val orphans = IndexOverlay.segDirsOnDisk(d, fam)
-        .count(f => !manifested.contains(f.getName))
+        .count(f => !manifested.contains(f.name))
+      // current-generation snapshot size when promoted (from the gen
+      // meta — still zero jobs); the frozen gen-0 count otherwise
+      val gen = CorpusGen.current(d)
       val corpusRows: Option[Long] =
-        if (fam == famDocsRaw && hasDocs) Some(docCount(s, d))
-        else if (fam == famVecsRaw && hasVecs) Some(embCount(s, d))
+        if (fam == famDocsRaw && hasDocs)
+          Some(gen.flatMap(_.tableRows.get("documents")).getOrElse(docCount(s, d)))
+        else if (fam == famVecsRaw && hasVecs)
+          Some(gen.flatMap(_.tableRows.get("embeddings")).getOrElse(embCount(s, d)))
         else None
       (fam, current.contains(fam), es.size, es.map(_.rows).sum, orphans, corpusRows)
     }
@@ -2278,7 +2357,8 @@ object LlmPipeline extends QueryPack {
     * row per effective family: (family, n_segments_in, n_rows_in,
     * segment, n_rows) — `segment` null when the family folded to
     * nothing. */
-  private[graft] def ingestCompact(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ingestCompact(s: SparkSession, d: String,
+      retainMillis: Long = 0L): DataFrame = {
     val eff = IndexOverlay.effectiveEntries(d).groupBy(_.family)
     if (eff.isEmpty) {
       // nothing committed: just reclaim crashed-commit orphans
@@ -2316,18 +2396,24 @@ object LlmPipeline extends QueryPack {
     // lived only in the overlay is physically gone now, so its
     // tombstone folds away and the id is novel again
     val tombOut = Seq(
-      (famDocsDeleted, delDoc, "documents", "doc_id"),
-      (famVecsDeleted, delVec, "embeddings", "vec_id")).flatMap {
-      case (fam, del, table, idCol) => del.map { ids =>
+      (famDocsDeleted, delDoc, "doc_id"),
+      (famVecsDeleted, delVec, "vec_id")).flatMap {
+      case (fam, del, idCol) => del.map { ids =>
+        // "corpus-stored" means the CURRENT generation's snapshot when
+        // one exists (a promoted id's base row is in the snapshot, not
+        // the source parquet)
+        val corpusIds =
+          if (idCol == "doc_id") corpusDocs(s, d).select(col(idCol))
+          else corpusVecs(s, d).select(col(idCol))
         (fam, IndexOverlay.append(s, d, fam,
-          ids.join(t(s, d, table).select(col(idCol)), Seq(idCol), "left_semi")))
+          ids.join(corpusIds, Seq(idCol), "left_semi")))
       }
     }
     val out = dataOut ++ tombOut
     IndexOverlay.publishManifest(s, d,
       out.collect { case (fam, (p, n)) if n > 0L => (fam, p, n) }, full = true)
     out.collect { case (_, (p, 0L)) => p }.foreach(IndexOverlay.discardSegment)
-    IndexOverlay.gc(d)
+    IndexOverlay.gc(d, retainMillis)
     commitCompactReport(s, out.map { case (fam, (p, n)) =>
       val before = eff.getOrElse(fam, Seq.empty)
       (fam, before.size, before.map(_.rows).sum,
@@ -2340,6 +2426,137 @@ object LlmPipeline extends QueryPack {
     import s.implicits._
     rows.toDF("family", "n_segments_in", "n_rows_in", "segment", "n_rows")
       .orderBy("family")
+  }
+
+  /** PROMOTE the standing state into a fresh corpus GENERATION
+    * ([[graft.Ingest.promote]], VERDICT r18 task 1 — the verb that lets
+    * the overlay return to EMPTY): fold base ∪ visible overlay −
+    * tombstones into new base artifacts and corpus snapshots under
+    * [[CorpusGen]], flip atomically (the generation's watermark retires
+    * every overlay manifest in the same publish — no window of doubled
+    * or missing rows), then reclaim the retired chain and the previous
+    * generation (grace-period-aware, like compaction's GC).
+    *
+    * FROZEN-GEOMETRY flavor (the documented pick): per index family the
+    * promoted artifact is EXACTLY the standing corpus-side view the
+    * probes read (the std* readers) — rows are moved, never re-derived,
+    * so promotion is PROBE-INVARIANT by the same construction as
+    * [[ingestCompact]]'s fold; hyperplanes, centroids, codebooks and
+    * the persisted-N bit dial keep reading gen-0 artifacts, and
+    * [[graft.Ingest.geometryReport]] says when frozen geometry has
+    * drifted past usefulness. The RETRAIN flavor is promote + a re-dial:
+    * new geometry mints new family/stage names whose artifacts then
+    * derive from the PROMOTED snapshot (recall must be re-measured —
+    * RECALL.json protocol).
+    *
+    * HEAL (VERDICT r18 task 2): any standing raw id MISSING from a
+    * family's fold — a commit made under an older geometry dial left
+    * its derived rows in stranded families which stopped being read —
+    * is re-derived from the snapshot under the CURRENT geometry via the
+    * commit recipes ([[commitDocFamilies]]/[[commitVecFamilies]]) and
+    * unioned into the promoted artifact, so previously-vanished
+    * committed docs rejoin every probe. On a well-formed store the heal
+    * sets are empty and promotion is a pure fold.
+    *
+    * Sequencing contract: EXCLUSIVE writer, like compact — the
+    * watermark is read once at entry, so a commit racing the promotion
+    * could land a manifest that the fold reads but the flip does not
+    * retire (doubled rows). A no-commits store (watermark unchanged
+    * since the last promotion) is a no-op returning an empty report.
+    * EAGER; O(corpus) — this is the rebuild-shaped verb, amortized
+    * across the commits it folds; cost measured in CommitBench.
+    * Returns one row per promoted object: (family, kind∈table|artifact,
+    * n_rows). */
+  private[graft] def ingestPromote(s: SparkSession, d: String,
+      retainMillis: Long = 0L): DataFrame = {
+    import s.implicits._
+    val hasDocs = graft.sources.Store.exists(s"$d/documents.parquet")
+    val hasVecs = graft.sources.Store.exists(s"$d/embeddings.parquet")
+    val wm = math.max(IndexOverlay.maxManifestId(d), CorpusGen.watermark(d))
+    if (wm == CorpusGen.watermark(d))
+      return Seq.empty[(String, String, Long)].toDF("family", "kind", "n_rows")
+    val nextId = CorpusGen.current(d).map(_.id + 1).getOrElse(1)
+    val nbits = if (hasVecs) lshcNbits(embCount(s, d)) else 0
+
+    // (family, standing corpus-side view, heal id column — None for the
+    // set-shaped hot-shingle cap and the self-completing rank-1 member
+    // assignment, whose overlay side assigns fresh from raw)
+    val docFams: Seq[(String, DataFrame, Option[String])] =
+      if (!hasDocs) Nil else Seq(
+        (Curation.famDocHashes, stdDocHashes(s, d), Some("doc_id")),
+        (famHotShingles, stdHotShingles(s, d).distinct(), None),
+        (famDocShingles, stdDocShingles(s, d), Some("doc_id")),
+        (famMinhashSigs, stdMinhashSigs(s, d), Some("doc_id")),
+        (famSubstrPostings, stdSubstrPostings(s, d), Some("doc_id")))
+    val vecFams: Seq[(String, DataFrame, Option[String])] =
+      if (!hasVecs) Nil else Seq(
+        (famLshcOwn(nbits), stdLshcOwn(s, d, nbits), Some("vec_id")),
+        (famLshMulti, stdLshMulti(s, d), Some("vec_id")),
+        (famSemAssign, stdSemAssign(s, d), Some("vec_id")),
+        (famSemAssign2, stdSemAssign2(s, d), Some("vec_id")),
+        (famIvfkAssign2, stdIvfkAssign2(s, d), Some("vec_id")),
+        (famPqCodesWide, stdPqCodesWide(s, d), Some("nid")),
+        (famIvfkAssign1,
+          driftMembers(s, d).select(col("vec_id"), col("cell")), None))
+
+    CorpusGen.publish(d, nextId, wm) { tmp =>
+      val tables = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val arts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      def writeFams(snapR: DataFrame, snapId: String,
+          fams: Seq[(String, DataFrame, Option[String])],
+          derive: DataFrame => Seq[(String, DataFrame)]): Unit = {
+        // per-family heal set: standing ids the fold does not cover
+        val missing: Map[String, DataFrame] = fams.collect {
+          case (fam, folded, Some(c)) => fam -> snapR
+            .join(folded.select(col(c).as(snapId)).distinct(),
+              Seq(snapId), "left_anti")
+            .select(snapId)
+        }.toMap
+        // one derive pass over the union of all heal sets (pinned — the
+        // anti-joins above are the only corpus-side passes they run)
+        val healIds = missing.values.reduceOption(_ union _)
+          .map(_.distinct().localCheckpoint())
+        val derived: Map[String, DataFrame] = healIds match {
+          case Some(ids) if !ids.isEmpty =>
+            derive(snapR.join(ids, Seq(snapId), "left_semi")).toMap
+          case _ => Map.empty
+        }
+        fams.foreach { case (fam, folded, idc) =>
+          val out = (idc, derived.get(fam)) match {
+            case (Some(c), Some(dv)) =>
+              folded.unionByName(
+                dv.join(missing(fam).select(col(snapId).as(c)), Seq(c), "left_semi")
+                  .select(folded.columns.map(col).toIndexedSeq: _*))
+            case _ => folded
+          }
+          out.write.parquet(s"$tmp/art/$fam")
+          arts += fam -> graft.sources.Store.parquetRowCount(s"$tmp/art/$fam")
+        }
+      }
+      if (hasDocs) {
+        visibleDocs(s, d).write.parquet(s"$tmp/tables/documents")
+        tables += "documents" ->
+          graft.sources.Store.parquetRowCount(s"$tmp/tables/documents")
+        writeFams(s.read.parquet(s"$tmp/tables/documents"), "doc_id",
+          docFams, commitDocFamilies(s, d, _))
+      }
+      if (hasVecs) {
+        visibleVecs(s, d).write.parquet(s"$tmp/tables/embeddings")
+        tables += "embeddings" ->
+          graft.sources.Store.parquetRowCount(s"$tmp/tables/embeddings")
+        writeFams(s.read.parquet(s"$tmp/tables/embeddings"), "vec_id",
+          vecFams, commitVecFamilies(s, d, _))
+      }
+      (tables.toSeq, arts.toSeq)
+    }
+    // the flip retired every manifest ≤ wm and superseded the previous
+    // generation; reclaim both outside the grace window
+    IndexOverlay.gc(d, retainMillis)
+    CorpusGen.gcGens(d, retainMillis)
+    val g = CorpusGen.current(d).get
+    (g.tableRows.toSeq.sorted.map { case (n, r) => (n, "table", r) } ++
+      g.artRows.toSeq.sorted.map { case (n, r) => (n, "artifact", r) })
+      .toDF("family", "kind", "n_rows")
   }
 
   /** Lifecycle-aware index drift ([[graft.Ingest.driftReport]]):
@@ -2384,26 +2601,41 @@ object LlmPipeline extends QueryPack {
       .orderBy("cell")
   }
 
-  private[graft] def ingestDriftReport(s: SparkSession, d: String): DataFrame = {
+  /** Name of the rank-1 trained-k assignment as a GENERATION artifact:
+    * promote folds the standing member assignment under it so the drift
+    * view keeps covering promoted rows (there is no overlay family for
+    * rank-1 — committed members assign fresh from raw). Matches the
+    * gen-0 stage key. */
+  private[graft] def famIvfkAssign1 = "ivfk_assign_sqrtn"
+
+  /** The standing drift MEMBER set — (vec_id, cell, embedding) over
+    * base ∪ committed − deleted under frozen trained-k centroids: base
+    * members read the persisted (gen-aware) assignment, shadowed by
+    * every tombstone; overlay members must be the seq-VISIBLE rows — an
+    * all-tombstone anti-join would drop replaced/re-inserted vectors
+    * from the drift view — and take rank-1 cells fresh under the frozen
+    * centroids (bit-identical to what the build would assign). Shared
+    * by [[ingestDriftReport]] and [[ingestPromote]] (which persists
+    * (vec_id, cell) as the next generation's [[famIvfkAssign1]]). */
+  private def driftMembers(s: SparkSession, d: String): DataFrame = {
     val cents = ivfKCentroids(s, d)
-    // base members read the persisted assignment (shadowed by every
-    // tombstone); overlay members must be the seq-VISIBLE rows — an
-    // all-tombstone anti-join would drop replaced/re-inserted vectors
-    // from the drift view — and take rank-1 cells fresh under the
-    // frozen centroids (bit-identical to what the build would assign)
     val base = minusDeleted(s, d,
-      t(s, d, "embeddings").join(ivfKAssign(s, d), "vec_id")
+      corpusVecs(s, d)
+        .join(genArtVec(s, d, famIvfkAssign1)(ivfKAssign(s, d)), "vec_id")
         .select(col("vec_id"), col("cell"), col("embedding")),
       "vec_id", famVecsDeleted)
-    val members = overlayVisible(s, d, famVecsRaw, "vec_id", famVecsDeleted) match {
+    overlayVisible(s, d, famVecsRaw, "vec_id", famVecsDeleted) match {
       case Some(ovRaw) =>
         val o = ovRaw.select(col("vec_id"), col("embedding"))
         base.unionByName(o.join(ivfKCellsFor(o, cents, 1), "vec_id")
           .select(col("vec_id"), col("cell"), col("embedding")))
       case None => base
     }
-    ivfDriftFrom(cents, members.select(col("cell"), col("embedding")))
   }
+
+  private[graft] def ingestDriftReport(s: SparkSession, d: String): DataFrame =
+    ivfDriftFrom(ivfKCentroids(s, d),
+      driftMembers(s, d).select(col("cell"), col("embedding")))
 
   /** The q_dedup_semantic_recall computation at an arbitrary cell-size
     * dial `c` — shared verbatim by the registered query (c = SEM_CELL)

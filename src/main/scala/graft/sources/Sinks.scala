@@ -59,48 +59,66 @@ object Sinks {
   private val publishMutex = scala.collection.concurrent.TrieMap[String, Object]()
 
   def publishAtomic(path: String)(write: String => Unit): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
-      f.delete(); ()
-    }
-    val marker = Paths.get(path, "_SUCCESS")
-    if (!Files.exists(marker)) {
+    val marker = s"$path/_SUCCESS"
+    if (!Store.exists(marker)) {
       // the expensive write runs OUTSIDE any lock — only the publish step
       // below is serialized
       val tmp = s"$path.tmp.${java.util.UUID.randomUUID()}"
       try write(tmp)
-      catch { case e: Throwable => deleteRec(new java.io.File(tmp)); throw e }
+      catch { case e: Throwable => Store.delete(tmp); throw e }
       // Publish under a lock — a JVM-local mutex for same-process threads
-      // plus an OS file lock for cross-process sessions — so debris
-      // removal and the rename are one serialized step: a race loser can
-      // never delete a winner's just-published store (the naive
-      // check-then-delete had a TOCTOU window; review r9). The marker
-      // rides INSIDE the temp dir, so the rename publishes marker and
-      // data atomically — "marker present" ⟺ "store complete" for every
-      // (lock-free) reader.
-      Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+      // plus, on the LOCAL filesystem, an OS file lock for cross-process
+      // sessions — so debris removal and the rename are one serialized
+      // step: a race loser can never delete a winner's just-published
+      // store (the naive check-then-delete had a TOCTOU window; review
+      // r9). The marker rides INSIDE the temp dir, so the rename
+      // publishes marker and data atomically — "marker present" ⟺
+      // "store complete" for every (lock-free) reader. On HDFS the OS
+      // lock does not exist; there the rename itself is the commit
+      // (atomic, fails on an existing destination) and a raced loser is
+      // detected by [[Store.renameNoReplace]] — see [[Store]]'s
+      // object-store note for the S3 conditional-PUT equivalent.
+      Option(new org.apache.hadoop.fs.Path(path).getParent)
+        .foreach(par => Store.mkdirs(par.toString))
       publishMutex.getOrElseUpdate(path, new Object).synchronized {
-        val ch = java.nio.channels.FileChannel.open(Paths.get(s"$path.lock"),
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-        try {
-          val lock = ch.lock()
-          try {
-            if (Files.exists(marker)) {
-              deleteRec(new java.io.File(tmp)) // lost the race: keep the winner's
-            } else {
-              // target exists WITHOUT marker ⟹ crashed-writer debris
-              // (safe to remove: we hold the only publish right)
-              if (Files.exists(Paths.get(path))) deleteRec(new java.io.File(path))
-              try Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-              catch { case e: Throwable => deleteRec(new java.io.File(tmp)); throw e }
+        withLocalLock(path) {
+          if (Store.exists(marker)) {
+            Store.delete(tmp) // lost the race: keep the winner's
+          } else {
+            // target exists WITHOUT marker ⟹ crashed-writer debris
+            // (safe to remove: we hold the only publish right)
+            if (Store.exists(path)) Store.delete(path)
+            if (!Store.renameNoReplace(tmp, path)) {
+              Store.delete(tmp)
+              // a loser is fine only when a winner actually published;
+              // a rename that failed with no winner must stay loud
+              if (!Store.exists(marker)) throw new java.io.IOException(
+                s"atomic publish failed with no winner present: $path")
             }
-          } finally lock.release()
-        } finally ch.close()
+          }
+        }
       }
     }
     path
   }
+
+  /** Cross-process publish serialization for the LOCAL filesystem: an OS
+    * file lock beside the target. Non-local schemes (HDFS) skip it —
+    * rename-as-commit plus the callers' verify-token protocol carry the
+    * race there. */
+  private def withLocalLock[T](path: String)(body: => T): T =
+    if (!Store.isLocal(path)) body
+    else {
+      import java.nio.file.{Paths, StandardOpenOption}
+      // strip a possible file: scheme for the java.nio lock handle
+      val local = new org.apache.hadoop.fs.Path(s"$path.lock").toUri.getPath
+      val ch = java.nio.channels.FileChannel.open(Paths.get(local),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
 
   /** Idempotent incremental load: replaces ONLY the partitions present in
     * `batch` (dynamic partition overwrite), leaving others intact — the

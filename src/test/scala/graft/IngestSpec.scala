@@ -735,6 +735,37 @@ class IngestSpec extends AnyFunSuite {
       s"post-re-insert: new content corpus-side, old base text retired: $re5Flags")
   }
 
+  test("compact with a grace period keeps the superseded chain scannable for in-flight readers") {
+    import spark.implicits._
+    val d = freshCorpus("grc")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    Ingest.commitDocs(spark, d, Seq((1000L, mkText("ga"))).toDF("doc_id", "text"))
+    Ingest.commitDocs(spark, d, Seq((1001L, mkText("gb"))).toDF("doc_id", "text"))
+    val oldSegs = IndexOverlay.segmentsWithSeq(d, "docs_raw").map(_._1)
+    assert(oldSegs.size == 2)
+    // an in-flight reader: its plan's file listing is pinned to the
+    // pre-compact chain at construction time
+    val inFlight = spark.read.parquet(oldSegs: _*)
+    Ingest.compact(spark, d, retainMillis = 10L * 60 * 1000)
+    // new plans see the folded chain...
+    assert(IndexOverlay.segmentsWithSeq(d, "docs_raw").size == 1,
+      "compact must fold to one effective segment")
+    // ...while the in-flight plan still executes: its files are within
+    // the grace window, so the flip did not delete them
+    assert(inFlight.count() == 2L,
+      "pre-compact plan must stay executable within the grace window")
+    assert(oldSegs.forall(p => graft.sources.Store.exists(p)),
+      "superseded segments must survive gc within the window")
+    // past the window (simulated by retain 0) the debris is reclaimed
+    IndexOverlay.gc(d, 0L)
+    assert(oldSegs.forall(p => !graft.sources.Store.exists(p)),
+      "expired superseded segments must be reclaimed")
+    // and the standing view never changed
+    val vis = operators.LlmPipeline.visibleDocs(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(vis.contains(1000L) && vis.contains(1001L) && vis.size == 32)
+  }
+
   test("a crashed partial commit is invisible, replayable, and compact reclaims its orphans") {
     import spark.implicits._
     val d = freshCorpus("cra")
@@ -1108,6 +1139,122 @@ class IngestSpec extends AnyFunSuite {
     val f = Ingest.exactDedup(spark, d, probes.toDF("doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(f.values.forall(identity), s"visible texts must probe corpus_dup: $f")
+  }
+
+  test("promote folds commits/replaces/deletes into a fresh generation; overlay empty; probes invariant") {
+    import spark.implicits._
+    val d = freshCorpus("pro")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    val text3 = Tables.t(spark, d, "documents").where(col("doc_id") === 3L)
+      .select("text").collect().head.getString(0)
+    // lifecycle activity across both domains: insert, upsert, delete —
+    // including deleting a COMMITTED id (1001) and a corpus-stored one (3)
+    Ingest.commitDocs(spark, d, Seq((1000L, mkText("pa")), (1001L, mkText("pb")))
+      .toDF("doc_id", "text"))
+    Ingest.replaceDocs(spark, d, Seq((5L, mkText("pc"))).toDF("doc_id", "text"))
+    Ingest.deleteDocs(spark, d, Seq(3L, 1001L).toDF("doc_id"))
+    val rnd = new scala.util.Random(7L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val newEmb = unit()
+    Ingest.replaceVectors(spark, d, Seq((3L, newEmb)).toDF("vec_id", "embedding"))
+    Ingest.commitVectors(spark, d, Seq((5000L, unit())).toDF("vec_id", "embedding"))
+    Ingest.deleteVectors(spark, d, Seq(7L).toDF("vec_id"))
+    // pre-promote probe snapshot: every doc family + three ANN tiers +
+    // the standing views + drift
+    val probeD = Seq((9000L, mkText("pa")), (9001L, mkText("pc")),
+      (9002L, mkText("pb")), (9003L, text3)).toDF("doc_id", "text")
+    val probeV = Seq((9100L, newEmb)).toDF("vec_id", "embedding")
+    def snapD(): Seq[String] = rows(Ingest.exactDedup(spark, d, probeD)) ++
+      rows(Ingest.minhashDedup(spark, d, probeD)) ++
+      rows(Ingest.substringDedup(spark, d, probeD))
+    def snapV(): Seq[String] = rows(Ingest.annLshc(spark, d, probeV)) ++
+      rows(Ingest.annIvfcPq(spark, d, probeV)) ++
+      rows(Ingest.semanticDedup(spark, d, probeV))
+    def vis(): Map[Long, String] =
+      operators.LlmPipeline.visibleDocs(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (beforeD, beforeV, beforeVis) = (snapD(), snapV(), vis())
+    val beforeDrift = rows(Ingest.driftReport(spark, d))
+    assert(beforeVis.size == 30 && !beforeVis.contains(3L) &&
+      beforeVis(5L) == mkText("pc"), "pre-promote standing view")
+
+    val rep = Ingest.promote(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rep.contains(("documents", "table", 30L)), s"promote report: ${rep.toSeq}")
+    assert(rep.contains(("embeddings", "table", 256L)), s"promote report: ${rep.toSeq}")
+    // overlay returned to EMPTY: no chain, no families, no tombstones
+    assert(IndexOverlay.effectiveEntries(d).isEmpty, "chain must be empty")
+    assert(IndexOverlay.families(d).isEmpty, "all overlay segment dirs reclaimed")
+    val g = CorpusGen.current(d).get
+    assert(g.id == 1 && g.artRows.nonEmpty)
+    // probe INVARIANCE (frozen geometry: rows moved, never re-derived)
+    assert(snapD() == beforeD, "doc probes changed across promote")
+    assert(snapV() == beforeV, "vector probes changed across promote")
+    assert(vis() == beforeVis, "visibleDocs changed across promote")
+    assert(rows(Ingest.driftReport(spark, d)) == beforeDrift,
+      "drift members changed across promote")
+    // re-promote with nothing new committed is a no-op
+    assert(Ingest.promote(spark, d).isEmpty, "no-op promote must publish nothing")
+    assert(CorpusGen.current(d).get.id == 1)
+
+    // the lifecycle CONTINUES on the new generation: commit, then
+    // delete a PROMOTED id (its base row is now the snapshot)
+    Ingest.commitDocs(spark, d, Seq((3000L, mkText("pz"))).toDF("doc_id", "text"))
+    assert(Ingest.exactDedup(spark, d, Seq((9200L, mkText("pz")))
+        .toDF("doc_id", "text")).collect().head.getBoolean(1),
+      "post-promote commit must be corpus-side")
+    Ingest.deleteDocs(spark, d, Seq(1000L).toDF("doc_id"))
+    val v2 = vis()
+    assert(!v2.contains(1000L) && v2.contains(3000L) && v2.size == 30,
+      s"post-promote lifecycle view: ${v2.size}")
+    assert(!Ingest.exactDedup(spark, d, Seq((9201L, mkText("pa")))
+        .toDF("doc_id", "text")).collect().head.getBoolean(1),
+      "deleting a promoted id must retire its content from probes")
+    // and a second promotion folds the new state into generation 2
+    Ingest.promote(spark, d)
+    assert(CorpusGen.current(d).get.id == 2)
+    assert(IndexOverlay.effectiveEntries(d).isEmpty && vis() == v2,
+      "second promote must fold the post-promote lifecycle state")
+  }
+
+  test("promote heals stranded-geometry commits: vanished docs rejoin every probe") {
+    import spark.implicits._
+    val d = freshCorpus("phl")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    val txt = mkText("hs0")
+    // simulate a commit made under an OLD geometry dial: the raw rows
+    // are manifested, but the derived rows went to since-renamed
+    // families which stopped being read — exactly what a re-dial leaves
+    val (p, n) = IndexOverlay.append(spark, d, "docs_raw",
+      Seq((4000L, txt)).toDF("doc_id", "text"))
+    IndexOverlay.publishManifest(spark, d, Seq(("docs_raw", p, n)), full = false)
+    IndexOverlay.appendCommitted(spark, d, "minhash_sigs_k9x9df99",
+      Seq((4000L, 1L)).toDF("doc_id", "sig"))
+    val probe = Seq((9100L, txt)).toDF("doc_id", "text")
+    // pre-promote: the doc is visible raw-side but VANISHED from probes
+    assert(operators.LlmPipeline.visibleDocs(spark, d).where(col("doc_id") === 4000L)
+      .count() == 1L, "raw row must be visible")
+    assert(!Ingest.exactDedup(spark, d, probe).collect().head.getBoolean(1),
+      "stranded doc must be invisible to exact dedup before the heal")
+    assert(Ingest.minhashDedup(spark, d, probe).isEmpty,
+      "stranded doc must be invisible to minhash before the heal")
+    Ingest.promote(spark, d)
+    // healed: re-derived from the snapshot under CURRENT geometry
+    assert(Ingest.exactDedup(spark, d, probe).collect().head.getBoolean(1),
+      "promote must heal the exact-dedup view")
+    val mh = Ingest.minhashDedup(spark, d, probe).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((9100L, 4000L)), s"promote must heal the minhash view: $mh")
+    val ss = Ingest.substringDedup(spark, d, probe).collect()
+    assert(ss.nonEmpty && ss.head.getLong(0) == 9100L,
+      "promote must heal the substring-postings view")
+    // the stranded old-geometry family left disk with the folded overlay
+    assert(IndexOverlay.families(d).isEmpty,
+      "stranded families are garbage after the fold")
   }
 
   test("driftReport counts a replaced vector once, with its new embedding") {
