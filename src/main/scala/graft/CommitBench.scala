@@ -118,6 +118,20 @@ object CommitBench {
     val (repRV, replaceVecS) = timed(Ingest.replaceVectors(spark, d, upsertV))
     val nChangedV = rowsOf(repRV, "vecs_deleted")
 
+    // ---- promote: fold the standing state (the commits + replaces
+    // above) into a corpus generation — the O(corpus) rebuild-shaped
+    // verb, amortized over the commits it folds; afterwards probes pay
+    // the one-branch base plan again (no overlay union, no tombstone
+    // anti-join) and a replayed promote is a driver-side no-op ----
+    val (repP, promoteS) = timed(Ingest.promote(spark, d))
+    val nPromDocs = rowsOf(repP, "documents")
+    val nPromVecs = rowsOf(repP, "embeddings")
+    val (_, probeAfterPromS) = timed {
+      Ingest.minhashDedup(spark, d, docBatch(40000000L, 20)).count()
+      Ingest.annIvfcPq(spark, d, vecBatch(40000000L, 20)).count()
+    }
+    val (_, promoteNoopS) = timed(Ingest.promote(spark, d).count())
+
     // ---- segment sweep: probe/commit cost vs manifest-chain depth ----
     // fresh isolated store; 20-doc batches with disjoint id ranges so
     // every commit lands one segment per doc family
@@ -233,6 +247,9 @@ object CommitBench {
       s""""replace_doc":{"changed":$nChangedD,"sec":${f"$replaceDocS%.2f"}},""" +
       s""""replace_doc_replay_s":${f"$replayDocS%.2f"},""" +
       s""""replace_vec":{"changed":$nChangedV,"sec":${f"$replaceVecS%.2f"}},""" +
+      s""""promote":{"docs":$nPromDocs,"vecs":$nPromVecs,"sec":${f"$promoteS%.2f"}},""" +
+      s""""probe_after_promote_s":${f"$probeAfterPromS%.2f"},""" +
+      s""""promote_noop_s":${f"$promoteNoopS%.2f"},""" +
       s""""seg_sweep":$sweepJson,""" +
       s""""compact_s":${f"$compactS%.2f"},""" +
       s""""probe_after_compact_s":${f"$probeAfterS%.2f"},""" +

@@ -228,6 +228,58 @@ object Ingest {
     if (over) Some(compact(s, d)) else None
   }
 
+  /** Apply a document CHANGELOG — rows `(doc_id, text, op, ord)` with
+    * `op ∈ {'upsert','delete'}` (text is ignored for deletes) and `ord`
+    * the feed's per-row order (Kafka offset, file sequence, CDC LSN) —
+    * reducing to each id's FINAL operation (max `ord`; ties break
+    * deterministically) and applying upserts via [[replaceDocs]] and
+    * deletes via [[deleteDocs]] in one pass. This is the RESYNC verb
+    * that closes the replay-vs-delete ordering caveat on the plain
+    * commit/replace sinks (VERDICT r18 task 5): a full from-scratch
+    * replay through those re-inserts ids whose deletes predate the
+    * replay (publish order decides, not event time), while a replay
+    * through THIS verb re-issues each id's final delete — so replaying
+    * any prefix-complete changelog converges to the state the changelog
+    * describes, whether it arrives as one batch (the reduction picks
+    * the final op) or split across micro-batches in feed order
+    * ([[graft.streaming.Streams.applyDocsChangelogSink]]). Cross-batch
+    * ordering remains the feed's responsibility, as with any CDC apply.
+    * EAGER; idempotent (re-applying publishes nothing); returns the
+    * commit-report rows of what landed. */
+  def applyDocChangelog(s: SparkSession, d: String, changes: DataFrame): DataFrame =
+    applyChangelog(s, d, changes, "doc_id", "text",
+      replaceDocs, deleteDocs)
+
+  /** [[applyDocChangelog]] for vector feeds —
+    * `(vec_id, embedding, op, ord)`. */
+  def applyVectorChangelog(s: SparkSession, d: String, changes: DataFrame): DataFrame =
+    applyChangelog(s, d, changes, "vec_id", "embedding",
+      replaceVectors, deleteVectors)
+
+  private def applyChangelog(s: SparkSession, d: String, changes: DataFrame,
+      idCol: String, payloadCol: String,
+      rep: (SparkSession, String, DataFrame) => DataFrame,
+      del: (SparkSession, String, DataFrame) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, row_number}
+    val need = Seq(idCol, payloadCol, "op", "ord")
+    require(need.forall(changes.columns.contains),
+      s"changelog needs columns (${need.mkString(", ")}); " +
+        s"got (${changes.columns.mkString(", ")})")
+    // final op per id: max ord wins; equal-ord ties break 'delete' first
+    // then smallest payload hash, so a malformed feed still applies
+    // deterministically
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(col("ord").desc, col("op"), hash(col(payloadCol)))
+    // pinned once: the replace and delete verbs below each run their own
+    // corpus-side pass, and must not re-execute the reduction
+    val last = changes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn").localCheckpoint()
+    val nBad = last.where(!col("op").isin("upsert", "delete")).count()
+    require(nBad == 0L, s"changelog op must be 'upsert' or 'delete' ($nBad other)")
+    rep(s, d, last.where(col("op") === "upsert").select(idCol, payloadCol))
+      .union(del(s, d, last.where(col("op") === "delete").select(idCol)))
+  }
+
   /** PROMOTE the standing state — base ∪ committed overlay − tombstones
     * — into a fresh corpus GENERATION ([[graft.CorpusGen]]), returning
     * the overlay to EMPTY: new base snapshots (`(doc_id, text)` /
@@ -277,4 +329,14 @@ object Ingest {
     * trained-k cell: (cell, n_members, drift, stale). */
   def driftReport(s: SparkSession, d: String): DataFrame =
     operators.LlmPipeline.ingestDriftReport(s, d)
+
+  /** Geometry staleness across ALL three crowned vector tiers over the
+    * standing member set (base ∪ committed − deleted): [[driftReport]]'s
+    * per-cell trained-k residual, the frozen constant-occupancy LSH bit
+    * dial's realized occupancy, and the semantic quantizer's cell-size
+    * histogram — one row per (tier, key, n_members, metric, threshold,
+    * stale). The rebuild/[[promote]]+re-dial trigger for each frozen
+    * dial. */
+  def geometryReport(s: SparkSession, d: String): DataFrame =
+    operators.LlmPipeline.ingestGeometryReport(s, d)
 }

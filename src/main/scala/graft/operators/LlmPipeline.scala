@@ -2637,6 +2637,60 @@ object LlmPipeline extends QueryPack {
     ivfDriftFrom(ivfKCentroids(s, d),
       driftMembers(s, d).select(col("cell"), col("embedding")))
 
+  /** GEOMETRY staleness across all three crowned vector tiers
+    * ([[graft.Ingest.geometryReport]], VERDICT r18 task 6): frozen
+    * geometry is the lifecycle's documented trade — commits/replaces
+    * derive under the dials the corpus build froze — and this report is
+    * the rebuild trigger for each dial, over the STANDING member set
+    * (base ∪ committed − deleted), one row per
+    * (tier, key, n_members, metric, threshold, stale):
+    *
+    *  - `ivfk_centroid` — [[ingestDriftReport]]'s frozen-centroid
+    *    residual per trained-k cell (metric = drift, threshold =
+    *    [[DRIFT_TAU]]; stale also when a cell lost every member).
+    *  - `lshc_occupancy` — the constant-occupancy LSH bit dial: nbits is
+    *    frozen at the PERSISTED corpus count, so the realized mean
+    *    occupancy (standing N / 2^nbits) grows past the design cell
+    *    size [[LSHC_CELL]] as commits accumulate; stale once it exceeds
+    *    2c (the point where [[lshcNbits]] would have minted more bits —
+    *    candidate volume per probe has doubled).
+    *  - `sem_cell_hist` — the semantic quantizer's cell-SIZE histogram
+    *    (buckets of the constant-cell dial c = [[SEM_CELL]]): one row
+    *    per occupancy bucket with the cell count and the largest cell;
+    *    a non-empty bucket past 2c is stale — the O(N·c) pair bound the
+    *    dedup tier advertises has locally doubled.
+    *
+    * EAGER report like [[ingestDriftReport]], O(standing members). */
+  private[graft] def ingestGeometryReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ivf = ingestDriftReport(s, d).select(
+      lit("ivfk_centroid").as("tier"),
+      concat(lit("cell="), col("cell").cast(StringType)).as("key"),
+      col("n_members"),
+      col("drift").cast(DoubleType).as("metric"),
+      lit(DRIFT_TAU).as("threshold"),
+      col("stale"))
+    val frozen = lshcNbits(embCount(s, d))
+    val nVis = visibleVecs(s, d).count()
+    val occ = nVis.toDouble / (1L << frozen)
+    val lshc = Seq(("lshc_occupancy", s"nbits=$frozen", nVis, occ,
+        2.0 * LSHC_CELL, occ > 2.0 * LSHC_CELL))
+      .toDF("tier", "key", "n_members", "metric", "threshold", "stale")
+    val sizes = stdSemAssign(s, d).groupBy("cell").agg(count(lit(1)).as("sz"))
+    val bucket = when(col("sz") <= SEM_CELL, "(0,c]")
+      .when(col("sz") <= 2 * SEM_CELL, "(c,2c]")
+      .when(col("sz") <= 4 * SEM_CELL, "(2c,4c]")
+      .otherwise("(4c,inf)")
+    val sem = sizes.withColumn("bucket", bucket)
+      .groupBy("bucket").agg(count(lit(1)).as("n_cells"), max(col("sz")).as("max_sz"))
+      .select(lit("sem_cell_hist").as("tier"), col("bucket").as("key"),
+        col("n_cells").as("n_members"),
+        col("max_sz").cast(DoubleType).as("metric"),
+        lit(2.0 * SEM_CELL).as("threshold"),
+        (col("max_sz") > 2 * SEM_CELL).as("stale"))
+    ivf.unionByName(lshc).unionByName(sem).orderBy("tier", "key")
+  }
+
   /** The q_dedup_semantic_recall computation at an arbitrary cell-size
     * dial `c` — shared verbatim by the registered query (c = SEM_CELL)
     * and the production-cell-size measurement (LlmSpec drives c = 1024

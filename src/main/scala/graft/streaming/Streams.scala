@@ -268,11 +268,12 @@ object Streams {
     * stream replay are ordered by manifest publish, not by event time.
     * The failure-mode replay (the last un-checkpointed trigger re-runs)
     * cannot interleave with a later delete; a full from-scratch replay
-    * can, and should be treated as changelog re-application — re-issue
-    * deletes after it, exactly as with any CDC resync (IngestSpec pins
-    * the re-insert behavior). The per-micro-batch report (what landed,
-    * per family) goes to `report` — a metrics/audit writer in
-    * production. */
+    * can, and should be treated as changelog re-application — use
+    * [[applyDocsChangelogSink]] (whose per-id reduction re-issues each
+    * final delete in place) for resyncs, exactly as with any CDC feed
+    * (IngestSpec pins the re-insert behavior of THIS sink). The
+    * per-micro-batch report (what landed, per family) goes to `report`
+    * — a metrics/audit writer in production. */
   def commitDocsSink(spark: SparkSession, d: String, docs: DataFrame)(
       report: (DataFrame, Long) => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -321,6 +322,36 @@ object Streams {
     vectors.writeStream.outputMode("append")
       .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         report(graft.Ingest.replaceVectors(spark, d, mb.toDF()), batchId)
+      }
+
+  /** Streaming CHANGELOG-APPLY sink — the RESYNC shape (r19): each
+    * micro-batch of `(doc_id, text, op, ord)` rows reduces to every
+    * id's FINAL operation and applies upserts + DELETES together
+    * ([[graft.Ingest.applyDocChangelog]]). Unlike [[commitDocsSink]] /
+    * [[replaceDocsSink]], a full from-scratch replay through this sink
+    * re-issues each id's delete in its changelog position, so the
+    * replay CONVERGES even when deletes predate it — the operational
+    * closure of the replay-vs-delete ordering caveat. Feed it the
+    * changelog in feed order (ord within batches resolves intra-batch
+    * ordering; cross-batch order is the source's, as with any CDC
+    * apply). Exactly-once index state under at-least-once delivery, by
+    * the same idempotence argument as the other sinks. */
+  def applyDocsChangelogSink(spark: SparkSession, d: String, changes: DataFrame)(
+      report: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        report(graft.Ingest.applyDocChangelog(spark, d, mb.toDF()), batchId)
+      }
+
+  /** [[applyDocsChangelogSink]] for vector feeds
+    * (`(vec_id, embedding, op, ord)`). */
+  def applyVectorsChangelogSink(spark: SparkSession, d: String, changes: DataFrame)(
+      report: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        report(graft.Ingest.applyVectorChangelog(spark, d, mb.toDF()), batchId)
       }
 
   /** Running per-user totals via custom state (mapGroupsWithState): state =

@@ -1141,6 +1141,42 @@ class IngestSpec extends AnyFunSuite {
     assert(f.values.forall(identity), s"visible texts must probe corpus_dup: $f")
   }
 
+  test("geometryReport: frozen lshc bit dial and sem cell histogram flip stale as commits accumulate") {
+    import spark.implicits._
+    val d = freshCorpus("geo")
+    def rep(): Seq[(String, String, Long, Double, Double, Boolean)] =
+      Ingest.geometryReport(spark, d).collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getBoolean(5))).toSeq
+    val fresh = rep()
+    // three tiers present; trained-k rows mirror driftReport
+    assert(fresh.exists(_._1 == "ivfk_centroid"))
+    assert(fresh.filter(_._1 == "ivfk_centroid").map(_._3).sum == 256L)
+    val l0 = fresh.find(_._1 == "lshc_occupancy").get
+    assert(l0._3 == 256L && !l0._6,
+      s"fresh lshc occupancy within the frozen dial's budget: $l0")
+    assert(!fresh.filter(_._1 == "sem_cell_hist").exists(_._6),
+      s"fresh sem cells within the 2c budget: ${fresh.filter(_._1 == "sem_cell_hist")}")
+    // quadruple the standing corpus past the frozen dials: nbits stays
+    // at persisted-N, so realized bucket occupancy and cell sizes grow
+    val rnd = new scala.util.Random(31L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    Ingest.commitVectors(spark, d,
+      (0 until 800).map(i => (8000L + i, unit())).toDF("vec_id", "embedding"))
+    val after = rep()
+    val l1 = after.find(_._1 == "lshc_occupancy").get
+    assert(l1._3 == 1056L && l1._4 > l1._5 && l1._6,
+      s"lshc occupancy must flip stale once standing N outgrows the frozen bits: $l1")
+    assert(after.filter(_._1 == "sem_cell_hist").exists(r => r._6 && r._3 > 0),
+      s"sem histogram must show >2c cells: ${after.filter(_._1 == "sem_cell_hist")}")
+    // the trained-k tier keeps covering the full standing member set
+    assert(after.filter(_._1 == "ivfk_centroid").map(_._3).sum == 1056L)
+  }
+
   test("promote folds commits/replaces/deletes into a fresh generation; overlay empty; probes invariant") {
     import spark.implicits._
     val d = freshCorpus("pro")

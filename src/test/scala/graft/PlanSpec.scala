@@ -680,4 +680,42 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"expected base + older-group tombstone anti-joins on broadcast:\n$p")
   }
+
+  test("post-promote probe plans drop to the ONE-BRANCH base shape (no union, no tombstone anti-join)") {
+    // r19 promotion claim, pinned structurally: after Ingest.promote
+    // the standing view is a single scan of the generation snapshot —
+    // no base∪overlay union and no tombstone anti-join survive in the
+    // plan, however many commits/replaces/deletes the folded history
+    // held. This is the whole point of the verb: a year of streaming
+    // commits must not leave probes paying a two-branch plan forever.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-promplan").toString
+    (0 until 30).map(i =>
+        (i.toLong, (0 until 20).map(j => s"pp${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    Ingest.commitDocs(s, d, Seq((1000L, mkText("qa"))).toDF("doc_id", "text"))
+    Ingest.replaceDocs(s, d, Seq((5L, mkText("qb"))).toDF("doc_id", "text"))
+    Ingest.deleteDocs(s, d, Seq(3L).toDF("doc_id"))
+    val before = operators.LlmPipeline.visibleDocs(s, d)
+      .queryExecution.executedPlan.toString
+    assert(before.contains("Union") && before.contains("Join"),
+      s"pre-promote standing view should be the two-branch shadowed plan:\n$before")
+    Ingest.promote(s, d)
+    val vis = operators.LlmPipeline.visibleDocs(s, d)
+    val after = vis.queryExecution.executedPlan.toString
+    assert(!after.contains("Union") && !after.contains("Join"),
+      s"post-promote standing view must be one branch, no joins:\n$after")
+    // and it is the promoted snapshot being scanned, not the source table
+    val roots = vis.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("/gens/gen_")),
+      s"post-promote scan must read the generation snapshot: $roots")
+    assert(vis.count() == 30L) // 30 − deleted 3 + committed 1000
+  }
 }

@@ -337,6 +337,65 @@ class StreamingSpec extends AnyFunSuite {
       s"probe view after upsert stream: $f")
   }
 
+  test("changelog resync sink: full replay re-applies deletes in place and converges (no re-insert)") {
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("graft-resyncstream").toString
+    (0 until 40).map(i =>
+        (i.toLong, (0 until 20).map(j => s"rs${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    // changelog in feed order: insert 1000, upsert corpus doc 5, then
+    // DELETE 1000 — one file per entry so each replays as its own
+    // micro-batch in order
+    val srcDir = Files.createTempDirectory("graft-resyncsrc").toString
+    val log = Seq(
+      (1000L, mkText("rv1"), "upsert", 1L),
+      (5L, mkText("rv5"), "upsert", 2L),
+      (1000L, null.asInstanceOf[String], "delete", 3L))
+    log.foreach { e =>
+      Seq(e).toDF("doc_id", "text", "op", "ord").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val schema = log.take(1).toDF("doc_id", "text", "op", "ord").schema
+    def visible(): Map[Long, String] =
+      graft.operators.LlmPipeline.visibleDocs(spark, corpus).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def run(): Unit = {
+      val qy = Streams.applyDocsChangelogSink(spark, corpus,
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)) { (_, _) => () }
+        .option("checkpointLocation", ckpt())
+        .trigger(Trigger.AvailableNow()).start()
+      qy.awaitTermination(120000)
+    }
+    run()
+    val applied = visible()
+    assert(!applied.contains(1000L) && applied(5L) == mkText("rv5") &&
+      applied.size == 40, s"changelog apply: ${applied.size}")
+    // FULL from-scratch replay (fresh checkpoint): the delete of 1000 is
+    // re-applied in its changelog position, so the state CONVERGES —
+    // through the plain commit/replace sinks this same replay would
+    // re-insert 1000 (the documented CDC caveat this sink closes)
+    run()
+    assert(visible() == applied, "full resync replay did not converge")
+    // and the whole changelog applied as ONE batch reduces to each id's
+    // final op — same converged state on a fresh corpus
+    val corpus2 = Files.createTempDirectory("graft-resyncbatch").toString
+    (0 until 40).map(i =>
+        (i.toLong, (0 until 20).map(j => s"rs${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$corpus2/documents.parquet")
+    Ingest.applyDocChangelog(spark, corpus2,
+      log.toDF("doc_id", "text", "op", "ord"))
+    val batched = graft.operators.LlmPipeline.visibleDocs(spark, corpus2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batched == applied, "one-batch apply must equal the streamed state")
+    // idempotent: re-applying the same changelog publishes nothing
+    assert(Ingest.applyDocChangelog(spark, corpus2,
+      log.toDF("doc_id", "text", "op", "ord")).isEmpty)
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-state").toString
