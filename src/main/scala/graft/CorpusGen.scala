@@ -141,5 +141,11 @@ object CorpusGen {
         }
       }
     }
+    // crashed promotions' temp dirs: gcGens runs right after a
+    // successful publish under the exclusive promote writer, so any
+    // `gen_N.tmp.<uuid>` present belongs to a dead writer
+    sources.Store.list(gensDir(d)).foreach { f =>
+      if (f.isDir && f.name.contains(".tmp.")) sources.Store.delete(f.path)
+    }
   }
 }

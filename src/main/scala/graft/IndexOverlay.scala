@@ -205,6 +205,24 @@ object IndexOverlay {
   private[graft] def maxManifestId(d: String): Int =
     manifestDirs(d).map(_._1).foldLeft(-1)(math.max)
 
+  /** Per-family count of TRUE orphan segment dirs: published but listed
+    * by NO manifest on disk (crashed commits / lost publish races) —
+    * never grace-retained compaction debris, which its superseded
+    * manifest still lists. [[Ingest.compactIfNeeded]] counts these
+    * toward the segment budget (they inflate append listings like live
+    * segments, and only a compact reclaims them); reclaiming them is
+    * loop-safe because gc removes unmanifested dirs regardless of the
+    * grace window (no reader can have planned on them). */
+  private[graft] def orphanSegments(d: String): Map[String, Int] = {
+    val listed: Map[String, Set[String]] = manifestDirs(d)
+      .flatMap(m => parseEntries(m._3.path))
+      .groupBy(_.family).map { case (f, es) => f -> es.map(_.seg).toSet }
+    families(d).map { fam =>
+      val keep = listed.getOrElse(fam, Set.empty)
+      fam -> segDirsOnDisk(d, fam).count(f => !keep.contains(f.name))
+    }.toMap
+  }
+
   /** Readable (manifest-listed) segment paths of a family, chain order. */
   private[graft] def segments(d: String, family: String): Seq[String] =
     effectiveEntries(d).filter(_.family == family)
@@ -422,6 +440,14 @@ object IndexOverlay {
           !keep.contains(f.name.stripSuffix(".lock"))) sources.Store.delete(f.path)
       }
       if (ls(famDir(d, fam)).isEmpty) sources.Store.delete(famDir(d, fam))
+    }
+    // crashed manifest-publishers' temp dirs (`c_N.tmp.<uuid>`): family
+    // temp debris falls to the not-in-keep rule above, but _commits is
+    // outside the family sweep — safe to remove here because gc only
+    // runs under the exclusive compact/promote writer, so any temp
+    // present belongs to a dead publisher
+    ls(commitsDir(d)).foreach { f =>
+      if (f.isDir && f.name.contains(".tmp.")) sources.Store.delete(f.path)
     }
   }
 }

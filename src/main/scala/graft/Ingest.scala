@@ -217,14 +217,20 @@ object Ingest {
   def compact(s: SparkSession, d: String, retainMillis: Long): DataFrame =
     operators.LlmPipeline.ingestCompact(s, d, retainMillis)
 
-  /** [[compact]] iff any family's effective segment count exceeds
-    * `maxSegments` — the auto-coalesce convenience a commit-driven
-    * pipeline calls after each batch. The check is driver-side
-    * (manifest chain, no jobs); returns None when under budget. */
+  /** [[compact]] iff any family's effective segment count — PLUS its
+    * true-orphan debris (published dirs no manifest lists: crashed
+    * commits, lost publish races), which inflates append listings just
+    * like live segments and is only reclaimed by a compact (VERDICT
+    * r18) — exceeds `maxSegments`. The auto-coalesce convenience a
+    * commit-driven pipeline calls after each batch; driver-side check
+    * (chain + listings, no jobs); returns None when under budget. */
   def compactIfNeeded(s: SparkSession, d: String,
       maxSegments: Int): Option[DataFrame] = {
-    val over = IndexOverlay.effectiveEntries(d)
-      .groupBy(_.family).exists(_._2.size > maxSegments)
+    val eff = IndexOverlay.effectiveEntries(d)
+      .groupBy(_.family).map { case (f, es) => f -> es.size }
+    val orphans = IndexOverlay.orphanSegments(d)
+    val over = (eff.keySet ++ orphans.keySet).exists(f =>
+      eff.getOrElse(f, 0) + orphans.getOrElse(f, 0) > maxSegments)
     if (over) Some(compact(s, d)) else None
   }
 

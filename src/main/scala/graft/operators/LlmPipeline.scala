@@ -1646,7 +1646,7 @@ object LlmPipeline extends QueryPack {
       }
     }
 
-  private def genArtDoc(s: SparkSession, d: String, family: String)(
+  private[graft] def genArtDoc(s: SparkSession, d: String, family: String)(
       gen0: => DataFrame): DataFrame =
     genArt(s, d, family, "doc_id", "documents", "doc_id")(gen0)
 

@@ -41,10 +41,24 @@ object Store {
   final case class St(name: String, path: String, isDir: Boolean,
     mtime: Long, len: Long)
 
-  private def conf(): Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  // one Configuration per active session, cached: newHadoopConf() CLONES
+  // the full session conf (~ms), and a single overlay plan construction
+  // makes dozens of Store calls — a per-call clone would tax every
+  // ingest-path plan. Only the latest session is held (bounded).
+  @volatile private var cachedConf:
+    (org.apache.spark.sql.SparkSession, Configuration) = null
+  private def conf(): Configuration = {
+    val act = org.apache.spark.sql.SparkSession.getActiveSession.orNull
+    val c = cachedConf
+    if (c != null && (c._1 eq act)) c._2
+    else {
+      val fresh =
+        if (act != null) act.sessionState.newHadoopConf()
+        else new Configuration()
+      cachedConf = (act, fresh)
+      fresh
+    }
+  }
 
   private def fsOf(p: Path, c: Configuration): FileSystem = p.getFileSystem(c)
 

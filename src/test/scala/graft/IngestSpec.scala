@@ -735,6 +735,27 @@ class IngestSpec extends AnyFunSuite {
       s"post-re-insert: new content corpus-side, old base text retired: $re5Flags")
   }
 
+  test("compactIfNeeded counts true-orphan debris toward the segment budget") {
+    import spark.implicits._
+    val d = freshCorpus("orb")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    Ingest.commitDocs(spark, d, Seq((1000L, mkText("ob"))).toDF("doc_id", "text"))
+    // crash debris: three published-but-unmanifested raw segments
+    (0 until 3).foreach { k =>
+      IndexOverlay.append(spark, d, "docs_raw",
+        Seq((2000L + k, mkText(s"dead$k"))).toDF("doc_id", "text"))
+    }
+    assert(IndexOverlay.orphanSegments(d).getOrElse("docs_raw", 0) == 3)
+    // 1 effective + 3 orphans > 3: the budget check must see the debris
+    // (it inflates append listings like live segments)
+    assert(Ingest.compactIfNeeded(spark, d, maxSegments = 3).nonEmpty,
+      "orphan debris must count toward the compaction budget")
+    assert(IndexOverlay.orphanSegments(d).values.sum == 0,
+      "compact must reclaim the orphans")
+    assert(Ingest.compactIfNeeded(spark, d, maxSegments = 3).isEmpty,
+      "under budget after the fold")
+  }
+
   test("compact with a grace period keeps the superseded chain scannable for in-flight readers") {
     import spark.implicits._
     val d = freshCorpus("grc")
@@ -1291,6 +1312,32 @@ class IngestSpec extends AnyFunSuite {
     // the stranded old-geometry family left disk with the folded overlay
     assert(IndexOverlay.families(d).isEmpty,
       "stranded families are garbage after the fold")
+  }
+
+  test("post-promote re-dial fallback: gen-0 artifacts restrict to snapshot ids (deleted ids cannot resurface)") {
+    import spark.implicits._
+    val d = freshCorpus("rdl")
+    // warm the doc-hash artifact (it covers ALL 30 source ids), delete
+    // one corpus-stored id, promote: the tombstone folds away because
+    // the snapshot physically excludes the row
+    assert(operators.Curation.corpusDocHashes(spark, d)
+      .where(col("doc_id") === 4L).count() == 1L)
+    Ingest.deleteDocs(spark, d, Seq(4L).toDF("doc_id"))
+    Ingest.promote(spark, d)
+    assert(IndexOverlay.effectiveEntries(d).isEmpty, "tombstone folded away")
+    // a family minted AFTER the promotion (what a re-dial leaves): the
+    // generation lacks it, so the base falls back to the gen-0 artifact
+    // — which still carries the deleted id's rows and MUST be filtered
+    // to snapshot ids, or the delete silently un-happens in that probe
+    val fallback = operators.LlmPipeline.genArtDoc(spark, d,
+      "corpus_doc_hashes_newdial")(operators.Curation.corpusDocHashes(spark, d))
+    assert(fallback.where(col("doc_id") === 4L).isEmpty,
+      "deleted-then-promoted id resurfaced through the gen-0 fallback")
+    assert(fallback.count() == 29L, "the other snapshot ids all pass through")
+    // the family promote DID write is served from the generation
+    assert(operators.LlmPipeline.genArtDoc(spark, d,
+        operators.Curation.famDocHashes)(operators.Curation.corpusDocHashes(spark, d))
+      .count() == 29L)
   }
 
   test("driftReport counts a replaced vector once, with its new embedding") {
