@@ -207,6 +207,40 @@ object CommitBench {
       Ingest.exactDedup(spark, d4, probeBatch).count()
     }
 
+    // ---- promote cost vs folded chain DEPTH ----
+    // promote's data cost is O(corpus + committed rows) however many
+    // commits delivered those rows, but each fold scans every effective
+    // segment FILE, so the per-segment scheduling tax probes pay rides
+    // the fold too — measured 2.68 s at 2 vs 10.7 s at 32 folded
+    // commits over the SAME 320 rows (16x depth -> 4x cost at fixture
+    // scale, where tiny-file task overhead rivals the ~2.5 s corpus
+    // fold; at real segment sizes the corpus rewrite dominates). The
+    // operational rule follows the same segment budget as probes:
+    // compactIfNeeded keeps the chain under ~32 segments, so a promote
+    // never faces an unboundedly deep fold. Two doc-only stores (vec
+    // artifact first-builds would drown the signal), same corpus, same
+    // 320 committed docs; 2 vs 32 manifests in the folded chain.
+    def promoteStore(nCommits: Int, idBase: Long): Double = {
+      val dp = java.nio.file.Files
+        .createTempDirectory(s"graft-promsweep$nCommits").toString
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dp/documents.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+      Ingest.exactDedup(spark, dp, probeBatch).count() // warm doc artifacts
+      Ingest.minhashDedup(spark, dp, probeBatch).count()
+      Ingest.substringDedup(spark, dp, probeBatch).count()
+      val per = 320 / nCommits
+      (0 until nCommits).foreach { k =>
+        Ingest.commitDocs(spark, dp, (0 until per).map(i =>
+          (idBase + per.toLong * k + i,
+            (0 until 20).map(j => s"pm${k}x${i}x$j").mkString(" ")))
+          .toDF("doc_id", "text"))
+      }
+      timed(Ingest.promote(spark, dp))._2
+    }
+    val promShallowS = promoteStore(2, 90000000L)
+    val promDeepS = promoteStore(32, 91000000L)
+
     // ---- streaming commit latency (per micro-batch) ----
     val d3 = java.nio.file.Files.createTempDirectory("graft-streamcommit").toString
     for (t <- Seq("documents", "embeddings"))
@@ -258,6 +292,8 @@ object CommitBench {
       }.mkString("[", ",", "]")},""" +
       s""""replace_compact_s":${f"$repCompactS%.2f"},""" +
       s""""replace_probe_after_s":${f"$repProbeAfterS%.2f"},""" +
+      s""""promote_sweep":[{"commits":2,"sec":${f"$promShallowS%.2f"}},""" +
+      s"""{"commits":32,"sec":${f"$promDeepS%.2f"}}],""" +
       s""""stream_commit_batch_ms":${batchMs.mkString("[", ",", "]")}}""")
     spark.stop()
   }

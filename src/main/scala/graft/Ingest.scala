@@ -323,8 +323,9 @@ object Ingest {
     * `n_orphan_segments` counts crashed commits' unmanifested debris
     * (invisible to reads, reclaimed by compact). EAGER like the commits,
     * but ZERO Spark jobs on a warm store: segment/row statistics come
-    * from the manifest chain, corpus sizes from the persisted 1-row
-    * count artifacts. */
+    * from the manifest chain, corpus sizes from the current
+    * generation's meta when promoted (else the persisted 1-row count
+    * artifacts). */
   def overlayReport(s: SparkSession, d: String): DataFrame =
     operators.LlmPipeline.ingestOverlayReport(s, d)
 
