@@ -1314,6 +1314,32 @@ class IngestSpec extends AnyFunSuite {
       "stranded families are garbage after the fold")
   }
 
+  test("promote with a grace period keeps the folded overlay scannable for in-flight readers") {
+    import spark.implicits._
+    val d = freshCorpus("pgr")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    Ingest.commitDocs(spark, d, Seq((1000L, mkText("ka"))).toDF("doc_id", "text"))
+    Ingest.commitDocs(spark, d, Seq((1001L, mkText("kb"))).toDF("doc_id", "text"))
+    val oldSegs = IndexOverlay.segmentsWithSeq(d, "docs_raw").map(_._1)
+    val inFlight = spark.read.parquet(oldSegs: _*) // plan pinned pre-flip
+    Ingest.promote(spark, d, retainMillis = 10L * 60 * 1000)
+    // the flip retired the chain (new plans read the generation)...
+    assert(CorpusGen.current(d).get.id == 1)
+    assert(IndexOverlay.effectiveEntries(d).isEmpty)
+    // ...but the retired manifests + segments survive the grace window
+    // (retiredAt for below-watermark manifests = the generation flip)
+    assert(inFlight.count() == 2L,
+      "pre-promote plan must stay executable within the grace window")
+    assert(oldSegs.forall(p => graft.sources.Store.exists(p)))
+    // past the window the folded overlay is reclaimed entirely
+    IndexOverlay.gc(d, 0L)
+    assert(oldSegs.forall(p => !graft.sources.Store.exists(p)))
+    assert(IndexOverlay.families(d).isEmpty)
+    val vis = operators.LlmPipeline.visibleDocs(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(vis.contains(1000L) && vis.contains(1001L) && vis.size == 32)
+  }
+
   test("post-promote re-dial fallback: gen-0 artifacts restrict to snapshot ids (deleted ids cannot resurface)") {
     import spark.implicits._
     val d = freshCorpus("rdl")
