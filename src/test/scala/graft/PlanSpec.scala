@@ -681,6 +681,39 @@ class PlanSpec extends AnyFunSuite {
       s"expected base + older-group tombstone anti-joins on broadcast:\n$p")
   }
 
+  test("promoted-store ANN probes keep the broadcast shape (no sort-merge regression)") {
+    // the r19 generation readers swap every corpus-side base from the
+    // gen-0 artifacts to the promoted parquet — which carries no
+    // precomputed stats a prior plan relied on — so the ANN ingest legs
+    // must still ride broadcasts after a promote, exactly like the
+    // overlay-present test above pins for the pre-promote shape
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-promann").toString
+    val rnd = new scala.util.Random(11L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    (0 until 256).map(i => (i.toLong, unit(), i % 10))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    Ingest.commitVectors(s, d, (0 until 5).map(i => (5000L + i, unit()))
+      .toDF("vec_id", "embedding"))
+    Ingest.deleteVectors(s, d, Seq(3L).toDF("vec_id"))
+    Ingest.promote(s, d)
+    val probe = Seq((6000L, unit())).toDF("vec_id", "embedding")
+    val df = Ingest.annIvfc(s, d, probe)
+    df.collect() // finalize AQE on THIS plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"a promoted-base leg fell off broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected candidate + rerank broadcasts on the promoted store:\n$p")
+  }
+
   test("post-promote probe plans drop to the ONE-BRANCH base shape (no union, no tombstone anti-join)") {
     // r19 promotion claim, pinned structurally: after Ingest.promote
     // the standing view is a single scan of the generation snapshot —
