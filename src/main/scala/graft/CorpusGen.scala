@@ -63,9 +63,33 @@ object CorpusGen {
   private def gensDir(d: String): String = s"${Tables.indexDir(d)}/gens"
   private val GenName = "gen_(\\d+)".r
 
+  /** Construction-time SNAPSHOT pin (ADVICE r19): one standing-view plan
+    * construction consults the current generation several times — the
+    * base readers (corpusDocs / genArt) and the chain filter
+    * ([[IndexOverlay.effectiveEntriesSeq]]'s watermark) — so a promote
+    * flipping between two reads on a SHARED store could yield a
+    * base-OLD/chain-NEW plan that reads the folded rows from neither
+    * branch. [[pinned]] reads the gen once and serves that snapshot to
+    * every [[current]]/[[watermark]] call in the dynamic scope (the
+    * standing-view constructors in LlmPipeline open it). Thread-local
+    * and reentrant (an outer pin wins), so concurrent sessions never
+    * share a snapshot. Cross-view skew — two separately-pinned views in
+    * one probe straddling a promote — is benign by promotion's
+    * probe-invariance (both snapshots present the same standing rows). */
+  private val pin =
+    new scala.util.DynamicVariable[Map[String, Option[Gen]]](Map.empty)
+
+  private[graft] def pinned[T](d: String)(body: => T): T =
+    if (pin.value.contains(d)) body
+    else pin.withValue(pin.value + (d -> listCurrent(d)))(body)
+
   /** The latest published generation, None on a never-promoted store
-    * (the every-registered-query fast path: one directory listing). */
+    * (the every-registered-query fast path: one directory listing) —
+    * served from the [[pinned]] snapshot when one is open. */
   def current(d: String): Option[Gen] =
+    pin.value.getOrElse(d, listCurrent(d))
+
+  private def listCurrent(d: String): Option[Gen] =
     sources.Store.list(gensDir(d)).flatMap { f =>
       f.name match {
         case GenName(id) if f.isDir &&
@@ -120,6 +144,26 @@ object CorpusGen {
     }
     path
   }
+
+  /** Last promote's measured cost — (wall seconds, overlay rows folded,
+    * corpus rows written), the inputs of [[graft.Ingest.promoteReport]]'s
+    * cost model (VERDICT r19 task 6). Plain-overwrite observability, not
+    * lifecycle state: a lost file only blanks the estimate columns. */
+  private[graft] def writePromoteStats(d: String, sec: Double,
+      overlayRows: Long, corpusRows: Long): Unit =
+    sources.Store.writeUtf8(s"${gensDir(d)}/promote_stats.tsv",
+      f"sec\t$sec%.3f%noverlay_rows\t$overlayRows%ncorpus_rows\t$corpusRows")
+
+  private[graft] def readPromoteStats(d: String): Option[(Double, Long, Long)] =
+    sources.Store.readUtf8(s"${gensDir(d)}/promote_stats.tsv").flatMap { text =>
+      val kv = text.split('\n').filter(_.nonEmpty).map(_.split('\t'))
+        .collect { case Array(k, v) => k -> v }.toMap
+      for {
+        sec <- kv.get("sec").map(_.toDouble)
+        ov <- kv.get("overlay_rows").map(_.toLong)
+        corp <- kv.get("corpus_rows").map(_.toLong)
+      } yield (sec, ov, corp)
+    }
 
   /** Drop superseded generations (all but the latest) whose supersede
     * flip is older than `retainMillis` — same grace-period contract as

@@ -225,13 +225,20 @@ object Ingest {
     * commit-driven pipeline calls after each batch; driver-side check
     * (chain + listings, no jobs); returns None when under budget. */
   def compactIfNeeded(s: SparkSession, d: String,
-      maxSegments: Int): Option[DataFrame] = {
+      maxSegments: Int): Option[DataFrame] =
+    compactIfNeeded(s, d, maxSegments, retainMillis = 0L)
+
+  /** [[compactIfNeeded]] with [[compact]]'s reader grace period — the
+    * overload a SHARED-store pipeline calls after each batch (ADVICE
+    * r19: the plain form gc'd just-retired chains with no window). */
+  def compactIfNeeded(s: SparkSession, d: String, maxSegments: Int,
+      retainMillis: Long): Option[DataFrame] = {
     val eff = IndexOverlay.effectiveEntries(d)
       .groupBy(_.family).map { case (f, es) => f -> es.size }
     val orphans = IndexOverlay.orphanSegments(d)
     val over = (eff.keySet ++ orphans.keySet).exists(f =>
       eff.getOrElse(f, 0) + orphans.getOrElse(f, 0) > maxSegments)
-    if (over) Some(compact(s, d)) else None
+    if (over) Some(compact(s, d, retainMillis)) else None
   }
 
   /** Apply a document CHANGELOG — rows `(doc_id, text, op, ord)` with
@@ -280,7 +287,11 @@ object Ingest {
     // corpus-side pass, and must not re-execute the reduction
     val last = changes.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn").localCheckpoint()
-    val nBad = last.where(!col("op").isin("upsert", "delete")).count()
+    // null op must read as malformed too (ADVICE r19): `!isin(...)` is
+    // NULL for null, so a bare negation let a null-op row slip the gate
+    // and silently cancel that id's real earlier operation
+    val nBad = last.where(col("op").isNull ||
+      !col("op").isin("upsert", "delete")).count()
     require(nBad == 0L, s"changelog op must be 'upsert' or 'delete' ($nBad other)")
     rep(s, d, last.where(col("op") === "upsert").select(idCol, payloadCol))
       .union(del(s, d, last.where(col("op") === "delete").select(idCol)))
@@ -313,6 +324,31 @@ object Ingest {
     * chain and the superseded generation ([[compact]]'s contract). */
   def promote(s: SparkSession, d: String, retainMillis: Long): DataFrame =
     operators.LlmPipeline.ingestPromote(s, d, retainMillis)
+
+  /** Promote-cadence observability (VERDICT r19 task 6): one row of the
+    * dials the promote decision needs — standing overlay/corpus rows and
+    * their ratio, the chain's manifest count, the last promote's
+    * measured cost and an estimate for promoting now, and whether
+    * `maxOverlayRatio` is exceeded. Zero Spark jobs on a warm store
+    * (chain + generation metadata only). */
+  def promoteReport(s: SparkSession, d: String,
+      maxOverlayRatio: Double = 0.1): DataFrame =
+    operators.LlmPipeline.ingestPromoteReport(s, d, maxOverlayRatio)
+
+  /** [[promote]] iff the standing overlay has reached `maxOverlayRatio`
+    * of the corpus row count — [[compactIfNeeded]]'s shape for the
+    * rebuild-cost dial, so a commit-driven pipeline triggers the
+    * O(corpus) fold from measured data instead of eyeballing two
+    * reports. Driver-side check (chain + gen metadata, no jobs);
+    * returns None while under the ratio. */
+  def promoteIfNeeded(s: SparkSession, d: String, maxOverlayRatio: Double,
+      retainMillis: Long = 0L): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    val r: Row = promoteReport(s, d, maxOverlayRatio).head()
+    if (r.getAs[Boolean]("promote_suggested"))
+      Some(promote(s, d, retainMillis))
+    else None
+  }
 
   /** Overlay observability: one row per committed family on disk —
     * (family, live, n_segments, n_rows, n_orphan_segments, corpus_rows).

@@ -220,8 +220,21 @@ object Tables {
         .map("%02x".format(_)).mkString.take(12)
     })
 
+  /** Root of every per-dataset index store. A deployment knob (env
+    * `GRAFT_INDEX_ROOT`, or the `graft.index.root` system property): the
+    * artifacts, overlay chain and corpus generations must live on
+    * SHARED storage at the stated 100 TB target (an HDFS/object-store
+    * path), not a node-local /tmp — the whole store layer already runs
+    * on the Hadoop FileSystem API ([[graft.sources.Store]], r19), and
+    * the r20 non-local publish tests drive this knob at a non-`file`
+    * scheme. Default stays the local path the sandbox uses. */
+  private def indexRoot: String =
+    sys.env.get("GRAFT_INDEX_ROOT")
+      .orElse(sys.props.get("graft.index.root"))
+      .getOrElse("/tmp/graft-index")
+
   private[graft] def indexDir(d: String): String =
-    s"/tmp/graft-index/$ARTIFACT_VERSION/${d.replaceAll("[^A-Za-z0-9.]", "_")}-${dataToken(d)}"
+    s"$indexRoot/$ARTIFACT_VERSION/${d.replaceAll("[^A-Za-z0-9.]", "_")}-${dataToken(d)}"
 
   /** Disk-backed [[memoized]] — for the per-corpus INDEX ARTIFACTS a real
     * 100 TB pipeline builds once and reuses across runs (minhash

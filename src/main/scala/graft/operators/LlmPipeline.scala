@@ -1659,35 +1659,45 @@ object LlmPipeline extends QueryPack {
   // chain's sequence-ordered tombstones. These are what every ingest
   // probe reads corpus-side AND what [[ingestPromote]] folds into the
   // next generation (the fold is by construction exactly the view, so
-  // promotion is probe-invariant).
+  // promotion is probe-invariant). Each view pins ONE generation
+  // snapshot for its whole construction ([[CorpusGen.pinned]], ADVICE
+  // r19): the gen-aware base and the chain's watermark filter must read
+  // the SAME generation, or a promote flipping between the two reads
+  // yields a base-old/chain-new plan missing every folded row.
   private[operators] def stdDocHashes(s: SparkSession, d: String): DataFrame =
-    ovDoc(s, d, Curation.famDocHashes,
-      genArtDoc(s, d, Curation.famDocHashes)(Curation.corpusDocHashes(s, d)))
+    CorpusGen.pinned(d) { ovDoc(s, d, Curation.famDocHashes,
+      genArtDoc(s, d, Curation.famDocHashes)(Curation.corpusDocHashes(s, d))) }
   private def stdHotShingles(s: SparkSession, d: String): DataFrame =
-    ov(s, d, famHotShingles,
-      CorpusGen.artifact(s, d, famHotShingles).getOrElse(hotShingleSet(s, d)))
+    CorpusGen.pinned(d) { ov(s, d, famHotShingles,
+      CorpusGen.artifact(s, d, famHotShingles).getOrElse(hotShingleSet(s, d))) }
   private def stdDocShingles(s: SparkSession, d: String): DataFrame =
-    ovDoc(s, d, famDocShingles, genArtDoc(s, d, famDocShingles)(docShingles(s, d)))
+    CorpusGen.pinned(d) { ovDoc(s, d, famDocShingles,
+      genArtDoc(s, d, famDocShingles)(docShingles(s, d))) }
   private def stdMinhashSigs(s: SparkSession, d: String): DataFrame =
-    ovDoc(s, d, famMinhashSigs, genArtDoc(s, d, famMinhashSigs)(minhashSigs(s, d)))
+    CorpusGen.pinned(d) { ovDoc(s, d, famMinhashSigs,
+      genArtDoc(s, d, famMinhashSigs)(minhashSigs(s, d))) }
   private def stdSubstrPostings(s: SparkSession, d: String): DataFrame =
-    ovDoc(s, d, famSubstrPostings,
-      genArtDoc(s, d, famSubstrPostings)(substrPostings(s, d)))
+    CorpusGen.pinned(d) { ovDoc(s, d, famSubstrPostings,
+      genArtDoc(s, d, famSubstrPostings)(substrPostings(s, d))) }
   private def stdLshcOwn(s: SparkSession, d: String, nbits: Int): DataFrame =
-    ovVec(s, d, famLshcOwn(nbits),
+    CorpusGen.pinned(d) { ovVec(s, d, famLshcOwn(nbits),
       genArtVec(s, d, famLshcOwn(nbits))(lshcProbes(s, d).where(col("own"))
-        .select(col("vec_id"), col("tb"), col("bucket"))))
+        .select(col("vec_id"), col("tb"), col("bucket")))) }
   private def stdLshMulti(s: SparkSession, d: String): DataFrame =
-    ovVec(s, d, famLshMulti, genArtVec(s, d, famLshMulti)(lshMultiBuckets(s, d)))
+    CorpusGen.pinned(d) { ovVec(s, d, famLshMulti,
+      genArtVec(s, d, famLshMulti)(lshMultiBuckets(s, d))) }
   private def stdSemAssign(s: SparkSession, d: String): DataFrame =
-    ovVec(s, d, famSemAssign, genArtVec(s, d, famSemAssign)(semAssign(s, d)))
+    CorpusGen.pinned(d) { ovVec(s, d, famSemAssign,
+      genArtVec(s, d, famSemAssign)(semAssign(s, d))) }
   private def stdSemAssign2(s: SparkSession, d: String): DataFrame =
-    ovVec(s, d, famSemAssign2, genArtVec(s, d, famSemAssign2)(semAssign2(s, d)))
+    CorpusGen.pinned(d) { ovVec(s, d, famSemAssign2,
+      genArtVec(s, d, famSemAssign2)(semAssign2(s, d))) }
   private def stdIvfkAssign2(s: SparkSession, d: String): DataFrame =
-    ovVec(s, d, famIvfkAssign2, genArtVec(s, d, famIvfkAssign2)(ivfKAssign2(s, d)))
+    CorpusGen.pinned(d) { ovVec(s, d, famIvfkAssign2,
+      genArtVec(s, d, famIvfkAssign2)(ivfKAssign2(s, d))) }
   private def stdPqCodesWide(s: SparkSession, d: String): DataFrame =
-    ovVec(s, d, famPqCodesWide,
-      genArtVec(s, d, famPqCodesWide, "nid")(pqCodesWide(s, d)), "nid")
+    CorpusGen.pinned(d) { ovVec(s, d, famPqCodesWide,
+      genArtVec(s, d, famPqCodesWide, "nid")(pqCodesWide(s, d)), "nid") }
 
   // Overlay FAMILY names — geometry-encoded exactly like the base stage
   // keys they shadow (ADVICE r16): a re-dial (new nbits, new cell size,
@@ -1815,7 +1825,7 @@ object LlmPipeline extends QueryPack {
   private[graft] def ingestSemanticDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
-    val corpus = ovVec(s, d, famVecsRaw, corpusVecs(s, d))
+    val corpus = visibleVecs(s, d)
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
       .join(maybeBroadcast(stdSemAssign(s, d)), "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"))
@@ -1844,8 +1854,7 @@ object LlmPipeline extends QueryPack {
   /** Corpus-side embeddings (incl. committed overlay rows) excluding the
     * batch's ids. */
   private def corpusVecsExcl(s: SparkSession, d: String, batch: DataFrame): DataFrame =
-    ovVec(s, d, famVecsRaw, corpusVecs(s, d))
-      .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+    visibleVecs(s, d).join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
 
   /** LSH-multiprobe ANN ingest: batch bucket rows computed fresh, corpus
     * side from the persisted multi-table bucket index. */
@@ -2081,11 +2090,11 @@ object LlmPipeline extends QueryPack {
     * base for commits, the change detector for replaces, the
     * visibility guard for deletes. */
   private[graft] def visibleDocs(s: SparkSession, d: String): DataFrame =
-    ovDoc(s, d, famDocsRaw, corpusDocs(s, d))
+    CorpusGen.pinned(d) { ovDoc(s, d, famDocsRaw, corpusDocs(s, d)) }
 
   /** [[visibleDocs]] for vectors: the standing (vec_id, embedding). */
   private[graft] def visibleVecs(s: SparkSession, d: String): DataFrame =
-    ovVec(s, d, famVecsRaw, corpusVecs(s, d))
+    CorpusGen.pinned(d) { ovVec(s, d, famVecsRaw, corpusVecs(s, d)) }
 
   /** Shared publish tail of the commit verbs: append `novel` as the raw
     * family's segment (the write IS the emptiness check), derive every
@@ -2361,8 +2370,11 @@ object LlmPipeline extends QueryPack {
       retainMillis: Long = 0L): DataFrame = {
     val eff = IndexOverlay.effectiveEntries(d).groupBy(_.family)
     if (eff.isEmpty) {
-      // nothing committed: just reclaim crashed-commit orphans
-      IndexOverlay.gc(d)
+      // nothing committed: just reclaim crashed-commit orphans — under the
+      // SAME grace window as the full fold (ADVICE r19: a compact right
+      // after a promote must not delete grace-retained retired manifests
+      // inside the window the promote promised in-flight readers)
+      IndexOverlay.gc(d, retainMillis)
       return commitCompactReport(s, Seq.empty)
     }
     val delDoc = IndexOverlay.read(s, d, famDocsDeleted)
@@ -2458,23 +2470,61 @@ object LlmPipeline extends QueryPack {
     * committed docs rejoin every probe. On a well-formed store the heal
     * sets are empty and promotion is a pure fold.
     *
-    * Sequencing contract: EXCLUSIVE writer, like compact — the
-    * watermark is read once at entry, so a commit racing the promotion
-    * could land a manifest that the fold reads but the flip does not
-    * retire (doubled rows). A no-commits store (watermark unchanged
-    * since the last promotion) is a no-op returning an empty report.
-    * EAGER; O(corpus) — this is the rebuild-shaped verb, amortized
-    * across the commits it folds; cost measured in CommitBench.
-    * Returns one row per promoted object: (family, kind∈table|artifact,
-    * n_rows). */
+    * Sequencing contract: EXCLUSIVE writer, like compact — and since
+    * r20 the contract is ENFORCED, not just documented (VERDICT r19
+    * task 3): the watermark is re-read AFTER the generation publish,
+    * and if a commit landed a manifest above the entry watermark while
+    * the fold ran — a manifest the fold MAY have read (plan
+    * construction and the flip are not one atomic step) but the flip
+    * did not retire, i.e. potentially doubled rows — the suspect
+    * generation is rolled back (deleted before any GC ran, so the
+    * previous state is fully intact) and the fold RETRIES under a
+    * fresh watermark that includes the racing commit. Bounded retries;
+    * a store with a commit landing inside every attempt stays loud
+    * instead of silently doubling. A no-commits store (watermark
+    * unchanged since the last promotion) is a no-op returning an empty
+    * report. EAGER; O(corpus) — this is the rebuild-shaped verb,
+    * amortized across the commits it folds; cost measured in
+    * CommitBench. Returns one row per promoted object: (family,
+    * kind∈table|artifact, n_rows). */
   private[graft] def ingestPromote(s: SparkSession, d: String,
       retainMillis: Long = 0L): DataFrame = {
+    var attempts = 0
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      out = ingestPromoteOnce(s, d, retainMillis)
+      attempts += 1
+      if (out.isEmpty && attempts >= 8) throw new IllegalStateException(
+        s"promote of '$d' lost $attempts consecutive races against " +
+          "concurrent commits — quiesce the committing writer and re-run")
+    }
+    out.get
+  }
+
+  /** Test seam (VERDICT r19 task 3): invoked right after the promote
+    * watermark is read and before the fold plans are constructed — the
+    * window where a racing commit's manifest is read by the fold but
+    * not retired by the flip. Production value is a no-op. */
+  private[graft] var promoteEntryHook: String => Unit = _ => ()
+
+  /** One promote attempt: Some(report) on success / clean no-op, None
+    * when a racing commit was detected after the flip (the caller
+    * re-folds under a watermark that includes it). */
+  private def ingestPromoteOnce(s: SparkSession, d: String,
+      retainMillis: Long): Option[DataFrame] = {
     import s.implicits._
     val hasDocs = graft.sources.Store.exists(s"$d/documents.parquet")
     val hasVecs = graft.sources.Store.exists(s"$d/embeddings.parquet")
     val wm = math.max(IndexOverlay.maxManifestId(d), CorpusGen.watermark(d))
     if (wm == CorpusGen.watermark(d))
-      return Seq.empty[(String, String, Long)].toDF("family", "kind", "n_rows")
+      return Some(Seq.empty[(String, String, Long)].toDF("family", "kind", "n_rows"))
+    promoteEntryHook(d)
+    val t0 = System.nanoTime()
+    // folded overlay volume, for the cadence stats below — raw-family
+    // rows from the manifest chain (driver-side metadata, zero jobs)
+    val ovRowsIn = IndexOverlay.effectiveEntries(d)
+      .filter(e => e.family == famDocsRaw || e.family == famVecsRaw)
+      .map(_.rows).sum
     val nextId = CorpusGen.current(d).map(_.id + 1).getOrElse(1)
     val nbits = if (hasVecs) lshcNbits(embCount(s, d)) else 0
 
@@ -2499,7 +2549,7 @@ object LlmPipeline extends QueryPack {
         (famIvfkAssign1,
           driftMembers(s, d).select(col("vec_id"), col("cell")), None))
 
-    CorpusGen.publish(d, nextId, wm) { tmp =>
+    val genPath = CorpusGen.publish(d, nextId, wm) { tmp =>
       val tables = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       val arts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       def writeFams(snapR: DataFrame, snapId: String,
@@ -2549,14 +2599,81 @@ object LlmPipeline extends QueryPack {
       }
       (tables.toSeq, arts.toSeq)
     }
+    // ENFORCE the exclusive-writer contract (VERDICT r19 task 3): if a
+    // commit landed a manifest above the entry watermark while the fold
+    // ran, the fold may have read it (construction raced the landing)
+    // while the flip did not retire it — doubled rows. Nothing has been
+    // GC'd yet, so deleting the suspect generation restores the exact
+    // pre-promote state (previous gen + full chain); the caller retries
+    // under a watermark that includes the racer. The window between the
+    // publish and this rollback is the documented residual: a reader
+    // sampling the suspect gen inside it sees the doubled rows the old
+    // code served FOREVER.
+    if (IndexOverlay.maxManifestId(d) > wm) {
+      graft.sources.Store.delete(genPath)
+      graft.sources.Store.delete(s"$genPath.lock")
+      return None
+    }
     // the flip retired every manifest ≤ wm and superseded the previous
     // generation; reclaim both outside the grace window
     IndexOverlay.gc(d, retainMillis)
     CorpusGen.gcGens(d, retainMillis)
     val g = CorpusGen.current(d).get
-    (g.tableRows.toSeq.sorted.map { case (n, r) => (n, "table", r) } ++
+    // cadence stats for [[ingestPromoteReport]]'s cost model (VERDICT
+    // r19 task 6): what this fold cost and what it folded — a tiny
+    // observability overwrite, not lifecycle state (losing it only
+    // blanks the estimate column until the next promote)
+    CorpusGen.writePromoteStats(d,
+      sec = (System.nanoTime() - t0) / 1e9,
+      overlayRows = ovRowsIn,
+      corpusRows = g.tableRows.values.sum)
+    Some((g.tableRows.toSeq.sorted.map { case (n, r) => (n, "table", r) } ++
       g.artRows.toSeq.sorted.map { case (n, r) => (n, "artifact", r) })
-      .toDF("family", "kind", "n_rows")
+      .toDF("family", "kind", "n_rows"))
+  }
+
+  /** Promote-cadence observability ([[graft.Ingest.promoteReport]],
+    * VERDICT r19 task 6): ONE row of the dials the promote decision
+    * needs, all driver-side metadata (chain + gen meta + the stats file
+    * the last promote wrote — zero Spark jobs on a warm store):
+    * standing overlay rows (raw families, seq-effective), corpus rows
+    * (current generation's snapshot, else the gen-0 count artifacts),
+    * their ratio, the chain's manifest count, the LAST promote's
+    * measured wall seconds and the rows it folded, and an estimate for
+    * promoting NOW — the measured fold is O(corpus + overlay), so the
+    * estimate scales the last cost by standing total rows (the honest
+    * model for the monolithic fold; the r20 partial fold makes the
+    * estimate conservative). `promote_suggested` applies the caller's
+    * `maxOverlayRatio` — the same shape as [[graft.Ingest
+    * .compactIfNeeded]]'s segment budget, so a commit-driven pipeline
+    * drives BOTH dials from reports instead of eyeballs. */
+  private[graft] def ingestPromoteReport(s: SparkSession, d: String,
+      maxOverlayRatio: Double): DataFrame = {
+    import s.implicits._
+    val hasDocs = graft.sources.Store.exists(s"$d/documents.parquet")
+    val hasVecs = graft.sources.Store.exists(s"$d/embeddings.parquet")
+    val ovRows = IndexOverlay.effectiveEntries(d)
+      .filter(e => e.family == famDocsRaw || e.family == famVecsRaw)
+      .map(_.rows).sum
+    val nManifests = IndexOverlay.effectiveEntriesSeq(d).map(_._1).distinct.size
+    val gen = CorpusGen.current(d)
+    val corpusRows =
+      gen.map(_.tableRows.values.sum).getOrElse(
+        (if (hasDocs) docCount(s, d) else 0L) +
+          (if (hasVecs) embCount(s, d) else 0L))
+    val ratio =
+      if (corpusRows == 0L) (if (ovRows > 0L) Double.PositiveInfinity else 0.0)
+      else ovRows.toDouble / corpusRows
+    val stats = CorpusGen.readPromoteStats(d)
+    val est = stats.map { case (sec, _, lastCorpus) =>
+      if (lastCorpus == 0L) sec
+      else sec * (corpusRows + ovRows).toDouble / lastCorpus }
+    Seq((ovRows, corpusRows, ratio, nManifests,
+        stats.map(_._1), stats.map(_._2), est,
+        ovRows > 0L && ratio >= maxOverlayRatio))
+      .toDF("overlay_rows", "corpus_rows", "overlay_ratio", "n_manifests",
+        "last_promote_s", "last_folded_rows", "est_promote_s",
+        "promote_suggested")
   }
 
   /** Lifecycle-aware index drift ([[graft.Ingest.driftReport]]):
@@ -2617,7 +2734,7 @@ object LlmPipeline extends QueryPack {
     * centroids (bit-identical to what the build would assign). Shared
     * by [[ingestDriftReport]] and [[ingestPromote]] (which persists
     * (vec_id, cell) as the next generation's [[famIvfkAssign1]]). */
-  private def driftMembers(s: SparkSession, d: String): DataFrame = {
+  private def driftMembers(s: SparkSession, d: String): DataFrame = CorpusGen.pinned(d) {
     val cents = ivfKCentroids(s, d)
     val base = minusDeleted(s, d,
       corpusVecs(s, d)

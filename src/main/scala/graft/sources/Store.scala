@@ -48,7 +48,15 @@ object Store {
   @volatile private var cachedConf:
     (org.apache.spark.sql.SparkSession, Configuration) = null
   private def conf(): Configuration = {
-    val act = org.apache.spark.sql.SparkSession.getActiveSession.orNull
+    // getActiveSession is THREAD-LOCAL: a plain `Future { ... }` worker
+    // (the repo's own concurrent-replace tests, any user thread pool)
+    // has no active session, and a bare `new Configuration()` there
+    // would drop every session `spark.hadoop.*` setting — credentials,
+    // fs.defaultFS — so scheme-less paths could resolve to a DIFFERENT
+    // filesystem than Spark's own writes (ADVICE r19). Fall back to the
+    // JVM-global default session before giving up.
+    val act = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).orNull
     val c = cachedConf
     if (c != null && (c._1 eq act)) c._2
     else {

@@ -1386,4 +1386,148 @@ class IngestSpec extends AnyFunSuite {
     assert(members(after) == 256L,
       s"replaced vector must drift-count exactly once: ${members(after)}")
   }
+
+  test("promote detects a commit racing the fold and re-folds: rows never double (enforced writer contract)") {
+    import spark.implicits._
+    val d = freshCorpus("prc")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    Ingest.commitDocs(spark, d, Seq((1000L, mkText("ra"))).toDF("doc_id", "text"))
+    // inject a commit into the window between the promote's watermark
+    // read and its fold construction: the racer's manifest id is ABOVE
+    // the watermark, so the un-enforced contract folded its rows into
+    // the generation AND left its manifest standing in the chain —
+    // doubled rows, silently, forever (VERDICT r19 task 3)
+    var fired = false
+    operators.LlmPipeline.promoteEntryHook = _ => if (!fired) {
+      fired = true
+      Ingest.commitDocs(spark, d,
+        Seq((1001L, mkText("rb"))).toDF("doc_id", "text"))
+    }
+    try Ingest.promote(spark, d)
+    finally operators.LlmPipeline.promoteEntryHook = _ => ()
+    assert(fired, "the race seam must have run")
+    val dup = operators.LlmPipeline.visibleDocs(spark, d)
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).where(col("n") > 1)
+      .collect()
+    assert(dup.isEmpty, s"doubled ids after a raced promote: ${dup.toSeq}")
+    val vis = operators.LlmPipeline.visibleDocs(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(vis.contains(1000L) && vis.contains(1001L) && vis.size == 32,
+      s"the retry must fold BOTH commits: ${vis.size}")
+    // the racer was folded by the retried attempt, not left in the chain
+    assert(IndexOverlay.effectiveEntries(d).isEmpty,
+      "retried fold must retire the racing manifest")
+    assert(CorpusGen.current(d).get.tableRows("documents") == 32L)
+  }
+
+  test("applyDocChangelog rejects a null op loudly instead of silently cancelling the id's real operation") {
+    import spark.implicits._
+    val d = freshCorpus("nop", nDocs = 10)
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    // the null-op row carries the MAX ord: under the un-guarded reduction
+    // it WINS the final-op-per-id rank, then silently drops from both
+    // apply branches — cancelling the real upsert below it (ADVICE r19)
+    val changes = Seq(
+      (1000L, mkText("va"), "upsert", 1L),
+      (1000L, mkText("vb"), null.asInstanceOf[String], 2L)
+    ).toDF("doc_id", "text", "op", "ord")
+    val e = intercept[IllegalArgumentException] {
+      Ingest.applyDocChangelog(spark, d, changes)
+    }
+    assert(e.getMessage.contains("upsert"), e.getMessage)
+    assert(!operators.LlmPipeline.visibleDocs(spark, d).collect()
+      .map(_.getLong(0)).contains(1000L), "nothing may land from a malformed feed")
+  }
+
+  test("compact right after a promote honors the grace window (empty-overlay branch forwards retainMillis)") {
+    import spark.implicits._
+    val d = freshCorpus("cgr", nDocs = 10)
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    Ingest.commitDocs(spark, d, Seq((1000L, mkText("ga"))).toDF("doc_id", "text"))
+    val oldSegs = IndexOverlay.segmentsWithSeq(d, "docs_raw").map(_._1)
+    val inFlight = spark.read.parquet(oldSegs: _*) // plan pinned pre-flip
+    Ingest.promote(spark, d, retainMillis = 10L * 60 * 1000)
+    assert(oldSegs.forall(graft.sources.Store.exists))
+    // maintenance compact on the just-promoted (EMPTY-overlay) store:
+    // before the fix this branch called gc with NO retain and deleted
+    // the grace-retained chain inside the window (ADVICE r19)
+    Ingest.compact(spark, d, 10L * 60 * 1000)
+    assert(oldSegs.forall(graft.sources.Store.exists),
+      "empty-branch compact deleted the grace-retained chain")
+    assert(inFlight.count() == 1L,
+      "pre-promote plan must stay executable within the window")
+    // the shared-store auto-coalesce overload exists and keeps the window
+    assert(Ingest.compactIfNeeded(spark, d, 32, 10L * 60 * 1000).isEmpty)
+    assert(oldSegs.forall(graft.sources.Store.exists))
+    // a plain (no-grace) compact past the window reclaims everything
+    Ingest.compact(spark, d)
+    assert(oldSegs.forall(p => !graft.sources.Store.exists(p)))
+  }
+
+  test("promoteReport + promoteIfNeeded: the cadence dial triggers the fold from chain metadata") {
+    import spark.implicits._
+    val d = freshCorpus("pif", nDocs = 20)
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    // nothing committed: nothing to suggest, nothing to promote
+    assert(Ingest.promoteIfNeeded(spark, d, maxOverlayRatio = 0.05).isEmpty)
+    val r0 = Ingest.promoteReport(spark, d).collect().head
+    assert(r0.getAs[Long]("overlay_rows") == 0L &&
+      !r0.getAs[Boolean]("promote_suggested"))
+    // one committed doc = 1/20 of the corpus: over a 5% dial, under 10%
+    Ingest.commitDocs(spark, d, Seq((1000L, mkText("pa"))).toDF("doc_id", "text"))
+    val r1 = Ingest.promoteReport(spark, d, maxOverlayRatio = 0.05).collect().head
+    assert(r1.getAs[Long]("overlay_rows") == 1L &&
+      r1.getAs[Long]("corpus_rows") == 276L && // 20 docs + 256 vectors
+      r1.getAs[Boolean]("promote_suggested") == false,
+      s"1/276 must not clear a 5% dial: $r1")
+    assert(Ingest.promoteIfNeeded(spark, d, maxOverlayRatio = 0.05).isEmpty)
+    // a dial the standing overlay DOES clear triggers the fold
+    val rep = Ingest.promoteIfNeeded(spark, d, maxOverlayRatio = 0.003)
+    assert(rep.nonEmpty, "0.36% overlay must clear a 0.3% dial")
+    assert(IndexOverlay.effectiveEntries(d).isEmpty && CorpusGen.current(d).get.id == 1)
+    // the fold recorded its measured cost; the report now carries the
+    // cost model and a fresh store suggests nothing
+    val r2 = Ingest.promoteReport(spark, d).collect().head
+    assert(!r2.isNullAt(r2.fieldIndex("last_promote_s")) &&
+      r2.getAs[Double]("last_promote_s") > 0.0, s"stats row: $r2")
+    assert(r2.getAs[Long]("last_folded_rows") == 1L)
+    assert(!r2.isNullAt(r2.fieldIndex("est_promote_s")))
+    assert(r2.getAs[Long]("overlay_rows") == 0L &&
+      !r2.getAs[Boolean]("promote_suggested"))
+  }
+
+  test("the full lifecycle runs with the index store on a NON-local FileSystem (testdfs)") {
+    import spark.implicits._
+    // point the index ROOT (artifacts, overlay chain, generations) at the
+    // testdfs scheme: every publish in commit → replace → delete →
+    // compact → promote now takes the rename-as-commit path with no OS
+    // lock — the deployment shape of the 100 TB target (VERDICT r19
+    // task 5). The dataset itself stays local; only store I/O moves.
+    val root = java.nio.file.Files.createTempDirectory("graft-dfsroot").toString
+    System.setProperty("graft.index.root", s"testdfs:$root")
+    try {
+      val d = freshCorpus("dfl", nDocs = 10)
+      val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+      assert(!graft.sources.Store.isLocal(Tables.indexDir(d)))
+      Ingest.commitDocs(spark, d, Seq((1000L, mkText("da")), (1001L, mkText("db")))
+        .toDF("doc_id", "text"))
+      Ingest.replaceDocs(spark, d, Seq((3L, mkText("dc"))).toDF("doc_id", "text"))
+      Ingest.deleteDocs(spark, d, Seq(1001L).toDF("doc_id"))
+      def vis(): Map[Long, String] =
+        operators.LlmPipeline.visibleDocs(spark, d).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val v1 = vis()
+      assert(v1.size == 11 && v1(3L) == mkText("dc") && !v1.contains(1001L))
+      // probe + compact + promote, all against the non-local store
+      assert(Ingest.exactDedup(spark, d, Seq((9000L, mkText("da")))
+        .toDF("doc_id", "text")).collect().head.getBoolean(1))
+      Ingest.compact(spark, d)
+      assert(vis() == v1, "compact must be probe-invariant on testdfs")
+      Ingest.promote(spark, d)
+      assert(CorpusGen.current(d).get.id == 1 &&
+        IndexOverlay.effectiveEntries(d).isEmpty)
+      assert(vis() == v1, "promote must be probe-invariant on testdfs")
+      assert(Ingest.promote(spark, d).isEmpty, "replayed promote no-ops on testdfs")
+    } finally System.clearProperty("graft.index.root")
+  }
 }

@@ -384,4 +384,94 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).count() ==
       Tables.t(spark, sf, "orders").count())
   }
+
+  // ---- non-local publish protocol (VERDICT r19 tasks 4+5): the same
+  // publishAtomic races, on a FileSystem whose scheme disables the OS
+  // file lock — rename-as-commit must carry them ----
+
+  private def dfsBase(tag: String): String =
+    s"testdfs:${Files.createTempDirectory(s"graft-$tag").toString}"
+
+  test("publishAtomic on a non-local scheme: rename-as-commit publishes and replays are no-ops") {
+    import graft.sources.Store
+    val p = s"${dfsBase("dfs")}/art"
+    assert(!Store.isLocal(p), "testdfs must be non-local")
+    Sinks.publishAtomic(p) { tmp =>
+      Store.mkdirs(tmp)
+      Store.writeUtf8(s"$tmp/owner.txt", "first")
+      Store.touch(s"$tmp/_SUCCESS")
+    }
+    assert(Store.readUtf8(s"$p/owner.txt").contains("first"))
+    // replay: marker present, the write body must not run again
+    var ran = false
+    Sinks.publishAtomic(p) { _ => ran = true }
+    assert(!ran && Store.readUtf8(s"$p/owner.txt").contains("first"))
+  }
+
+  test("non-local publish: crashed-writer debris is recovered (delete only after a failed rename)") {
+    import graft.sources.Store
+    val p = s"${dfsBase("dbr")}/art"
+    Store.mkdirs(s"$p/partial") // marker-LESS target: a crashed writer
+    Sinks.publishAtomic(p) { tmp =>
+      Store.mkdirs(tmp)
+      Store.writeUtf8(s"$tmp/owner.txt", "recovered")
+      Store.touch(s"$tmp/_SUCCESS")
+    }
+    assert(Store.exists(s"$p/_SUCCESS") &&
+      Store.readUtf8(s"$p/owner.txt").contains("recovered"))
+    assert(!Store.exists(s"$p/partial"), "debris must be replaced, not merged")
+  }
+
+  test("non-local publish: a winner publishing between debris check and delete SURVIVES (marker re-check)") {
+    import graft.sources.Store
+    val p = s"${dfsBase("rce")}/art"
+    // a marker-less target forces the loser down the debris branch...
+    Store.mkdirs(s"$p/partial")
+    // ...and the seam fakes the exact ADVICE r19 interleaving: the winner
+    // publishes AFTER the loser's first marker check (absent → debris)
+    // and BEFORE its delete. The pre-fix order (check → delete → rename)
+    // deleted this winner's live store.
+    var fired = false
+    Sinks.nonLocalRaceHook = _ => if (!fired) {
+      fired = true
+      Store.delete(p)
+      Store.mkdirs(p)
+      Store.writeUtf8(s"$p/owner.txt", "winner")
+      Store.touch(s"$p/_SUCCESS")
+    }
+    try Sinks.publishAtomic(p) { tmp =>
+      Store.mkdirs(tmp)
+      Store.writeUtf8(s"$tmp/owner.txt", "loser")
+      Store.touch(s"$tmp/_SUCCESS")
+    } finally Sinks.nonLocalRaceHook = _ => ()
+    assert(fired, "the interleaving seam must have run")
+    assert(Store.readUtf8(s"$p/owner.txt").contains("winner"),
+      "the racing winner's published store was destroyed by the loser")
+    assert(Store.exists(s"$p/_SUCCESS"))
+  }
+
+  test("non-local publish: concurrent racers to one path — exactly one wins, no store vanishes") {
+    import graft.sources.Store
+    val p = s"${dfsBase("ccr")}/art"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val rs = (0 until 4).map { i =>
+      Future {
+        Sinks.publishAtomic(p) { tmp =>
+          Store.mkdirs(tmp)
+          Store.writeUtf8(s"$tmp/owner.txt", s"writer$i")
+          Store.touch(s"$tmp/_SUCCESS")
+        }
+      }
+    }
+    Await.result(Future.sequence(rs), 2.minutes)
+    assert(Store.exists(s"$p/_SUCCESS"), "a complete store must stand")
+    val owner = Store.readUtf8(s"$p/owner.txt")
+    assert(owner.exists(_.startsWith("writer")), s"owner: $owner")
+    // no temp debris left behind
+    val parent = new org.apache.hadoop.fs.Path(p).getParent.toString
+    assert(!Store.list(parent).exists(_.name.contains(".tmp.")),
+      Store.list(parent).map(_.name).mkString(","))
+  }
 }
