@@ -132,6 +132,18 @@ object CommitBench {
     }
     val (_, promoteNoopS) = timed(Ingest.promote(spark, d).count())
 
+    // ---- retrain: promote (no-op here — the store was just promoted)
+    // + re-derive every vector geometry stage and assignment from the
+    // snapshot + flip the epoch — the O(corpus) TRAINING verb, measured
+    // beside promote so the geometryReport→retrain decision has both
+    // costs (VERDICT r19 task 1) ----
+    val (repRt, retrainS) = timed(Ingest.retrain(spark, d))
+    val nRetrainArts = repRt.where(col("kind") === "artifact").count()
+    val (_, probeAfterRetrainS) = timed {
+      Ingest.minhashDedup(spark, d, docBatch(45000000L, 20)).count()
+      Ingest.annIvfcPq(spark, d, vecBatch(45000000L, 20)).count()
+    }
+
     // ---- segment sweep: probe/commit cost vs manifest-chain depth ----
     // fresh isolated store; 20-doc batches with disjoint id ranges so
     // every commit lands one segment per doc family
@@ -241,6 +253,25 @@ object CommitBench {
     val promShallowS = promoteStore(2, 90000000L)
     val promDeepS = promoteStore(32, 91000000L)
 
+    // ---- PARTIAL promote: cost must track OVERLAY size at fixed corpus
+    // size (VERDICT r19 task 2 — the r19 fold rewrote the full corpus
+    // for any overlay). Same doc corpus: a 320-doc first promote folds
+    // everything; a following 1-doc promote rewrites ONE id-hash bucket
+    // per family and carries the rest by reference. ----
+    val d6 = java.nio.file.Files.createTempDirectory("graft-promPartial").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$d6/documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    Ingest.exactDedup(spark, d6, probeBatch).count()
+    Ingest.minhashDedup(spark, d6, probeBatch).count()
+    Ingest.substringDedup(spark, d6, probeBatch).count()
+    Ingest.commitDocs(spark, d6, (0 until 320).map(i => (92000000L + i,
+      (0 until 20).map(j => s"pp0x${i}x$j").mkString(" "))).toDF("doc_id", "text"))
+    val (_, promFullS) = timed(Ingest.promote(spark, d6))
+    Ingest.commitDocs(spark, d6, Seq((93000000L,
+      (0 until 20).map(j => s"pp1x$j").mkString(" "))).toDF("doc_id", "text"))
+    val (_, promPartialS) = timed(Ingest.promote(spark, d6))
+
     // ---- streaming commit latency (per micro-batch) ----
     val d3 = java.nio.file.Files.createTempDirectory("graft-streamcommit").toString
     for (t <- Seq("documents", "embeddings"))
@@ -284,6 +315,8 @@ object CommitBench {
       s""""promote":{"docs":$nPromDocs,"vecs":$nPromVecs,"sec":${f"$promoteS%.2f"}},""" +
       s""""probe_after_promote_s":${f"$probeAfterPromS%.2f"},""" +
       s""""promote_noop_s":${f"$promoteNoopS%.2f"},""" +
+      s""""retrain":{"artifacts":$nRetrainArts,"sec":${f"$retrainS%.2f"}},""" +
+      s""""probe_after_retrain_s":${f"$probeAfterRetrainS%.2f"},""" +
       s""""seg_sweep":$sweepJson,""" +
       s""""compact_s":${f"$compactS%.2f"},""" +
       s""""probe_after_compact_s":${f"$probeAfterS%.2f"},""" +
@@ -294,6 +327,8 @@ object CommitBench {
       s""""replace_probe_after_s":${f"$repProbeAfterS%.2f"},""" +
       s""""promote_sweep":[{"commits":2,"sec":${f"$promShallowS%.2f"}},""" +
       s"""{"commits":32,"sec":${f"$promDeepS%.2f"}}],""" +
+      s""""promote_partial":{"full_320doc_s":${f"$promFullS%.2f"},""" +
+      s""""one_doc_s":${f"$promPartialS%.2f"}},""" +
       s""""stream_commit_batch_ms":${batchMs.mkString("[", ",", "]")}}""")
     spark.stop()
   }

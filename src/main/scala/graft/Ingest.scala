@@ -309,14 +309,21 @@ object Ingest {
     * promotion — except ids a geometry re-dial had STRANDED (committed
     * under an old dial, silently absent from current-geometry probes),
     * which promotion HEALS by re-deriving them from the snapshot under
-    * the current geometry. The retrain flavor is promote + a re-dial:
-    * new family/stage names then derive from the promoted snapshot
-    * (re-measure recall). EXCLUSIVE writer, like [[compact]]; no-op
-    * when nothing was committed since the last promotion. EAGER;
-    * O(corpus) — the rebuild-shaped verb, amortized over the commits it
-    * folds (CommitBench measures it). After it, probes pay the plain
-    * one-branch base plan again: no overlay union, no tombstone
-    * anti-join. */
+    * the current geometry. The retrain flavor is [[retrain]] (r20 —
+    * promote + re-dial + re-derive + epoch flip, one verb). EXCLUSIVE
+    * writer, like [[compact]] — and ENFORCED since r20: the watermark
+    * is re-verified after the flip, a commit that raced the fold rolls
+    * the suspect generation back and the fold retries under a watermark
+    * that includes it (bounded retries, then loud) — rows can no longer
+    * silently double. No-op when nothing was committed since the last
+    * promotion. EAGER; INCREMENTAL since r20 (VERDICT r19 task 2):
+    * generations are id-hash-BUCKETED ([[graft.CorpusGen]]), the fold
+    * rewrites only the buckets the overlay touches and carries every
+    * other bucket forward by reference — a 0.1% overlay no longer pays
+    * a 100% corpus rewrite (cost ~ O(touched buckets + overlay), floor
+    * corpus/nbuckets; CommitBench measures full-vs-one-doc folds).
+    * After it, probes pay the plain one-branch base plan again: no
+    * overlay union, no tombstone anti-join. */
   def promote(s: SparkSession, d: String): DataFrame =
     operators.LlmPipeline.ingestPromote(s, d)
 
@@ -324,6 +331,29 @@ object Ingest {
     * chain and the superseded generation ([[compact]]'s contract). */
   def promote(s: SparkSession, d: String, retainMillis: Long): DataFrame =
     operators.LlmPipeline.ingestPromote(s, d, retainMillis)
+
+  /** RETRAIN the vector geometry — the callable remedy every
+    * [[geometryReport]] stale row prescribes (VERDICT r19 task 1):
+    * [[promote]] the standing state into a fresh snapshot, re-derive the
+    * data-bound dials from the STANDING count (constant-occupancy LSH
+    * bits, ⌈√N⌉ trained-k cells, ⌈N/c⌉ semantic cells), retrain the
+    * geometry (centroids, two-level quantizer, PQ codebooks) and every
+    * corpus assignment artifact ON the merged snapshot, and flip the
+    * store's geometry epoch atomically — probes then cover all standing
+    * ids under the fresh dials, deleted ids are physically absent, and
+    * later commits derive under the new geometry. NOT probe-invariant
+    * (that is the point — re-measure recall, the RECALL.json protocol).
+    * EXCLUSIVE writer; crash-before-flip leaves the old epoch fully
+    * readable. EAGER; O(corpus) training cost (CommitBench measures it
+    * beside promote). Returns the minted inventory (epoch, dials, one
+    * row per artifact with footer-exact counts). */
+  def retrain(s: SparkSession, d: String): DataFrame =
+    operators.LlmPipeline.ingestRetrain(s, d)
+
+  /** [[retrain]] with [[promote]]'s reader grace period for the folded
+    * overlay chain. */
+  def retrain(s: SparkSession, d: String, retainMillis: Long): DataFrame =
+    operators.LlmPipeline.ingestRetrain(s, d, retainMillis)
 
   /** Promote-cadence observability (VERDICT r19 task 6): one row of the
     * dials the promote decision needs — standing overlay/corpus rows and

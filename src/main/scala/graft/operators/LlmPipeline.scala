@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{CorpusGen, IndexOverlay, QueryPack, Tables}
+import graft.{CorpusGen, GeomEpoch, IndexOverlay, QueryPack, Tables}
 import graft.Tables._
 import graft.multimodal.Media
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -398,15 +398,39 @@ object LlmPipeline extends QueryPack {
   private def memoizedScalar(s: SparkSession, d: String, stage: String)(mk: => Long): Long =
     scalarMemo.get(s, d, stage)(java.lang.Long.valueOf(mk)).longValue()
 
+  /** Epoch-qualified stage/family key ([[graft.GeomEpoch.key]]):
+    * identity at epoch 0 — every existing artifact path, overlay family
+    * name and registered plan unchanged — `name__gE` after the Eth
+    * [[graft.Ingest.retrain]]. */
+  private def gk(d: String, name: String): String = GeomEpoch.key(d, name)
+
+  /** GEOMETRY-TRAINING input for the vector index builders: the source
+    * table at epoch 0 (the gen-0 build every registered query shares),
+    * the PROMOTED corpus snapshot — base ∪ committed − deleted at
+    * retrain time — at epoch ≥ 1 (retrain-on-the-merged-corpus). Only
+    * [[graft.Ingest.retrain]] evaluates this at epoch ≥ 1: it builds
+    * every epoch stage EAGERLY against the snapshot current at the
+    * retrain, so no epoch artifact is ever lazily trained against a
+    * LATER generation. */
+  private def trainVecs(s: SparkSession, d: String): DataFrame =
+    if (GeomEpoch.epoch(d) == 0) t(s, d, "embeddings") else corpusVecs(s, d)
+
   /** Persisted corpus vector count — the N every N-derived index dial
     * (constant-occupancy LSH bit count, batch-size gates) reads instead
     * of re-counting the corpus: built once as a 1-row artifact beside
-    * the other index artifacts, then JVM-memoized per dir. */
+    * the other index artifacts, then JVM-memoized per dir. At epoch ≥ 1
+    * the dial N is the epoch's recorded STANDING count (the snapshot
+    * the geometry retrained on — [[graft.GeomEpoch]]), not the frozen
+    * gen-0 count. */
   private[graft] def embCount(s: SparkSession, d: String): Long =
-    memoizedScalar(s, d, "emb_count") {
-      Tables.memoizedOnDisk(s, d, "emb_count") {
-        t(s, d, "embeddings").agg(count(lit(1)).as("n"))
-      }.head().getLong(0)
+    GeomEpoch.current(d) match {
+      case Some(ep) => ep.embCount
+      case None =>
+        memoizedScalar(s, d, "emb_count") {
+          Tables.memoizedOnDisk(s, d, "emb_count") {
+            t(s, d, "embeddings").agg(count(lit(1)).as("n"))
+          }.head().getLong(0)
+        }
     }
 
   /** Persisted corpus document count — [[embCount]]'s shape for the doc
@@ -480,8 +504,8 @@ object LlmPipeline extends QueryPack {
     * reusing stale geometry. */
   private[graft] def lshcProbes(s: SparkSession, d: String): DataFrame = {
     val nbits = lshcNbits(embCount(s, d))
-    Tables.memoizedOnDisk(s, d, s"lshc_${LSHC_TABLES}x${nbits}c$LSHC_CELL") {
-      lshcProbesPlan(t(s, d, "embeddings"), nbits)
+    Tables.memoizedOnDisk(s, d, gk(d, s"lshc_${LSHC_TABLES}x${nbits}c$LSHC_CELL")) {
+      lshcProbesPlan(trainVecs(s, d), nbits)
     }
   }
 
@@ -560,8 +584,8 @@ object LlmPipeline extends QueryPack {
     * √k/k = N^(-1/4) falls). The driver-side count() sizing k runs once,
     * inside the build-once training path — never in the per-query path. */
   private def ivfKCentroids(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, "ivfk_centroids_sqrtn_lloyd1") {
-      val e = t(s, d, "embeddings")
+    Tables.memoizedOnDisk(s, d, gk(d, "ivfk_centroids_sqrtn_lloyd1")) {
+      val e = trainVecs(s, d)
       val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
       val seeds = e
         .select(col("vec_id"), col("embedding"),
@@ -591,18 +615,18 @@ object LlmPipeline extends QueryPack {
     * same narrow-map shape (and cold-build memo) as [[ivfScored]],
     * quantizer swapped. */
   private def ivfKScored(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "ivfk_scored_sqrtn") {
+    cached(s, d, gk(d, "ivfk_scored_sqrtn")) {
       val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
         lit(0.0), (acc, x) => acc + x)
       val na = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
       val nb = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
-      t(s, d, "embeddings").crossJoin(broadcast(ivfKCentroids(s, d)))
+      trainVecs(s, d).crossJoin(broadcast(ivfKCentroids(s, d)))
         .select(col("vec_id"), col("cell"), r4(dotc / (na * nb)).as("ccos"))
     }
 
   /** Rank-1 assignment index over the trained-k quantizer. */
   private def ivfKAssign(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, "ivfk_assign_sqrtn") {
+    Tables.memoizedOnDisk(s, d, gk(d, "ivfk_assign_sqrtn")) {
       org.apache.spark.sql.graftx.TopK.topKPerKey(ivfKScored(s, d),
           keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
           k = 1, rankName = "arnk")
@@ -616,8 +640,8 @@ object LlmPipeline extends QueryPack {
     * and FAISS practice is to trade linear candidate volume for recall
     * until the rerank dominates. */
   private def ivfKProbes(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, "ivfk_probes_2sqrtk") {
-      val n = t(s, d, "embeddings").count()
+    Tables.memoizedOnDisk(s, d, gk(d, "ivfk_probes_2sqrtk")) {
+      val n = trainVecs(s, d).count()
       val np = 2 * math.ceil(math.sqrt(math.ceil(math.sqrt(n.toDouble)))).toInt
       org.apache.spark.sql.graftx.TopK.topKPerKey(ivfKScored(s, d),
           keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
@@ -634,7 +658,7 @@ object LlmPipeline extends QueryPack {
     * the source of truth for drift/dedup semantics (one owner cell per
     * vector). */
   private def ivfKAssign2(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, "ivfk_assign2_top2") {
+    Tables.memoizedOnDisk(s, d, gk(d, "ivfk_assign2_top2")) {
       org.apache.spark.sql.graftx.TopK.topKPerKey(ivfKScored(s, d),
           keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "cell" -> true),
           k = 2, rankName = "arnk")
@@ -699,8 +723,8 @@ object LlmPipeline extends QueryPack {
     * (equi-join, never a cross join). */
   private def semCoarseCentroids(s: SparkSession, d: String,
       c: Int = SEM_CELL): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem2_coarse_nc${c}_lloyd1") {
-      val e = t(s, d, "embeddings")
+    Tables.memoizedOnDisk(s, d, gk(d, s"sem2_coarse_nc${c}_lloyd1")) {
+      val e = trainVecs(s, d)
       val kTot = math.ceil(e.count().toDouble / c).toInt
       val k1 = math.ceil(math.sqrt(kTot.toDouble)).toInt
       val seeds = e
@@ -747,8 +771,8 @@ object LlmPipeline extends QueryPack {
   /** Coarse (level-1) assignment of the whole corpus: (vec_id, g). */
   private def semCoarseAssign(s: SparkSession, d: String,
       c: Int = SEM_CELL): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem2_coarse_assign_nc$c") {
-      val scored = semScore(t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+    Tables.memoizedOnDisk(s, d, gk(d, s"sem2_coarse_assign_nc$c")) {
+      val scored = semScore(trainVecs(s, d).select(col("vec_id"), col("embedding")),
         semCoarseCentroids(s, d, c), Seq.empty, "ccos")
       org.apache.spark.sql.graftx.TopK.topKPerKey(scored,
           keyNames = Seq("vec_id"), orderBy = Seq("ccos" -> false, "g" -> true),
@@ -761,8 +785,8 @@ object LlmPipeline extends QueryPack {
     * sub-cells for that cell's membership to average size c. */
   private def semFineCentroids(s: SparkSession, d: String,
       c: Int = SEM_CELL): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem2_fine_nc${c}_lloyd1") {
-      val wg = t(s, d, "embeddings").join(semCoarseAssign(s, d, c), "vec_id")
+    Tables.memoizedOnDisk(s, d, gk(d, s"sem2_fine_nc${c}_lloyd1")) {
+      val wg = trainVecs(s, d).join(semCoarseAssign(s, d, c), "vec_id")
         .select(col("vec_id"), col("g"), col("embedding"))
       val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
       val seeds = wg
@@ -779,7 +803,7 @@ object LlmPipeline extends QueryPack {
           keyNames = Seq("vec_id"), orderBy = Seq("scos" -> false, "j" -> true),
           k = 1, rankName = "irnk")
         .select(col("vec_id"), col("g"), col("j"))
-      val comp = t(s, d, "embeddings").join(assign0, "vec_id")
+      val comp = trainVecs(s, d).join(assign0, "vec_id")
         .select(col("g"), col("j"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("g", "j", "dim")
         .agg((sum(col("x").cast(DEC)).cast(DoubleType) / count(lit(1))).as("m"))
@@ -820,16 +844,16 @@ object LlmPipeline extends QueryPack {
     * in full as data) and JVM-memoized per dir so repeated plan
     * constructions in a session read no Spark at all. */
   private def semMaxCell(s: SparkSession, d: String): Long =
-    memoizedScalar(s, d, s"sem2_cellmax_nc$SEM_CELL") {
-      Tables.memoizedOnDisk(s, d, s"sem2_cellmax_nc$SEM_CELL") {
+    memoizedScalar(s, d, gk(d, s"sem2_cellmax_nc$SEM_CELL")) {
+      Tables.memoizedOnDisk(s, d, gk(d, s"sem2_cellmax_nc$SEM_CELL")) {
         semAssign(s, d).groupBy("cell").agg(count(lit(1)).as("n"))
           .agg(max(col("n")).as("max_n"))
       }.head().getLong(0)
     }
 
   private def semAssign(s: SparkSession, d: String, c: Int = SEM_CELL): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem2_assign_nc$c") {
-      semCellsFor(s, d, t(s, d, "embeddings"), c)
+    Tables.memoizedOnDisk(s, d, gk(d, s"sem2_assign_nc$c")) {
+      semCellsFor(s, d, trainVecs(s, d), c)
     }
 
   /** One pass of the oversize guard that q_dedup_semantic_cells flags:
@@ -1067,8 +1091,8 @@ object LlmPipeline extends QueryPack {
     * invisible to the rank-1 pair join). ≤ 2 rows per vector, so the
     * within-cell pair volume stays O(N·c) with a ≤4× constant. */
   private def semAssign2(s: SparkSession, d: String, c: Int = SEM_CELL): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"sem2_assign_top2_nc$c") {
-      semAssign2For(s, d, t(s, d, "embeddings"), c)
+    Tables.memoizedOnDisk(s, d, gk(d, s"sem2_assign_top2_nc$c")) {
+      semAssign2For(s, d, trainVecs(s, d), c)
     }
 
   /** Top-2 fine-cell assignment of an ARBITRARY vector set against the
@@ -1145,8 +1169,8 @@ object LlmPipeline extends QueryPack {
   }
 
   private def ivfcProbes(s: SparkSession, d: String): DataFrame =
-    cached(s, d, s"ivfc_probes_np$IVFC_NP") {
-      ivfcProbesFor(s, d, t(s, d, "embeddings"))
+    cached(s, d, gk(d, s"ivfc_probes_np$IVFC_NP")) {
+      ivfcProbesFor(s, d, trainVecs(s, d))
     }
 
   /** Product-quantization geometry: [[PQ_M]] subspaces of [[PQ_SUBDIM]]
@@ -1213,8 +1237,8 @@ object LlmPipeline extends QueryPack {
     * The artifact is M×K×SUBDIM doubles (8×16×8 here) — constant-size,
     * broadcast-safe at any corpus scale. */
   private def pqCodebooks(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"pq_codebooks_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD") {
-      val e = t(s, d, "embeddings")
+    Tables.memoizedOnDisk(s, d, gk(d, s"pq_codebooks_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD")) {
+      val e = trainVecs(s, d)
       val seeds = e
         .select(col("vec_id"), col("embedding"),
           md5(concat(lit("pq:"), col("vec_id").cast(StringType))).as("mk"))
@@ -1249,9 +1273,9 @@ object LlmPipeline extends QueryPack {
   /** PQ code index (disk-backed): (vec_id, m, code) — argmin over the
     * refined codebooks, the 4-byte-per-vector compressed corpus. */
   private def pqCodes(s: SparkSession, d: String): DataFrame =
-    Tables.memoizedOnDisk(s, d, s"pq_codes_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD") {
+    Tables.memoizedOnDisk(s, d, gk(d, s"pq_codes_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD")) {
       val cb = pqCodebooks(s, d)
-      val sd = pqSubvectors(t(s, d, "embeddings")).join(broadcast(cb), "m")
+      val sd = pqSubvectors(trainVecs(s, d)).join(broadcast(cb), "m")
         .select(col("vec_id"), col("m"), col("c"), sqDist(col("sub"), col("centroid")).as("sd"))
       org.apache.spark.sql.graftx.TopK.topKPerKey(sd,
           keyNames = Seq("vec_id", "m"), orderBy = Seq("sd" -> true, "c" -> true),
@@ -1262,7 +1286,7 @@ object LlmPipeline extends QueryPack {
   /** Codes pivoted WIDE — one row per corpus vector with its M nibble
     * columns — so the ADC stage never multiplies candidate rows. */
   private def pqCodesWide(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "pq_codes_wide") {
+    cached(s, d, gk(d, "pq_codes_wide")) {
       pqCodes(s, d).groupBy(col("vec_id").as("nid"))
         .pivot("m", 0 until PQ_M)
         .agg(first(col("code")))
@@ -1680,24 +1704,24 @@ object LlmPipeline extends QueryPack {
     CorpusGen.pinned(d) { ovDoc(s, d, famSubstrPostings,
       genArtDoc(s, d, famSubstrPostings)(substrPostings(s, d))) }
   private def stdLshcOwn(s: SparkSession, d: String, nbits: Int): DataFrame =
-    CorpusGen.pinned(d) { ovVec(s, d, famLshcOwn(nbits),
-      genArtVec(s, d, famLshcOwn(nbits))(lshcProbes(s, d).where(col("own"))
+    CorpusGen.pinned(d) { ovVec(s, d, famLshcOwn(d, nbits),
+      genArtVec(s, d, famLshcOwn(d, nbits))(lshcProbes(s, d).where(col("own"))
         .select(col("vec_id"), col("tb"), col("bucket")))) }
   private def stdLshMulti(s: SparkSession, d: String): DataFrame =
     CorpusGen.pinned(d) { ovVec(s, d, famLshMulti,
       genArtVec(s, d, famLshMulti)(lshMultiBuckets(s, d))) }
   private def stdSemAssign(s: SparkSession, d: String): DataFrame =
-    CorpusGen.pinned(d) { ovVec(s, d, famSemAssign,
-      genArtVec(s, d, famSemAssign)(semAssign(s, d))) }
+    CorpusGen.pinned(d) { ovVec(s, d, famSemAssign(d),
+      genArtVec(s, d, famSemAssign(d))(semAssign(s, d))) }
   private def stdSemAssign2(s: SparkSession, d: String): DataFrame =
-    CorpusGen.pinned(d) { ovVec(s, d, famSemAssign2,
-      genArtVec(s, d, famSemAssign2)(semAssign2(s, d))) }
+    CorpusGen.pinned(d) { ovVec(s, d, famSemAssign2(d),
+      genArtVec(s, d, famSemAssign2(d))(semAssign2(s, d))) }
   private def stdIvfkAssign2(s: SparkSession, d: String): DataFrame =
-    CorpusGen.pinned(d) { ovVec(s, d, famIvfkAssign2,
-      genArtVec(s, d, famIvfkAssign2)(ivfKAssign2(s, d))) }
+    CorpusGen.pinned(d) { ovVec(s, d, famIvfkAssign2(d),
+      genArtVec(s, d, famIvfkAssign2(d))(ivfKAssign2(s, d))) }
   private def stdPqCodesWide(s: SparkSession, d: String): DataFrame =
-    CorpusGen.pinned(d) { ovVec(s, d, famPqCodesWide,
-      genArtVec(s, d, famPqCodesWide, "nid")(pqCodesWide(s, d)), "nid") }
+    CorpusGen.pinned(d) { ovVec(s, d, famPqCodesWide(d),
+      genArtVec(s, d, famPqCodesWide(d), "nid")(pqCodesWide(s, d)), "nid") }
 
   // Overlay FAMILY names — geometry-encoded exactly like the base stage
   // keys they shadow (ADVICE r16): a re-dial (new nbits, new cell size,
@@ -1711,12 +1735,14 @@ object LlmPipeline extends QueryPack {
   private def famDocShingles = s"doc_shingles_k3df$MAX_SHINGLE_DF"
   private def famMinhashSigs = s"minhash_sigs_k${MINHASH_K}x${MINHASH_SLICE}df$MAX_SHINGLE_DF"
   private def famSubstrPostings = s"substr_postings_w$SUBSTR_W"
-  private def famLshcOwn(nbits: Int) = s"lshc_own_${LSHC_TABLES}x${nbits}c$LSHC_CELL"
+  private def famLshcOwn(d: String, nbits: Int) =
+    gk(d, s"lshc_own_${LSHC_TABLES}x${nbits}c$LSHC_CELL")
   private def famLshMulti = s"lsh_multi_${LSH_TABLES}x${LSH_TABLE_BITS}o$LSH_PLANES"
-  private def famSemAssign = s"sem2_assign_nc$SEM_CELL"
-  private def famSemAssign2 = s"sem2_assign_top2_nc$SEM_CELL"
-  private def famIvfkAssign2 = "ivfk_assign2_top2"
-  private def famPqCodesWide = s"pq_codes_wide_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD"
+  private def famSemAssign(d: String) = gk(d, s"sem2_assign_nc$SEM_CELL")
+  private def famSemAssign2(d: String) = gk(d, s"sem2_assign_top2_nc$SEM_CELL")
+  private def famIvfkAssign2(d: String) = gk(d, "ivfk_assign2_top2")
+  private def famPqCodesWide(d: String) =
+    gk(d, s"pq_codes_wide_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD")
 
   private[graft] def ingestMinhashDedup(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
@@ -2038,13 +2064,13 @@ object LlmPipeline extends QueryPack {
       .select(col("nid") +: (0 until PQ_M).map(m => col(s"$m").as(s"c_$m")): _*)
     val nbits = lshcNbits(embCount(s, d))
     Seq(
-      famLshcOwn(nbits) -> lshcProbesPlan(b, nbits)
+      famLshcOwn(d, nbits) -> lshcProbesPlan(b, nbits)
         .where(col("own")).select(col("vec_id"), col("tb"), col("bucket")),
       famLshMulti -> lshMultiBucketsPlan(b),
-      famSemAssign -> semCellsFor(s, d, b),
-      famSemAssign2 -> semAssign2For(s, d, b),
-      famIvfkAssign2 -> ivfKCellsFor(b, ivfKCentroids(s, d), 2),
-      famPqCodesWide -> codesWide)
+      famSemAssign(d) -> semCellsFor(s, d, b),
+      famSemAssign2(d) -> semAssign2For(s, d, b),
+      famIvfkAssign2(d) -> ivfKCellsFor(b, ivfKCentroids(s, d), 2),
+      famPqCodesWide(d) -> codesWide)
   }
 
   /** COMMIT step of the doc-ingest lifecycle ([[graft.Ingest.commitDocs]]):
@@ -2304,9 +2330,9 @@ object LlmPipeline extends QueryPack {
         famHotShingles, famDocShingles, famMinhashSigs, famSubstrPostings)
        else Set.empty[String]) ++
       (if (hasVecs) Set(famVecsRaw, famVecsDeleted,
-        famLshcOwn(lshcNbits(embCount(s, d))),
-        famLshMulti, famSemAssign, famSemAssign2, famIvfkAssign2,
-        famPqCodesWide) else Set.empty[String])
+        famLshcOwn(d, lshcNbits(embCount(s, d))),
+        famLshMulti, famSemAssign(d), famSemAssign2(d), famIvfkAssign2(d),
+        famPqCodesWide(d)) else Set.empty[String])
     val eff = IndexOverlay.effectiveEntries(d).groupBy(_.family)
     val rows = IndexOverlay.families(d).map { fam =>
       val es = eff.getOrElse(fam, Seq.empty)
@@ -2488,11 +2514,12 @@ object LlmPipeline extends QueryPack {
     * CommitBench. Returns one row per promoted object: (family,
     * kind∈table|artifact, n_rows). */
   private[graft] def ingestPromote(s: SparkSession, d: String,
-      retainMillis: Long = 0L): DataFrame = {
+      retainMillis: Long = 0L,
+      nbuckets: Int = CorpusGen.DEFAULT_BUCKETS): DataFrame = {
     var attempts = 0
     var out: Option[DataFrame] = None
     while (out.isEmpty) {
-      out = ingestPromoteOnce(s, d, retainMillis)
+      out = ingestPromoteOnce(s, d, retainMillis, nbuckets)
       attempts += 1
       if (out.isEmpty && attempts >= 8) throw new IllegalStateException(
         s"promote of '$d' lost $attempts consecutive races against " +
@@ -2510,8 +2537,17 @@ object LlmPipeline extends QueryPack {
   /** One promote attempt: Some(report) on success / clean no-op, None
     * when a racing commit was detected after the flip (the caller
     * re-folds under a watermark that includes it). */
+  /** One per-family fold unit: the folded standing view, its heal id
+    * column (None = self-completing), the physical id column (empty =
+    * SET-shaped, written whole), the previous generation's bucket refs
+    * carried forward verbatim, and whether the fold is PARTIAL (touched
+    * buckets only — heal scope shrinks with it). */
+  private final case class FamFold(fam: String, folded: DataFrame,
+    healCol: Option[String], idCol: String,
+    carried: Seq[CorpusGen.BRef], partial: Boolean)
+
   private def ingestPromoteOnce(s: SparkSession, d: String,
-      retainMillis: Long): Option[DataFrame] = {
+      retainMillis: Long, nbuckets: Int): Option[DataFrame] = {
     import s.implicits._
     val hasDocs = graft.sources.Store.exists(s"$d/documents.parquet")
     val hasVecs = graft.sources.Store.exists(s"$d/embeddings.parquet")
@@ -2525,42 +2561,156 @@ object LlmPipeline extends QueryPack {
     val ovRowsIn = IndexOverlay.effectiveEntries(d)
       .filter(e => e.family == famDocsRaw || e.family == famVecsRaw)
       .map(_.rows).sum
-    val nextId = CorpusGen.current(d).map(_.id + 1).getOrElse(1)
+    val prev = CorpusGen.current(d)
+    val nextId = prev.map(_.id + 1).getOrElse(1)
+    // the bucket dial is fixed at the FIRST promotion — a row's bucket
+    // must never move, or carried-forward refs would misplace it
+    val nb = prev.map(_.nbuckets).filter(_ > 0).getOrElse(nbuckets)
     val nbits = if (hasVecs) lshcNbits(embCount(s, d)) else 0
+    // plain numeric-id bucketing: engine-portable, stable forever, and
+    // prunable at the PATH level (each bucket is its own dir)
+    def bkt(c: Column): Column = pmod(c, lit(nb.toLong)).cast(IntegerType)
 
-    // (family, standing corpus-side view, heal id column — None for the
-    // set-shaped hot-shingle cap and the self-completing rank-1 member
-    // assignment, whose overlay side assigns fresh from raw)
-    val docFams: Seq[(String, DataFrame, Option[String])] =
-      if (!hasDocs) Nil else Seq(
-        (Curation.famDocHashes, stdDocHashes(s, d), Some("doc_id")),
-        (famHotShingles, stdHotShingles(s, d).distinct(), None),
-        (famDocShingles, stdDocShingles(s, d), Some("doc_id")),
-        (famMinhashSigs, stdMinhashSigs(s, d), Some("doc_id")),
-        (famSubstrPostings, stdSubstrPostings(s, d), Some("doc_id")))
-    val vecFams: Seq[(String, DataFrame, Option[String])] =
-      if (!hasVecs) Nil else Seq(
-        (famLshcOwn(nbits), stdLshcOwn(s, d, nbits), Some("vec_id")),
-        (famLshMulti, stdLshMulti(s, d), Some("vec_id")),
-        (famSemAssign, stdSemAssign(s, d), Some("vec_id")),
-        (famSemAssign2, stdSemAssign2(s, d), Some("vec_id")),
-        (famIvfkAssign2, stdIvfkAssign2(s, d), Some("vec_id")),
-        (famPqCodesWide, stdPqCodesWide(s, d), Some("nid")),
-        (famIvfkAssign1,
-          driftMembers(s, d).select(col("vec_id"), col("cell")), None))
+    // ---- TOUCHED buckets per domain (VERDICT r19 task 2): every id the
+    // overlay mentions — committed/replaced raw rows, tombstones — and
+    // therefore every heal candidate (stranded ids are committed ids).
+    // One tiny distinct over O(overlay) rows per domain; ≤ nb values.
+    def touchedOf(rawFam: String, delFam: String): Set[Int] = {
+      val parts = Seq(rawFam, delFam).flatMap(f => IndexOverlay.read(s, d, f)
+        .map(df => df.select(col(df.columns.head).cast(LongType).as("id"))))
+      parts.reduceOption(_ unionByName _) match {
+        case Some(u) => u.select(bkt(col("id")).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        case None => Set.empty
+      }
+    }
+    val touchedD = if (hasDocs) touchedOf(famDocsRaw, famDocsDeleted) else Set.empty[Int]
+    val touchedV = if (hasVecs) touchedOf(famVecsRaw, famVecsDeleted) else Set.empty[Int]
 
-    val genPath = CorpusGen.publish(d, nextId, wm) { tmp =>
+    // fold plan per family: PARTIAL (prev-gen bucket refs pruned to the
+    // touched set + untouched refs carried forward) when the previous
+    // generation carries bucket refs for it; FULL otherwise (first
+    // promote, legacy layout, or a family minted since — e.g. by a
+    // retrain re-dial — where there is nothing to reference)
+    def fold(fam: String, touched: Set[Int], idCol: String,
+        healCol: Option[String], isDoc: Boolean,
+        full: => DataFrame): FamFold =
+      CorpusGen.artifactBuckets(s, d, fam, touched) match {
+        case Some(base) =>
+          val carried = prev.get.artB.getOrElse(fam, Nil)
+            .filterNot(r => touched.contains(r.bucket))
+          val view = if (isDoc) ovDoc(s, d, fam, base)
+            else ovVec(s, d, fam, base, idCol)
+          FamFold(fam, view, healCol, idCol, carried, partial = true)
+        case None => FamFold(fam, full, healCol, idCol, Nil, partial = false)
+      }
+
+    // rank-1 drift assignment: no overlay family of its own — base rows
+    // carry over tomb-filtered (no rescoring), overlay members assign
+    // fresh under the frozen centroids ([[driftMembers]]'s semantics,
+    // partial-fold shape)
+    def foldAssign1(): FamFold =
+      CorpusGen.artifactBuckets(s, d, famIvfkAssign1(d), touchedV) match {
+        case Some(baseAsg) =>
+          val base = minusDeleted(s, d, baseAsg, "vec_id", famVecsDeleted)
+          val view = overlayVisible(s, d, famVecsRaw, "vec_id", famVecsDeleted) match {
+            case Some(ovRaw) => base.unionByName(ivfKCellsFor(
+              ovRaw.select(col("vec_id"), col("embedding")), ivfKCentroids(s, d), 1))
+            case None => base
+          }
+          val carried = prev.get.artB.getOrElse(famIvfkAssign1(d), Nil)
+            .filterNot(r => touchedV.contains(r.bucket))
+          FamFold(famIvfkAssign1(d), view, None, "vec_id", carried, partial = true)
+        case None => FamFold(famIvfkAssign1(d),
+          driftMembers(s, d).select(col("vec_id"), col("cell")),
+          None, "vec_id", Nil, partial = false)
+      }
+
+    // all fold views constructed under ONE pinned generation snapshot
+    // (base refs and chain watermark must agree — ADVICE r19)
+    val (docFolds, vecFolds, tblDoc, tblVec) = CorpusGen.pinned(d) {
+      val dFolds: Seq[FamFold] = if (!hasDocs) Nil else Seq(
+        fold(Curation.famDocHashes, touchedD, "doc_id", Some("doc_id"),
+          isDoc = true, stdDocHashes(s, d)),
+        FamFold(famHotShingles, stdHotShingles(s, d).distinct(),
+          None, "", Nil, partial = false), // SET-shaped: always whole
+        fold(famDocShingles, touchedD, "doc_id", Some("doc_id"),
+          isDoc = true, stdDocShingles(s, d)),
+        fold(famMinhashSigs, touchedD, "doc_id", Some("doc_id"),
+          isDoc = true, stdMinhashSigs(s, d)),
+        fold(famSubstrPostings, touchedD, "doc_id", Some("doc_id"),
+          isDoc = true, stdSubstrPostings(s, d)))
+      val vFolds: Seq[FamFold] = if (!hasVecs) Nil else Seq(
+        fold(famLshcOwn(d, nbits), touchedV, "vec_id", Some("vec_id"),
+          isDoc = false, stdLshcOwn(s, d, nbits)),
+        fold(famLshMulti, touchedV, "vec_id", Some("vec_id"),
+          isDoc = false, stdLshMulti(s, d)),
+        fold(famSemAssign(d), touchedV, "vec_id", Some("vec_id"),
+          isDoc = false, stdSemAssign(s, d)),
+        fold(famSemAssign2(d), touchedV, "vec_id", Some("vec_id"),
+          isDoc = false, stdSemAssign2(s, d)),
+        fold(famIvfkAssign2(d), touchedV, "vec_id", Some("vec_id"),
+          isDoc = false, stdIvfkAssign2(s, d)),
+        fold(famPqCodesWide(d), touchedV, "nid", Some("nid"),
+          isDoc = false, stdPqCodesWide(s, d)),
+        foldAssign1())
+      // snapshot-table folds: the standing view over the touched base
+      // buckets only (overlay ids all fall in touched buckets), plus the
+      // untouched refs carried forward
+      def tbl(name: String, idCol: String, rawFam: String,
+          fullView: => DataFrame, touched: Set[Int]): (DataFrame, Seq[CorpusGen.BRef], Boolean) =
+        CorpusGen.tableBuckets(s, d, name, touched) match {
+          case Some(base) =>
+            val carried = prev.get.tblB.getOrElse(name, Nil)
+              .filterNot(r => touched.contains(r.bucket))
+            val view = if (idCol == "doc_id") ovDoc(s, d, rawFam, base)
+              else ovVec(s, d, rawFam, base)
+            (view, carried, true)
+          case None => (fullView, Nil, false)
+        }
+      val tD = if (hasDocs)
+        Some(tbl("documents", "doc_id", famDocsRaw, visibleDocs(s, d), touchedD))
+      else None
+      val tV = if (hasVecs)
+        Some(tbl("embeddings", "vec_id", famVecsRaw, visibleVecs(s, d), touchedV))
+      else None
+      (dFolds, vFolds, tD, tV)
+    }
+
+    val genPath = CorpusGen.publish(d, nextId, wm, nb) { tmp =>
       val tables = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       val arts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      def writeFams(snapR: DataFrame, snapId: String,
-          fams: Seq[(String, DataFrame, Option[String])],
+      val tbRefs = scala.collection.mutable.ArrayBuffer.empty[(String, CorpusGen.BRef)]
+      val abRefs = scala.collection.mutable.ArrayBuffer.empty[(String, CorpusGen.BRef)]
+
+      // bucketed write: one dir per non-empty bucket, one file per
+      // bucket (the repartition groups each bucket into one task)
+      def writeBucketed(tmpDir: String, out: DataFrame,
+          idCol: String): Seq[CorpusGen.BRef] = {
+        out.withColumn("_bkt", bkt(col(idCol)))
+          .repartition(col("_bkt"))
+          .write.partitionBy("_bkt").parquet(tmpDir)
+        graft.sources.Store.list(tmpDir)
+          .filter(f => f.isDir && f.name.startsWith("_bkt="))
+          .map(f => CorpusGen.BRef(f.name.stripPrefix("_bkt=").toInt,
+            graft.sources.Store.parquetRowCount(f.path), f.path))
+      }
+
+      def writeFams(snapTouched: DataFrame, snapAll: DataFrame, snapId: String,
+          folds: Seq[FamFold], noTouch: Boolean,
           derive: DataFrame => Seq[(String, DataFrame)]): Unit = {
-        // per-family heal set: standing ids the fold does not cover
-        val missing: Map[String, DataFrame] = fams.collect {
-          case (fam, folded, Some(c)) => fam -> snapR
-            .join(folded.select(col(c).as(snapId)).distinct(),
-              Seq(snapId), "left_anti")
-            .select(snapId)
+        // per-family heal set: standing ids the fold does not cover — a
+        // PARTIAL fold can only miss ids in its touched buckets
+        // (untouched refs carry verbatim), a FULL fold heals over the
+        // whole snapshot
+        val missing: Map[String, DataFrame] = folds.collect {
+          case FamFold(fam, folded, Some(c), _, _, partial)
+              if !(partial && noTouch) =>
+            val scope = if (partial) snapTouched else snapAll
+            fam -> scope
+              .join(folded.select(col(c).as(snapId)).distinct(),
+                Seq(snapId), "left_anti")
+              .select(snapId)
         }.toMap
         // one derive pass over the union of all heal sets (pinned — the
         // anti-joins above are the only corpus-side passes they run)
@@ -2568,36 +2718,70 @@ object LlmPipeline extends QueryPack {
           .map(_.distinct().localCheckpoint())
         val derived: Map[String, DataFrame] = healIds match {
           case Some(ids) if !ids.isEmpty =>
-            derive(snapR.join(ids, Seq(snapId), "left_semi")).toMap
+            derive(snapAll.join(ids, Seq(snapId), "left_semi")).toMap
           case _ => Map.empty
         }
-        fams.foreach { case (fam, folded, idc) =>
-          val out = (idc, derived.get(fam)) match {
+        folds.foreach { case FamFold(fam, folded, healCol, idCol, carried, partial) =>
+          val out = (healCol, derived.get(fam)) match {
             case (Some(c), Some(dv)) =>
               folded.unionByName(
                 dv.join(missing(fam).select(col(snapId).as(c)), Seq(c), "left_semi")
                   .select(folded.columns.map(col).toIndexedSeq: _*))
             case _ => folded
           }
-          out.write.parquet(s"$tmp/art/$fam")
-          arts += fam -> graft.sources.Store.parquetRowCount(s"$tmp/art/$fam")
+          if (idCol.isEmpty) { // set-shaped: whole artifact, no refs
+            out.write.parquet(s"$tmp/art/$fam")
+            arts += fam -> graft.sources.Store.parquetRowCount(s"$tmp/art/$fam")
+          } else if (partial && noTouch) {
+            // nothing in this domain moved: carry every ref, zero jobs
+            arts += fam -> carried.map(_.rows).sum
+            abRefs ++= carried.map(fam -> _)
+          } else {
+            val fresh = writeBucketed(s"$tmp/art/$fam", out, idCol)
+            val all = fresh ++ carried
+            if (all.isEmpty) graft.sources.Store.delete(s"$tmp/art/$fam")
+            else { // a 0-row family is DROPPED from the meta: readers
+              // then fall back to gen-0 ∩ snapshot = empty, correctly
+              arts += fam -> all.map(_.rows).sum
+              abRefs ++= all.map(fam -> _)
+            }
+          }
         }
       }
+
+      // write one snapshot table; returns (touched-bucket read-back,
+      // full-snapshot read-back) — heal scope and heal derive both read
+      // the DISK fold (deterministic parquet, never the live plan)
+      def writeTable(name: String, idCol: String, noTouch: Boolean,
+          plan: (DataFrame, Seq[CorpusGen.BRef], Boolean)): (DataFrame, DataFrame) = {
+        val (view, carried, partial) = plan
+        val fresh =
+          if (partial && noTouch) Seq.empty[CorpusGen.BRef] // zero jobs
+          else writeBucketed(s"$tmp/tables/$name", view, idCol)
+        tables += name -> (fresh ++ carried).map(_.rows).sum
+        tbRefs ++= (fresh ++ carried).map(name -> _)
+        val touchedBack =
+          if (fresh.nonEmpty) s.read.parquet(s"$tmp/tables/$name").drop("_bkt")
+          else s.read.parquet(carried.map(_.path): _*).where(lit(false))
+        val all =
+          if (carried.isEmpty) touchedBack
+          else touchedBack.unionByName(s.read.parquet(carried.map(_.path): _*))
+        (touchedBack, all)
+      }
+
       if (hasDocs) {
-        visibleDocs(s, d).write.parquet(s"$tmp/tables/documents")
-        tables += "documents" ->
-          graft.sources.Store.parquetRowCount(s"$tmp/tables/documents")
-        writeFams(s.read.parquet(s"$tmp/tables/documents"), "doc_id",
-          docFams, commitDocFamilies(s, d, _))
+        val (snapT, snapA) =
+          writeTable("documents", "doc_id", touchedD.isEmpty, tblDoc.get)
+        writeFams(snapT, snapA, "doc_id", docFolds, touchedD.isEmpty,
+          commitDocFamilies(s, d, _))
       }
       if (hasVecs) {
-        visibleVecs(s, d).write.parquet(s"$tmp/tables/embeddings")
-        tables += "embeddings" ->
-          graft.sources.Store.parquetRowCount(s"$tmp/tables/embeddings")
-        writeFams(s.read.parquet(s"$tmp/tables/embeddings"), "vec_id",
-          vecFams, commitVecFamilies(s, d, _))
+        val (snapT, snapA) =
+          writeTable("embeddings", "vec_id", touchedV.isEmpty, tblVec.get)
+        writeFams(snapT, snapA, "vec_id", vecFolds, touchedV.isEmpty,
+          commitVecFamilies(s, d, _))
       }
-      (tables.toSeq, arts.toSeq)
+      (tables.toSeq, arts.toSeq, tbRefs.toSeq, abRefs.toSeq)
     }
     // ENFORCE the exclusive-writer contract (VERDICT r19 task 3): if a
     // commit landed a manifest above the entry watermark while the fold
@@ -2676,6 +2860,88 @@ object LlmPipeline extends QueryPack {
         "promote_suggested")
   }
 
+  /** RETRAIN the vector geometry ([[graft.Ingest.retrain]], VERDICT r19
+    * task 1 — the callable remedy [[ingestGeometryReport]] prescribes):
+    *
+    *  1. [[ingestPromote]] folds the standing state — base ∪ committed −
+    *     deleted — into a fresh corpus snapshot (no-op when already
+    *     clean), so the training set IS the merged corpus and the
+    *     overlay is EMPTY at the re-dial (no id can strand).
+    *  2. Every vector geometry stage re-trains EAGERLY from that
+    *     snapshot under the NEXT epoch's names ([[graft.GeomEpoch]]):
+    *     the data-bound dials re-derive from the standing count —
+    *     lshc nbits from standing N, ⌈√N⌉ trained-k cells, ⌈N/c⌉
+    *     semantic cells — and the trained geometry (hyperplane buckets,
+    *     centroids, two-level quantizer, PQ codebooks) plus every
+    *     corpus assignment artifact re-derives over the snapshot, so
+    *     probes cover ALL standing ids (committed-then-promoted ones
+    *     included) and deleted ids are physically absent.
+    *  3. One atomic epoch publish FLIPS the store: stage keys and
+    *     overlay family names resolve to `__gE` from here on. Segments
+    *     committed under the old geometry strand (correct and visible
+    *     in [[ingestOverlayReport]], like any re-dial; the next promote
+    *     heals stragglers), and later commits derive under the new
+    *     dials.
+    *
+    * Probe results are NOT invariant across a retrain — that is the
+    * point (new geometry, re-measure recall: the RECALL.json protocol
+    * re-runs against the retrained store; LlmSpec bounds the registered
+    * recall queries, IngestSpec asserts post-retrain coverage). Doc
+    * families and the N-independent multi-table LSH keep their names —
+    * no dial of theirs derives from N. EXCLUSIVE writer like promote; a
+    * crash before the flip leaves the old epoch fully readable, and the
+    * re-run purges the partial next-epoch artifacts (they may predate
+    * commits the re-run's promote folds) before rebuilding. EAGER;
+    * O(corpus) training cost, measured in CommitBench beside promote.
+    * Returns the minted inventory: the epoch + re-derived dials, and
+    * one row per artifact with its footer-exact row count. */
+  private[graft] def ingestRetrain(s: SparkSession, d: String,
+      retainMillis: Long = 0L): DataFrame = {
+    import s.implicits._
+    require(graft.sources.Store.exists(s"$d/embeddings.parquet"),
+      s"retrain re-dials VECTOR geometry and '$d' has no embeddings table")
+    ingestPromote(s, d, retainMillis)
+    val gen = CorpusGen.current(d)
+    val standingN = gen.flatMap(_.tableRows.get("embeddings"))
+      .getOrElse(embCount(s, d))
+    val standingDocs = gen.flatMap(_.tableRows.get("documents")).getOrElse(
+      if (graft.sources.Store.exists(s"$d/documents.parquet")) docCount(s, d)
+      else 0L)
+    val next = GeomEpoch.Ep(GeomEpoch.epoch(d) + 1, standingN, standingDocs,
+      gen.map(_.id).getOrElse(0))
+    // a crashed retrain's partial artifacts trained on an OLDER snapshot:
+    // purge and rebuild (the epoch was never published, no reader ever
+    // resolved these names); drop this session's memos of them too
+    if (GeomEpoch.purgePartial(d, next.epoch)) Tables.evictMemoized(s, Some(d))
+    val minted: Seq[String] = GeomEpoch.withEpoch(d, next) {
+      val nbits = lshcNbits(embCount(s, d))
+      lshcProbes(s, d)
+      ivfKCentroids(s, d); ivfKAssign(s, d); ivfKAssign2(s, d); ivfKProbes(s, d)
+      semCoarseCentroids(s, d); semCoarseAssign(s, d); semFineCentroids(s, d)
+      semAssign(s, d); semAssign2(s, d); semMaxCell(s, d)
+      pqCodebooks(s, d); pqCodes(s, d)
+      Seq(
+        gk(d, s"lshc_${LSHC_TABLES}x${nbits}c$LSHC_CELL"),
+        gk(d, "ivfk_centroids_sqrtn_lloyd1"), gk(d, "ivfk_assign_sqrtn"),
+        gk(d, "ivfk_assign2_top2"), gk(d, "ivfk_probes_2sqrtk"),
+        gk(d, s"sem2_coarse_nc${SEM_CELL}_lloyd1"),
+        gk(d, s"sem2_coarse_assign_nc$SEM_CELL"),
+        gk(d, s"sem2_fine_nc${SEM_CELL}_lloyd1"),
+        gk(d, s"sem2_assign_nc$SEM_CELL"),
+        gk(d, s"sem2_assign_top2_nc$SEM_CELL"),
+        gk(d, s"sem2_cellmax_nc$SEM_CELL"),
+        gk(d, s"pq_codebooks_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD"),
+        gk(d, s"pq_codes_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD"))
+    }
+    GeomEpoch.publish(d, next)
+    (Seq(("epoch", "geometry", next.epoch.toLong),
+      ("emb_count", "dial", standingN),
+      ("lshc_nbits", "dial", lshcNbits(standingN).toLong)) ++
+      minted.map(st => (st, "artifact",
+        graft.sources.Store.parquetRowCount(s"${Tables.indexDir(d)}/$st"))))
+      .toDF("family", "kind", "n_rows")
+  }
+
   /** Lifecycle-aware index drift ([[graft.Ingest.driftReport]]):
     * q_index_drift's frozen-centroid residual computed over
     * base ∪ COMMITTED − deleted vectors. The registered query measures
@@ -2723,7 +2989,7 @@ object LlmPipeline extends QueryPack {
     * view keeps covering promoted rows (there is no overlay family for
     * rank-1 — committed members assign fresh from raw). Matches the
     * gen-0 stage key. */
-  private[graft] def famIvfkAssign1 = "ivfk_assign_sqrtn"
+  private[graft] def famIvfkAssign1(d: String) = gk(d, "ivfk_assign_sqrtn")
 
   /** The standing drift MEMBER set — (vec_id, cell, embedding) over
     * base ∪ committed − deleted under frozen trained-k centroids: base
@@ -2738,7 +3004,7 @@ object LlmPipeline extends QueryPack {
     val cents = ivfKCentroids(s, d)
     val base = minusDeleted(s, d,
       corpusVecs(s, d)
-        .join(genArtVec(s, d, famIvfkAssign1)(ivfKAssign(s, d)), "vec_id")
+        .join(genArtVec(s, d, famIvfkAssign1(d))(ivfKAssign(s, d)), "vec_id")
         .select(col("vec_id"), col("cell"), col("embedding")),
       "vec_id", famVecsDeleted)
     overlayVisible(s, d, famVecsRaw, "vec_id", famVecsDeleted) match {

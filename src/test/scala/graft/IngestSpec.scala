@@ -1496,6 +1496,160 @@ class IngestSpec extends AnyFunSuite {
       !r2.getAs[Boolean]("promote_suggested"))
   }
 
+  test("partial promote folds only touched buckets: untouched buckets carry by reference, probes invariant") {
+    import spark.implicits._
+    val d = freshCorpus("ppb")
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    // first promote: full fold into gen 1 (nothing to reference yet)
+    Ingest.commitDocs(spark, d, Seq((1000L, mkText("fa"))).toDF("doc_id", "text"))
+    Ingest.promote(spark, d)
+    val g1 = CorpusGen.current(d).get
+    assert(g1.id == 1 && g1.nbuckets > 0)
+    assert(g1.tblB("documents").nonEmpty &&
+      g1.tblB("documents").forall(_.path.startsWith(g1.path)),
+      "a first promote writes every bucket itself")
+    val nb = g1.nbuckets
+    val probeD = Seq((9000L, mkText("fa"))).toDF("doc_id", "text")
+    def snap(): Seq[String] = rows(Ingest.exactDedup(spark, d, probeD)) ++
+      rows(Ingest.minhashDedup(spark, d, probeD)) ++
+      rows(Ingest.substringDedup(spark, d, probeD))
+    val before = snap()
+
+    // second promote folds ONE new doc: exactly its bucket is rewritten
+    // into gen 2; every other bucket — and the whole untouched VECTOR
+    // domain — is a reference into gen 1 (VERDICT r19 task 2)
+    Ingest.commitDocs(spark, d, Seq((2000L, mkText("fb"))).toDF("doc_id", "text"))
+    Ingest.promote(spark, d)
+    val g2 = CorpusGen.current(d).get
+    assert(g2.id == 2 && g2.nbuckets == nb)
+    val touched = (2000L % nb).toInt
+    val refs2 = g2.tblB("documents")
+    assert(refs2.find(_.bucket == touched).exists(_.path.startsWith(g2.path)),
+      s"the touched bucket must be rewritten into gen 2: $refs2")
+    val carried = refs2.filter(_.bucket != touched)
+    assert(carried.nonEmpty && carried.forall(_.path.startsWith(g1.path)),
+      s"untouched buckets must carry by reference: $carried")
+    assert(g2.tblB("embeddings").nonEmpty &&
+      g2.tblB("embeddings").forall(_.path.startsWith(g1.path)),
+      "an untouched domain must carry ENTIRELY by reference")
+    assert(g2.artB.nonEmpty && g2.artB.forall { case (f, refs) =>
+      refs.forall(r => r.path.startsWith(g1.path) || r.path.startsWith(g2.path)) })
+    // gc kept gen 1 alive exactly because gen 2 references into it
+    assert(graft.sources.Store.exists(g1.path),
+      "referenced gen-1 buckets must survive gcGens")
+    // probe-INVARIANCE across the partial fold, and the fold is complete
+    assert(snap() == before, "probes changed across a partial promote")
+    val vis = operators.LlmPipeline.visibleDocs(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(vis.contains(1000L) && vis.contains(2000L) && vis.size == 32)
+
+    // a DELETE in a carried bucket rewrites exactly that bucket next time
+    Ingest.deleteDocs(spark, d, Seq(1000L).toDF("doc_id"))
+    Ingest.promote(spark, d)
+    val vis3 = operators.LlmPipeline.visibleDocs(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(!vis3.contains(1000L) && vis3.size == 31)
+    assert(!Ingest.exactDedup(spark, d, Seq((9100L, mkText("fa")))
+        .toDF("doc_id", "text")).collect().head.getBoolean(1),
+      "deleted content must leave probes after the partial fold")
+    // unreferenced generations are swept once nothing points into them
+    val g3 = CorpusGen.current(d).get
+    val live = (g3.tblB.values.flatten ++ g3.artB.values.flatten)
+      .map(_.path).toSet
+    assert(!graft.sources.Store.exists(g2.path) ||
+      live.exists(_.startsWith(g2.path)),
+      "a generation nothing references must be swept")
+  }
+
+  test("retrain re-dials stale geometry from the promoted snapshot; probes cover standing ids, deleted ids absent") {
+    import spark.implicits._
+    val d = freshCorpus("rtr")
+    val rnd = new scala.util.Random(77L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 4× the standing corpus past the frozen dials, and delete one
+    // stored vector — the retrained geometry must exclude it physically
+    val committed = (0 until 800).map(i => (8000L + i, unit()))
+    Ingest.commitVectors(spark, d, committed.toDF("vec_id", "embedding"))
+    Ingest.deleteVectors(spark, d, Seq(3L).toDF("vec_id"))
+    def rep(): Seq[(String, String, Long, Double, Double, Boolean)] =
+      Ingest.geometryReport(spark, d).collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getBoolean(5))).toSeq
+    val stale = rep()
+    assert(stale.find(_._1 == "lshc_occupancy").get._6,
+      s"4× commit must flip the lshc dial stale: $stale")
+    assert(stale.filter(_._1 == "sem_cell_hist").exists(_._6),
+      "4× commit must overflow sem cells")
+
+    // THE VERB (VERDICT r19 task 1) — promote + re-dial + eager
+    // re-derive + atomic epoch flip, in one call
+    val minted = Ingest.retrain(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(minted.contains(("epoch", "geometry", 1L)), s"minted: $minted")
+    assert(minted.contains(("emb_count", "dial", 1055L)), // 256 + 800 − 1
+      s"the dial N must be the STANDING count: $minted")
+    assert(IndexOverlay.effectiveEntries(d).isEmpty &&
+      CorpusGen.current(d).get.id == 1,
+      "retrain must fold the overlay into a snapshot first")
+    assert(GeomEpoch.epoch(d) == 1)
+    // every re-derived assignment artifact covers the full snapshot
+    assert(minted.count(m => m._2 == "artifact" && m._1.endsWith("__g1")) >= 13)
+    Seq("ivfk_assign_sqrtn__g1", "sem2_assign_nc64__g1").foreach { st =>
+      assert(minted.find(_._1 == st).get._3 == 1055L, s"$st must cover the snapshot")
+    }
+
+    // the SAME rows the commits flipped stale are fresh under the re-dial
+    val fresh = rep()
+    val l1 = fresh.find(_._1 == "lshc_occupancy").get
+    assert(l1._3 == 1055L && !l1._6, s"retrained lshc dial must be fresh: $l1")
+    assert(!fresh.filter(_._1 == "sem_cell_hist").exists(_._6),
+      s"retrained sem cells must fit the 2c budget: ${fresh.filter(_._1 == "sem_cell_hist")}")
+    assert(fresh.filter(_._1 == "ivfk_centroid").map(_._3).sum == 1055L,
+      "retrained trained-k must cover every standing member")
+
+    // probes COVER the standing ids under the new dials: a shifted copy
+    // of a COMMITTED-then-promoted vector finds its original at cos 1.0
+    val probe = Seq((9500L, committed.head._2)).toDF("vec_id", "embedding")
+    Seq("annLshc" -> Ingest.annLshc(spark, d, probe),
+        "annIvfc" -> Ingest.annIvfc(spark, d, probe),
+        "annIvfcPq" -> Ingest.annIvfcPq(spark, d, probe)).foreach {
+      case (name, out) =>
+        val top1 = out.collect().filter(_.getInt(3) == 1)
+          .map(r => (r.getLong(1), r.getDouble(2)))
+        assert(top1.sameElements(Seq((8000L, 1.0))),
+          s"$name after retrain: ${top1.toSeq} (committed id not covered)")
+    }
+    assert(Ingest.semanticDedup(spark, d, Seq((9501L, committed(1)._2))
+        .toDF("vec_id", "embedding")).collect().forall(_.getBoolean(2)),
+      "semantic dedup must drop a copy of a committed-then-promoted vector")
+    // ...and the DELETED id is absent from the retrained geometry
+    val emb3 = Tables.t(spark, d, "embeddings").where(col("vec_id") === 3L)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val hits3 = Ingest.annLshc(spark, d,
+        Seq((9502L, emb3)).toDF("vec_id", "embedding")).collect()
+      .map(_.getLong(1)).toSet
+    assert(!hits3.contains(3L), s"deleted id resurfaced after retrain: $hits3")
+
+    // the lifecycle continues under the new epoch: a fresh commit
+    // derives under the re-dialed families and probes see it
+    Ingest.commitVectors(spark, d, Seq((20000L, unit())).toDF("vec_id", "embedding"))
+    assert(operators.LlmPipeline.visibleVecs(spark, d).count() == 1056L)
+    val rep2 = Ingest.overlayReport(spark, d).where(col("live")).collect()
+      .map(_.getString(0)).toSet
+    assert(rep2.exists(_.endsWith("__g1")),
+      s"post-retrain commits must land in epoch families: $rep2")
+    // a second retrain stacks: epoch 2, folding the new commit first
+    val m2 = Ingest.retrain(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(m2.contains(("epoch", "geometry", 2L)) &&
+      m2.contains(("emb_count", "dial", 1056L)), s"second retrain: $m2")
+    assert(GeomEpoch.epoch(d) == 2 && CorpusGen.current(d).get.id == 2)
+  }
+
   test("the full lifecycle runs with the index store on a NON-local FileSystem (testdfs)") {
     import spark.implicits._
     // point the index ROOT (artifacts, overlay chain, generations) at the
