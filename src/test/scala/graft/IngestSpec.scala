@@ -1431,10 +1431,13 @@ class IngestSpec extends AnyFunSuite {
       (1000L, mkText("va"), "upsert", 1L),
       (1000L, mkText("vb"), null.asInstanceOf[String], 2L)
     ).toDF("doc_id", "text", "op", "ord")
-    val e = intercept[IllegalArgumentException] {
-      Ingest.applyDocChangelog(spark, d, changes)
-    }
-    assert(e.getMessage.contains("upsert"), e.getMessage)
+    // the gate rides the reduction's own materialization (raise_error
+    // guard column — no extra count() action per apply), so the failure
+    // surfaces as the job's exception chain
+    val e = intercept[Throwable] { Ingest.applyDocChangelog(spark, d, changes) }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("changelog op must be 'upsert' or 'delete'"), msgs)
     assert(!operators.LlmPipeline.visibleDocs(spark, d).collect()
       .map(_.getLong(0)).contains(1000L), "nothing may land from a malformed feed")
   }
