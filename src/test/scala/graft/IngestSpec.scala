@@ -1685,6 +1685,69 @@ class IngestSpec extends AnyFunSuite {
         IndexOverlay.effectiveEntries(d).isEmpty)
       assert(vis() == v1, "promote must be probe-invariant on testdfs")
       assert(Ingest.promote(spark, d).isEmpty, "replayed promote no-ops on testdfs")
+      // and the RETRAIN verb runs on the non-local store too: epoch
+      // publish, stage purge/build and snapshot reads all take the
+      // rename-as-commit path
+      val minted = Ingest.retrain(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(minted.contains(("epoch", "geometry", 1L)) && GeomEpoch.epoch(d) == 1,
+        s"retrain on testdfs: $minted")
+      assert(vis() == v1, "doc content invariant across a vector retrain")
     } finally System.clearProperty("graft.index.root")
+  }
+
+  test("post-retrain promote: re-dialed families fold fully into the gen; un-epoched doc buckets still carry by reference") {
+    import spark.implicits._
+    val d = freshCorpus("rpp", nDocs = 20)
+    val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
+    val rnd = new scala.util.Random(55L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    Ingest.commitDocs(spark, d, Seq((1000L, mkText("ya"))).toDF("doc_id", "text"))
+    Ingest.retrain(spark, d) // folds the commit (gen 1), flips epoch 1
+    val g1 = CorpusGen.current(d).get
+    assert(g1.id == 1 && GeomEpoch.epoch(d) == 1)
+    assert(!g1.artB.keySet.exists(_.endsWith("__g1")),
+      "the pre-retrain generation carries only epoch-0 family names")
+    // a vector commit lands in __g1 families; the next promote must fold
+    // those FULLY (nothing to reference) while the untouched DOC side
+    // carries entirely by reference
+    Ingest.commitVectors(spark, d, Seq((9000L, unit())).toDF("vec_id", "embedding"))
+    Ingest.promote(spark, d)
+    val g2 = CorpusGen.current(d).get
+    val epochFams = g2.artB.keys.filter(_.endsWith("__g1")).toSeq
+    assert(epochFams.size >= 6, s"re-dialed families must be in the gen: ${g2.artB.keys}")
+    epochFams.foreach { f =>
+      assert(g2.artB(f).forall(_.path.startsWith(g2.path)),
+        s"$f folded fully: every bucket written into gen 2")
+    }
+    assert(g2.tblB("documents").forall(_.path.startsWith(g1.path)),
+      "untouched doc buckets carry by reference across the retrain boundary")
+    // the promoted __g1 artifacts serve probes (committed id covered)
+    val vis = operators.LlmPipeline.visibleVecs(spark, d).count()
+    assert(vis == 257L)
+    val probe = Seq((9600L, unit())).toDF("vec_id", "embedding")
+    assert(Ingest.annLshc(spark, d, probe).count() > 0L)
+  }
+
+  test("a crashed retrain's partial next-epoch artifacts are purged and rebuilt, never reused") {
+    import spark.implicits._
+    val d = freshCorpus("rcr", nDocs = 10)
+    // fake crashed-retrain debris: a marker-complete dir squatting on a
+    // next-epoch stage name with the WRONG content (memoizedOnDisk would
+    // happily serve it — the retrain must purge by suffix first)
+    val junk = s"${Tables.indexDir(d)}/ivfk_centroids_sqrtn_lloyd1__g1"
+    Seq((1L, "junk")).toDF("bogus_a", "bogus_b").write.parquet(junk)
+    assert(graft.sources.Store.exists(s"$junk/_SUCCESS"))
+    Ingest.retrain(spark, d)
+    assert(GeomEpoch.epoch(d) == 1)
+    val rebuilt = spark.read.parquet(junk)
+    assert(rebuilt.columns.toSet == Set("cell", "centroid"),
+      s"crashed debris must be purged and retrained: ${rebuilt.columns.toSeq}")
+    assert(rebuilt.count() == 16L, // ⌈√256⌉ trained-k cells
+      "the rebuilt quantizer must carry the standing-N dial")
   }
 }
