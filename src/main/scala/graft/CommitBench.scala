@@ -143,6 +143,19 @@ object CommitBench {
       Ingest.minhashDedup(spark, d, docBatch(45000000L, 20)).count()
       Ingest.annIvfcPq(spark, d, vecBatch(45000000L, 20)).count()
     }
+    // recall is RE-MEASURED under the retrained geometry (the retrain
+    // protocol's other half): shifted copies of standing vectors probe
+    // the re-dialed index — each has an exact cos-1.0 twin corpus-side,
+    // so top-1 twin hits / probes is a recall@1 floor under the fresh
+    // dials (the full registered-recall suite runs in Verify/RECALL.json
+    // against gen-0 geometry; this is the retrained-store counterpart)
+    val retrainRecall = {
+      val probes = vecBatch(46000000L, 20)
+      val nP = probes.count()
+      val hits = Ingest.annLshc(spark, d, probes)
+        .where(col("rnk") === 1 && col("cos") === 1.0).count()
+      hits.toDouble / nP
+    }
 
     // ---- segment sweep: probe/commit cost vs manifest-chain depth ----
     // fresh isolated store; 20-doc batches with disjoint id ranges so
@@ -317,6 +330,7 @@ object CommitBench {
       s""""promote_noop_s":${f"$promoteNoopS%.2f"},""" +
       s""""retrain":{"artifacts":$nRetrainArts,"sec":${f"$retrainS%.2f"}},""" +
       s""""probe_after_retrain_s":${f"$probeAfterRetrainS%.2f"},""" +
+      s""""retrain_recall_top1":${f"$retrainRecall%.4f"},""" +
       s""""seg_sweep":$sweepJson,""" +
       s""""compact_s":${f"$compactS%.2f"},""" +
       s""""probe_after_compact_s":${f"$probeAfterS%.2f"},""" +
