@@ -356,7 +356,23 @@ object Aggregations extends QueryPack {
     // a map-side-combinable count. The oracle runs the identical
     // apriori CTE chain.
     "q_assoc_rules" -> ((s, d) => {
+      // r21: the r20 plan computed the corpus-scale (okey, pkey) DISTINCT
+      // exchange three times — once per self-join side and once under the
+      // support subquery — because the branches canonicalized differently.
+      // (A basket-array rewrite — collect + in-row pair expansion — was
+      // tried first and measured SLOWER at sf0.1: the higher-order-
+      // function pair generation is interpreted lambda dispatch, while
+      // the broadcast self-join pair generation is whole-stage codegen.)
+      // The explicit not-null filters are the whole fix: the inner joins
+      // infer isnotnull on their keys and push them below the DISTINCT
+      // into the scan, so without them the three consumers of `b` (freq,
+      // both self-join sides) canonicalize differently and each
+      // recomputed the corpus-scale (okey, pkey) dedup exchange. With
+      // identical filters in every branch the planner emits ONE exchange
+      // plus ReusedExchange nodes (guide §2.4) — the fixture keys are
+      // never null, so the filters are row-identity (oracle unchanged).
       val b = t(s, d, "lineitem")
+        .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
         .distinct()
       val freq = b.groupBy("pkey").agg(count(lit(1)).as("n_item"))

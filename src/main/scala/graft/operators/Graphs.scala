@@ -135,14 +135,26 @@ object Graphs extends QueryPack {
     // (|V| rows). The histogram itself is degree-bounded, never
     // node-bounded.
     "q_graph_degree_dist" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      def side(tag: String, key: String, other: String) = li
+      // ONE shared (part, supplier) distinct pass feeds both sides (r21):
+      // the per-side `countDistinct(other)` planned two independent
+      // full-corpus distinct aggregations — two scans, two corpus-scale
+      // (key, other) dedup exchanges. Dedup the edge set once; each
+      // side's degree is then a plain count over the deduped pairs
+      // (identical by definition on the null-free fixture keys — the
+      // oracle gate pins it), and the two branches share the SAME
+      // canonical dedup exchange, which ReuseExchange materializes once
+      // (guide §2.4: two operations keyed the same way share one
+      // exchange). Corpus-scale work halves; the degree/histogram aggs
+      // downstream are |V|- and degree-bounded.
+      val pairs = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      def side(tag: String, key: String) = pairs
         .groupBy(col(key).as("node"))
-        .agg(countDistinct(col(other)).as("degree"))
+        .agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
         .select(lit(tag).as("side"), col("degree"), col("n_nodes"))
-      side("part", "l_partkey", "l_suppkey")
-        .unionAll(side("supplier", "l_suppkey", "l_partkey"))
+      side("part", "l_partkey")
+        .unionAll(side("supplier", "l_suppkey"))
         .orderBy("side", "degree")
     }),
   )

@@ -155,6 +155,29 @@ object LlmPipeline extends QueryPack {
   private def cached(s: SparkSession, d: String, stage: String)(mk: => DataFrame): DataFrame =
     Tables.memoized(s, d, stage)(mk)
 
+  /** ONE pinned narrow exchange that parallelizes an ANN query's whole
+    * tail — the q_sim_ann_lshc shape (guide §2.5 "input skew"),
+    * generalized: every probe/bucket/assignment artifact here reads back
+    * as a single scan partition at fixture scale (one small parquet file
+    * ≪ maxPartitionBytes; the in-memory memo then pins that layout), so
+    * the multi-million-row candidate join + DISTINCT + cosine/ADC rerank
+    * hanging BELOW it single-threads while 31 cores idle. Repartitioning
+    * the narrow frame by the query id spreads the blowup: the broadcast
+    * candidate join preserves the partitioning alias-aware, hash(qid)
+    * satisfies the clustered distribution of both the (qid, nid)
+    * DISTINCT (subset rule) and the TopK heaps, so the entire heavy tail
+    * runs in-stage off this one ~MB exchange — the §8 discipline (shuffle
+    * the lightweight proxy, never the expanded pairs). The partition
+    * count is PINNED (user-specified counts are exempt from AQE
+    * coalescing): AQE's size-based coalesce sees only the tiny probe
+    * bytes, not the expansion below, and would fold the exchange back to
+    * one partition (measured 3.1 → 5.7 s on lshc at sf0.1). The count
+    * comes from the session's shuffle-partition conf — the deployment's
+    * scale dial, never a local constant. */
+  private def spread(df: DataFrame, key: String = "vec_id"): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(key))
+
   /** Width of one MinHash signature slice in hex chars: 8 → each slice is
     * a 32-bit min statistic. [[MINHASH_K]]·[[MINHASH_SLICE]] must not
     * exceed 2 × 32 (two md5 digests feed the slices). */
@@ -614,6 +637,15 @@ object LlmPipeline extends QueryPack {
   /** Rounded cosine of every vector against every trained-k centroid —
     * same narrow-map shape (and cold-build memo) as [[ivfScored]],
     * quantizer swapped. */
+  /** Cell count of the trained-k quantizer, JVM-memoized per (dir,
+    * epoch): the delta queries derive their probe fan np = 2⌈√k⌉ from
+    * it at PLAN CONSTRUCTION, and before this memo each construction
+    * re-ran `centroids.count()` as a fresh Spark job — pure per-query
+    * scheduling latency on a √N-row artifact whose count is fixed until
+    * a retrain mints a new epoch key. */
+  private def ivfKNumCells(s: SparkSession, d: String): Long =
+    memoizedScalar(s, d, gk(d, "ivfk_ncells")) { ivfKCentroids(s, d).count() }
+
   private def ivfKScored(s: SparkSession, d: String): DataFrame =
     cached(s, d, gk(d, "ivfk_scored_sqrtn")) {
       val dotc = aggregate(zip_with(col("embedding"), col("centroid"), (x, v) => x * v),
@@ -1303,9 +1335,25 @@ object LlmPipeline extends QueryPack {
       .join(broadcast(cb), "m")
       .select(col("qid"), col("m"), col("code"), sqDist(col("sub"), col("centroid")).as("sd"))
 
-  /** Unsafe-row estimate of one ADC distance-table row (qid + m + code +
-    * sd, header + 8-byte slots). */
-  private val PQ_DTABLE_ROW_BYTES = 40L
+  /** Unsafe-row estimate of one WIDE ADC distance-table row: qid + the
+    * M×K scalars as one double array (header + 8-byte slots + array
+    * payload). */
+  private val PQ_DTABLE_WIDE_ROW_BYTES = PQ_M * PQ_K * 8L + 48L
+
+  /** [[pqDtablePlan]] pivoted WIDE — one row per QUERY vector carrying
+    * its full M×K ADC lookup table as a single double array in (m, code)
+    * order (codes are 1-based, so subspace m's code c sits at array slot
+    * m·K + c). The narrow (qid, m, code, sd) form joined the candidate
+    * set once per subspace — M broadcast-hash probes (each its own
+    * BroadcastExchange job) per candidate row; this form makes the ADC
+    * stage ONE equi-join by qid plus M constant-index `element_at`
+    * lookups per candidate — identical doubles, identical left-to-right
+    * add order, 1/M-th the join work and M−1 fewer broadcast builds per
+    * execution (guide §2.4 / §3.1). */
+  private def pqDtableWidePlan(dtable: DataFrame): DataFrame =
+    dtable.groupBy("qid")
+      .agg(array_sort(collect_list(struct(col("m"), col("code"), col("sd")))).as("t"))
+      .select(col("qid"), transform(col("t"), x => x.getField("sd")).as("sds"))
 
   /** Size-gated broadcast for a PER-BATCH ADC distance table (ADVICE
     * r14): the table is O(batch·M·K) rows BY CONSTRUCTION, but a fresh
@@ -1324,11 +1372,11 @@ object LlmPipeline extends QueryPack {
   private[graft] def maybeBroadcastDtable(dtable: DataFrame, estBatchRows: Long): DataFrame = {
     val thresh = org.apache.spark.sql.graftx.Sizing.broadcastThreshold(dtable)
     // Compare by DIVISION (ADVICE r15): the saturated unknown-stats
-    // estimate (~2^55 rows) times 5120 B/row wraps mod 2^64 to a small
+    // estimate (~2^55 rows) times ~1 KB/row wraps mod 2^64 to a small
     // negative, which would pass a `product <= thresh` check and
     // force-broadcast exactly the arbitrarily-large case the gate exists
     // to decline. rows <= thresh/rowBytes cannot overflow.
-    if (thresh > 0 && estBatchRows <= thresh / (PQ_M * PQ_K * PQ_DTABLE_ROW_BYTES))
+    if (thresh > 0 && estBatchRows <= thresh / PQ_DTABLE_WIDE_ROW_BYTES)
       broadcast(dtable)
     else dtable
   }
@@ -1353,21 +1401,26 @@ object LlmPipeline extends QueryPack {
     * made whichever ran second throw (r12 regression, VERDICT r12 #1). */
   private def pqCorpusDtable(s: SparkSession, d: String): DataFrame =
     cached(s, d, "pq_dtable") {
-      pqDtablePlan(t(s, d, "embeddings"),
-        pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid")))
+      pqDtableWidePlan(pqDtablePlan(t(s, d, "embeddings"),
+        pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))))
     }
 
   /** The shuffle-free ADC + exact-rerank tail shared by q_sim_ann_ivfpq
-    * and its ingest delta: per-subspace distance-table slices hash-join
-    * onto UNEXPANDED candidate (qid, nid) rows by (qid, nibble); the
-    * approximate distance is a column sum, not an aggregation (the
+    * and its ingest delta: the WIDE per-query distance table
+    * ([[pqDtableWidePlan]]) hash-joins once by qid onto UNEXPANDED
+    * candidate (qid, nid) rows; the approximate distance is then M
+    * constant-index array lookups summed as a column expression — never
+    * an aggregation, never a per-subspace join (the r21 restructure: the
+    * M-level (qid, nibble) join fold paid M broadcast builds + M
+    * hash-probe passes per execution; the one-join form computes the
+    * SAME sd_0+…+sd_{M−1} doubles in one codegen stage. The
     * exploded-candidate shuffle-agg form measured 1.9 s vs 1.4 s at
     * sf0.1; naive per-candidate vector math was 14× worse again). Only
-    * the ADC top-10 touch full-precision vectors for the cosine rerank. */
+    * the ADC shortlist touches full-precision vectors for the rerank. */
   private def pqAdcRerank(s: SparkSession, d: String,
-      cands: DataFrame, codesWide: DataFrame, dtable: DataFrame): DataFrame = {
+      cands: DataFrame, codesWide: DataFrame, dtableWide: DataFrame): DataFrame = {
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    pqAdcRerank(cands, codesWide, dtable, e, e)
+    pqAdcRerank(cands, codesWide, dtableWide, e, e)
   }
 
   /** [[pqAdcRerank]] with explicit query-side / neighbor-side vector
@@ -1375,16 +1428,16 @@ object LlmPipeline extends QueryPack {
     * the stored table) against the persisted corpus index, so the exact
     * rerank's qid lookups must hit the batch frame, not the table. */
   private def pqAdcRerank(cands: DataFrame, codesWide: DataFrame,
-      dtable: DataFrame, qVecs: DataFrame, nVecs: DataFrame): DataFrame = {
-    val adc = (0 until PQ_M)
-      .foldLeft(cands.join(maybeBroadcast(codesWide), "nid")) { (acc, m) =>
-        acc.join(maybeBroadcast(
-            dtable.where(col("m") === m)
-              .select(col("qid"), col("code").as(s"c_$m"), col("sd").as(s"sd_$m"))),
-          Seq("qid", s"c_$m"))
-      }
+      dtableWide: DataFrame, qVecs: DataFrame, nVecs: DataFrame): DataFrame = {
+    // codes are 1-based (row_number seeds), so subspace m's lookup slot
+    // in the (m, code)-ordered wide array is m·K + c_m; the left-to-right
+    // reduce reproduces the fold's sd_0+…+sd_{M−1} addition order exactly
+    val adc = cands.join(maybeBroadcast(codesWide), "nid")
+      .join(maybeBroadcast(dtableWide), "qid")
       .select(col("qid"), col("nid"),
-        r4((0 until PQ_M).map(m => col(s"sd_$m")).reduce(_ + _)).as("adist"))
+        r4((0 until PQ_M).map(m =>
+            element_at(col("sds"), col(s"c_$m") + lit(m * PQ_K)))
+          .reduce(_ + _)).as("adist"))
     val shortlist = org.apache.spark.sql.graftx.TopK.topKPerKey(adc,
         keyNames = Seq("qid"), orderBy = Seq("adist" -> true, "nid" -> true),
         k = PQ_RERANK, rankName = "arnk")
@@ -1925,7 +1978,7 @@ object LlmPipeline extends QueryPack {
       batch: DataFrame): DataFrame = {
     val b = batch.select(col("vec_id"), col("embedding"))
     val cents = ivfKCentroids(s, d)
-    val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
+    val np = 2 * math.ceil(math.sqrt(ivfKNumCells(s, d).toDouble)).toInt
     val cands = ivfKCellsFor(b, cents, np).as("a")
       .join(maybeBroadcast(stdIvfkAssign2(s, d)
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
@@ -1960,7 +2013,7 @@ object LlmPipeline extends QueryPack {
     val b = batch.select(col("vec_id"), col("embedding"))
     val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
     val cents = ivfKCentroids(s, d)
-    val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
+    val np = 2 * math.ceil(math.sqrt(ivfKNumCells(s, d).toDouble)).toInt
     val cands = ivfKCellsFor(b, cents, np).as("a")
       .join(maybeBroadcast(stdIvfkAssign2(s, d)
           .join(b.select("vec_id"), Seq("vec_id"), "left_anti").as("bb")),
@@ -1972,7 +2025,7 @@ object LlmPipeline extends QueryPack {
         .join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
       // size-gated (ADVICE r14): an arbitrary facade batch can exceed the
       // broadcast budget -- oversized tables degrade to shuffled folds
-      maybeBroadcastDtable(pqDtablePlan(b, cb), estBatchRows(b)),
+      maybeBroadcastDtable(pqDtableWidePlan(pqDtablePlan(b, cb)), estBatchRows(b)),
       b, corpusVecsExcl(s, d, batch))
   }
 
@@ -1994,7 +2047,7 @@ object LlmPipeline extends QueryPack {
         .join(b.select(col("vec_id").as("nid")), Seq("nid"), "left_anti"),
       // size-gated (ADVICE r14): an arbitrary facade batch can exceed the
       // broadcast budget -- oversized tables degrade to shuffled folds
-      maybeBroadcastDtable(pqDtablePlan(b, cb), estBatchRows(b)),
+      maybeBroadcastDtable(pqDtableWidePlan(pqDtablePlan(b, cb)), estBatchRows(b)),
       b, corpusVecsExcl(s, d, batch))
   }
 
@@ -3380,8 +3433,9 @@ object LlmPipeline extends QueryPack {
     "q_dedup_embcos" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       // label has 10 values — size-gated broadcast for map-side pair
-      // generation (shuffled-join fallback above the broadcast budget)
-      e.as("a").join(maybeBroadcast(e.as("b")), col("a.label") === col("b.label") &&
+      // generation (shuffled-join fallback above the broadcast budget);
+      // one narrow exchange parallelizes the pair join (see spread)
+      spread(e).as("a").join(maybeBroadcast(e.as("b")), col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", r4(cosine(col("a.embedding"), col("b.embedding"))))
         .where(col("cos") >= 0.99)
@@ -3503,7 +3557,8 @@ object LlmPipeline extends QueryPack {
     // formulation would shuffle every pair.
     "q_sim_knn" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val pairs = e.as("a").join(maybeBroadcast(e.as("b")), col("a.label") === col("b.label") &&
+      // one narrow exchange parallelizes the in-cell pair join (see spread)
+      val pairs = spread(e).as("a").join(maybeBroadcast(e.as("b")), col("a.label") === col("b.label") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
           r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
@@ -3579,7 +3634,8 @@ object LlmPipeline extends QueryPack {
     // bucket join or the dedup shuffle.
     "q_sim_ann_lsh_multi" -> ((s, d) => {
       val b = lshMultiBuckets(s, d)
-      val cands = b.as("ba")
+      // one narrow exchange parallelizes the bucket join (see spread)
+      val cands = spread(b).as("ba")
         .join(maybeBroadcast(b.as("bb")), col("ba.tb") === col("bb.tb") &&
           col("ba.bucket") === col("bb.bucket") &&
           col("ba.vec_id") =!= col("bb.vec_id"))
@@ -3612,7 +3668,10 @@ object LlmPipeline extends QueryPack {
     "q_sim_ann_lsh_mp" -> ((s, d) => {
       val b = lshMultiBuckets(s, d)
       val masks = lit(0L) +: (0 until LSH_TABLE_BITS).map(j => lit(1L << j))
-      val probes = b.select(col("vec_id"), col("tb"),
+      // spread BEFORE the probe explode: the exchange carries the narrow
+      // per-table bucket rows, the ×(bits+1) expansion and the candidate
+      // join + DISTINCT + rerank all run under the pinned layout
+      val probes = spread(b).select(col("vec_id"), col("tb"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("pbucket"))
       val cands = probes.as("pa")
         .join(maybeBroadcast(b.as("pb")), col("pa.tb") === col("pb.tb") &&
@@ -3644,7 +3703,7 @@ object LlmPipeline extends QueryPack {
     "q_sim_ann_lsh_delta" -> ((s, d) => {
       val isBatch = col("vec_id") % 10 === 7
       val corpus = lshMultiBuckets(s, d).where(!isBatch)
-      val batch = lshMultiBucketsPlan(t(s, d, "embeddings").where(isBatch))
+      val batch = spread(lshMultiBucketsPlan(t(s, d, "embeddings").where(isBatch)))
       val cands = batch.as("ba")
         .join(maybeBroadcast(corpus.as("bb")), col("ba.tb") === col("bb.tb") &&
           col("ba.bucket") === col("bb.bucket"))
@@ -3793,7 +3852,8 @@ object LlmPipeline extends QueryPack {
       // embeddings never ride the cell self-join (same discipline as the
       // multi-table LSH path). All sides size-gated.
       val assigned = ivfAssign(s, d)
-      val cands = assigned.as("a")
+      // one narrow exchange parallelizes the in-cell pair join (see spread)
+      val cands = spread(assigned).as("a")
         .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("qid"), col("a.cell").as("cell"),
@@ -3824,7 +3884,7 @@ object LlmPipeline extends QueryPack {
       // probe side reads the top-NPROBE probe-list index, database side
       // the rank-1 assignment index; candidates are id-only and vectors
       // join back per candidate (see q_baseline_ann_ivf)
-      val probes = ivfProbes(s, d)
+      val probes = spread(ivfProbes(s, d))
       val assigned = ivfAssign(s, d)
       val cands = probes.as("a")
         .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
@@ -3851,7 +3911,7 @@ object LlmPipeline extends QueryPack {
     // and 0.549 (label-cell multi-probe) — finer, geometry-trained cells
     // buy more recall per probed row (tracked per-round in RECALL.json).
     "q_sim_ann_ivf_k" -> ((s, d) => {
-      val probes = ivfKProbes(s, d)
+      val probes = spread(ivfKProbes(s, d))
       val assigned = ivfKAssign2(s, d)
       // distinct: a top-2-assigned neighbor can match two probe cells of
       // the same query — dedup the id-pairs BEFORE touching wide vectors
@@ -3944,7 +4004,7 @@ object LlmPipeline extends QueryPack {
       val isBatch = col("vec_id") % 10 === 7
       val e = t(s, d, "embeddings")
       val cents = ivfKCentroids(s, d)
-      val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
+      val np = 2 * math.ceil(math.sqrt(ivfKNumCells(s, d).toDouble)).toInt
       val probes = ivfKCellsFor(e.where(isBatch), cents, np)
       val cands = probes.as("a")
         .join(maybeBroadcast(ivfKAssign2(s, d).where(!isBatch).as("b")),
@@ -3995,7 +4055,7 @@ object LlmPipeline extends QueryPack {
     // multiplies any vector arithmetic. (The naive per-candidate compute
     // was measured 14× slower at sf0.1: 10.8 s → this shape.)
     "q_sim_ann_ivfpq" -> ((s, d) => {
-      val probes = ivfKProbes(s, d)
+      val probes = spread(ivfKProbes(s, d))
       val assigned = ivfKAssign2(s, d)
       val cands = probes.as("a")
         .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
@@ -4020,8 +4080,8 @@ object LlmPipeline extends QueryPack {
       // batch probe list against the frozen coarse quantizer: np = 2⌈√k⌉,
       // k bounded by the centroid artifact itself (a √N-row table)
       val cents = ivfKCentroids(s, d)
-      val np = 2 * math.ceil(math.sqrt(cents.count().toDouble)).toInt
-      val probes = ivfKCellsFor(e.where(isBatch), cents, np)
+      val np = 2 * math.ceil(math.sqrt(ivfKNumCells(s, d).toDouble)).toInt
+      val probes = spread(ivfKCellsFor(e.where(isBatch), cents, np))
       val cands = probes.as("a")
         .join(maybeBroadcast(ivfKAssign2(s, d).where(!isBatch).as("b")),
           col("a.cell") === col("b.cell"))
@@ -4029,14 +4089,14 @@ object LlmPipeline extends QueryPack {
         .distinct()
       pqAdcRerank(s, d, cands,
         pqCodesWide(s, d).where(!(col("nid") % 10 === 7)),
-        // the batch's ADC table is O(batch*M*K) rows by construction —
-        // broadcast it so the 8-level ADC fold stays map-side (without
-        // the hint the fresh plan has no size estimate and every fold
-        // level sort-merge-joins, re-shuffling the candidate set 8x).
-        // Size-gated on the EXACT fixture batch size from the persisted
-        // corpus count (ADVICE r14): past the broadcast budget the fold
-        // degrades to shuffled joins instead of a forced-broadcast OOM
-        maybeBroadcastDtable(pqDtablePlan(e.where(isBatch), cb),
+        // the batch's ADC table is O(batch·M·K) scalars by construction
+        // — broadcast its WIDE per-query form so the one-join ADC stage
+        // stays map-side (a fresh batch plan has no size estimate, so
+        // the generic gate would decline and re-shuffle the candidate
+        // set by qid). Size-gated on the EXACT fixture batch size from
+        // the persisted corpus count (ADVICE r14): past the broadcast
+        // budget the join degrades to a shuffled join, not a forced OOM
+        maybeBroadcastDtable(pqDtableWidePlan(pqDtablePlan(e.where(isBatch), cb)),
           embCount(s, d) / 10 + 1))
     }),
 
@@ -4053,7 +4113,7 @@ object LlmPipeline extends QueryPack {
     // coarse/fine centroids + top-2 assignment, the PQ codebooks/nibble
     // index, and the ADC distance table are all reused as-is.
     "q_sim_ann_ivfc_pq" -> ((s, d) => {
-      val probes = ivfcProbes(s, d)
+      val probes = spread(ivfcProbes(s, d))
       val assigned = semAssign2(s, d).select(col("vec_id"), col("cell"))
       val cands = probes.as("a")
         .join(maybeBroadcast(assigned.as("b")), col("a.cell") === col("b.cell") &&
@@ -4075,7 +4135,7 @@ object LlmPipeline extends QueryPack {
     "q_sim_ann_ivfc_pq_delta" -> ((s, d) => {
       val isBatch = col("vec_id") % 10 === 7
       val e = t(s, d, "embeddings")
-      val probes = ivfcProbesFor(s, d, e.where(isBatch))
+      val probes = spread(ivfcProbesFor(s, d, e.where(isBatch)))
       val cands = probes.as("a")
         .join(maybeBroadcast(semAssign2(s, d).where(!isBatch)
             .select(col("vec_id"), col("cell")).as("b")),
@@ -4085,14 +4145,14 @@ object LlmPipeline extends QueryPack {
       val cb = pqCodebooks(s, d).select(col("m"), col("c").as("code"), col("centroid"))
       pqAdcRerank(s, d, cands,
         pqCodesWide(s, d).where(!(col("nid") % 10 === 7)),
-        // the batch's ADC table is O(batch*M*K) rows by construction —
-        // broadcast it so the 8-level ADC fold stays map-side (without
-        // the hint the fresh plan has no size estimate and every fold
-        // level sort-merge-joins, re-shuffling the candidate set 8x).
-        // Size-gated on the EXACT fixture batch size from the persisted
-        // corpus count (ADVICE r14): past the broadcast budget the fold
-        // degrades to shuffled joins instead of a forced-broadcast OOM
-        maybeBroadcastDtable(pqDtablePlan(e.where(isBatch), cb),
+        // the batch's ADC table is O(batch·M·K) scalars by construction
+        // — broadcast its WIDE per-query form so the one-join ADC stage
+        // stays map-side (a fresh batch plan has no size estimate, so
+        // the generic gate would decline and re-shuffle the candidate
+        // set by qid). Size-gated on the EXACT fixture batch size from
+        // the persisted corpus count (ADVICE r14): past the broadcast
+        // budget the join degrades to a shuffled join, not a forced OOM
+        maybeBroadcastDtable(pqDtableWidePlan(pqDtablePlan(e.where(isBatch), cb)),
           embCount(s, d) / 10 + 1))
     }),
 

@@ -418,12 +418,81 @@ object Profiling extends QueryPack {
     * O(accuracy·log N) doubles per partial, independent of corpus size. */
   private[graft] val HIST_ACCURACY = 10000
 
+  /** Value-bucket width for the distributed exact-percentile prefix sum
+    * (the q_stream_watermark two-phase shape): l_extendedprice spans
+    * ~[900, 110k], so 1024-wide buckets give ~110 ordered buckets whose
+    * per-bucket cumulative windows run in parallel. A degenerate domain
+    * (everything in one bucket) only loses the parallelism, never the
+    * result. */
+  private val PCTL_BKT_W = 1024.0
+
   private def profileHistogram(s: SparkSession, d: String): DataFrame = {
+    // Distributed EXACT decile bounds (r21): Catalyst's `percentile`
+    // buffers every distinct value with its count in one OpenHashMap per
+    // partial and merges + sorts the WHOLE value census (583k distinct at
+    // sf0.1) in a single final-aggregate task — measured as the dominant
+    // cost of this query (guide §1.2 step 1: the single-task merge is the
+    // algorithmic bottleneck, not the scan). This is the classic
+    // distributed-selection shape instead — no corpus-scale shuffle at
+    // all, every phase parallel or bounded:
+    //  1. value-range bucket histogram: one map-side-combinable count
+    //     per [[PCTL_BKT_W]]-wide bucket (~110 rows at sf0.1);
+    //  2. on that BOUNDED frame: exact bucket-prefix counts, N, and per
+    //     decile q the target positions — position = q·(N−1), ranks
+    //     ⌊pos⌋/⌈pos⌉ — each resolved to (bucket, rank-within-bucket);
+    //  3. one corpus pass keeps ONLY rows of the ≤18 target buckets
+    //     (broadcast semi-join), ranks them within their bucket by
+    //     value, and a broadcast join picks the ≤18 ranked rows — ties
+    //     among equal values are position-invariant, so the picked
+    //     doubles are EXACTLY the values Catalyst's sorted census holds
+    //     at those ranks;
+    //  4. linear interpolation in the exact order of Catalyst's
+    //     bytecode — (higher−pos)·lowerKey + (pos−lower)·higherKey — so
+    //     the bounds are bitwise-identical to the single-task
+    //     aggregate's (the oracle CTE is unchanged).
     val li = t(s, d, "lineitem")
+    val v = col("l_extendedprice")
     val qs = (1 to 9).map(_ / 10.0)
-    val bounds = li.agg(percentile(col("l_extendedprice"),
-      array(qs.map(lit): _*)).as("bs"))
-      .select(transform(col("bs"), b => r4(b)).as("bs"))
+    val bktAgg = li.groupBy(floor(v / PCTL_BKT_W).as("bkt"))
+      .agg(count(lit(1)).as("bn"))
+    val wPrior = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val bktCum = bktAgg // ~110 rows: the windows below are bounded, not corpus-scale
+      .withColumn("prior", coalesce(sum(col("bn")).over(wPrior), lit(0L)))
+      .withColumn("n", sum(col("bn")).over(Window.partitionBy()))
+    val targets = bktCum
+      .select(col("bkt"), col("prior"), col("bn"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("pos", (col("n") - 1).cast(DoubleType) * col("q"))
+      .withColumn("lower", floor(col("pos")))
+      .withColumn("higher", ceil(col("pos")))
+      .select(col("bkt"), col("prior"), col("bn"), col("q"), col("pos"),
+        col("lower"), col("higher"),
+        explode(array(
+          struct(col("lower").as("p"), lit(true).as("is_lower")),
+          struct(col("higher").as("p"), lit(false).as("is_lower")))).as("tp"))
+      .where(col("tp.p") >= col("prior") && col("tp.p") < col("prior") + col("bn"))
+      .select(col("bkt"), (col("tp.p") - col("prior") + 1).as("rn"),
+        col("q"), col("pos"), col("lower"), col("higher"), col("tp.is_lower"))
+    val wRn = Window.partitionBy("bkt").orderBy(v)
+    val picked = li
+      .withColumn("bkt", floor(v / PCTL_BKT_W))
+      .join(broadcast(targets.select("bkt").distinct()), Seq("bkt"), "left_semi")
+      .withColumn("rn", row_number().over(wRn).cast(LongType))
+      .join(broadcast(targets), Seq("bkt", "rn"))
+    val sel = picked.groupBy("q")
+      .agg(max(when(col("is_lower"), v)).as("lk"),
+        max(when(!col("is_lower"), v)).as("hk"),
+        first(col("pos")).as("pos"),
+        first(col("lower")).as("lower"), first(col("higher")).as("higher"))
+      .select(col("q"),
+        when(col("higher") === col("lower") || col("lk") === col("hk"), col("lk"))
+          .otherwise(
+            (col("higher").cast(DoubleType) - col("pos")) * col("lk") +
+              (col("pos") - col("lower").cast(DoubleType)) * col("hk"))
+          .as("b"))
+    val bounds = sel
+      .agg(array_sort(collect_list(struct(col("q"), col("b")))).as("t"))
+      .select(transform(col("t"), x => r4(x.getField("b"))).as("bs"))
     histogramFromBounds(s, d, bounds)
   }
 

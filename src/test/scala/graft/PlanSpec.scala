@@ -250,19 +250,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_sim_ann_ivfpq").split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
-    // the ADC distance is a projected column sum over the per-subspace
-    // joins, NOT an aggregation over exploded candidate rows: any agg
-    // keyed by the (qid, nid) pair must be the id-only candidate DEDUP
-    // (functions=[] — the top-2 assignment can hand the same pair to two
-    // probe cells), never a distance-computing aggregate (the cached
-    // codes-pivot build lineage inside InMemoryRelation legitimately
-    // contains its own aggs), and shortlist/top-3 both run through the
-    // partial/final heap plan
+    // the ADC distance is a projected sum of element_at lookups into the
+    // WIDE per-query distance array joined ONCE by qid (r21 — formerly M
+    // per-subspace joins), NOT an aggregation over exploded candidate
+    // rows: any agg keyed by the (qid, nid) pair must be the id-only
+    // candidate DEDUP (functions=[] — the top-2 assignment can hand the
+    // same pair to two probe cells), never a distance-computing
+    // aggregate (the cached codes-pivot build lineage inside
+    // InMemoryRelation legitimately contains its own aggs), and
+    // shortlist/top-3 both run through the partial/final heap plan
     val pairAggs =
       "HashAggregate\\(keys=\\[qid#\\d+L, nid#\\d+L[^\n]*".r.findAllIn(p).toList
     assert(pairAggs.forall(_.contains("functions=[]")),
       s"distance-computing aggregate keyed by (qid, nid):\n${pairAggs.mkString("\n")}\n$p")
-    assert("\\+ sd_7".r.findFirstIn(p).isDefined, p) // the summed projection
+    assert(p.contains("element_at"), p) // the wide-array ADC lookups
+    // exactly M element_at lookups feed the summed adist projection, and
+    // the narrow per-subspace slice joins are GONE from the query body
+    // (c_0..c_7 appear only as join-free projection inputs)
+    assert(!p.contains("sd_0"), s"narrow per-subspace ADC slices resurfaced:\n$p")
     assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
   }
 
@@ -571,16 +576,18 @@ class PlanSpec extends AnyFunSuite {
       s"cell sizing must come from the narrow count, not a window:\n$p")
   }
 
-  test("q_sim_ann_ivfc_pq_delta: batch ADC table broadcasts through all fold levels") {
-    // r14 contract: the per-ingest ADC distance table is O(batch*M*K)
-    // rows by construction and carries an explicit broadcast hint —
-    // without it the fresh plan has no size estimate and every level of
-    // the 8-subspace fold sort-merge-joins, re-shuffling the candidate
-    // set once per subspace (the r13 10.88 MB anomaly).
+  test("q_sim_ann_ivfc_pq_delta: batch ADC table broadcasts into the one-join stage") {
+    // r14 contract, r21 shape: the per-ingest ADC distance table is
+    // O(batch·M·K) scalars by construction, pivoted to one WIDE row per
+    // batch vector and carried by an explicit broadcast hint — without
+    // it the fresh plan has no size estimate and the ADC stage
+    // re-shuffles the candidate set by qid (the r13 10.88 MB anomaly,
+    // one level instead of eight since the r21 wide-array restructure).
     val p = plan("q_sim_ann_ivfc_pq_delta").split("== Initial Plan ==").head
-    assert(!p.contains("SortMergeJoin"), s"ADC fold fell off broadcast:\n$p")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 8,
-      s"expected >=8 broadcast ADC levels:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"ADC join fell off broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("element_at"), s"wide-array ADC lookups missing:\n$p")
+    assert(!p.contains("sd_0"), s"narrow per-subspace ADC slices resurfaced:\n$p")
   }
 
   test("PQ ADC broadcast gate declines a saturated row estimate (no 64-bit wrap)") {
