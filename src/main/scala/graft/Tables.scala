@@ -80,6 +80,17 @@ object Tables {
       // separate job in local mode).
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // JVM-wide whole-stage-codegen CLASS cache (static conf, default
+      // 100 entries): sized for a handful of hot queries, not a
+      // 201-operator suite — one registry pass generates ~2000 codegen
+      // units, so at the default every query re-janino-compiles ALL its
+      // classes on EVERY execution (r22 measured: q_assoc_rules 1.25 s
+      // solo vs 2.66 s interleaved with six other queries — the delta is
+      // recompilation, not compute). 4096 holds the whole registry; the
+      // compiled code lives in the JIT code cache either way (already
+      // sized at 1g in build.sbt). Scale-independent: any long-lived
+      // session serving this many distinct operators needs the same dial.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // registers native expressions (cosine_sim) with the SQL registry
       .config("spark.sql.extensions", "org.apache.spark.sql.graftx.GraftExtensions")
       // bucketed-table catalog (Sinks.writeBucketed) — keep out of the repo

@@ -356,31 +356,44 @@ object Aggregations extends QueryPack {
     // a map-side-combinable count. The oracle runs the identical
     // apriori CTE chain.
     "q_assoc_rules" -> ((s, d) => {
-      // r21: the r20 plan computed the corpus-scale (okey, pkey) DISTINCT
-      // exchange three times — once per self-join side and once under the
-      // support subquery — because the branches canonicalized differently.
-      // (A basket-array rewrite — collect + in-row pair expansion — was
-      // tried first and measured SLOWER at sf0.1: the higher-order-
-      // function pair generation is interpreted lambda dispatch, while
-      // the broadcast self-join pair generation is whole-stage codegen.)
-      // The explicit not-null filters are the whole fix: the inner joins
-      // infer isnotnull on their keys and push them below the DISTINCT
-      // into the scan, so without them the three consumers of `b` (freq,
-      // both self-join sides) canonicalize differently and each
-      // recomputed the corpus-scale (okey, pkey) dedup exchange. With
-      // identical filters in every branch the planner emits ONE exchange
-      // plus ReusedExchange nodes (guide §2.4) — the fixture keys are
-      // never null, so the filters are row-identity (oracle unchanged).
+      // r21 made the three consumers of `b` canonicalize identically
+      // (explicit isNotNull filters — inner joins infer them on their
+      // keys, so without them each branch recomputed the corpus-scale
+      // dedup; the filters are row-identity, fixture keys are never
+      // null — the NOT NULL assumption is the TPC-H schema's, enforced
+      // per fixture by the oracle gate). (A basket-array rewrite —
+      // collect + in-row pair expansion — was tried in r21 and measured
+      // SLOWER: interpreted lambda dispatch vs codegen join.)
+      //
+      // r22 (guide §2.4/§3.1): the r21 plan still ran TWO corpus-scale
+      // exchanges — the (okey, pkey) dedup and then the self-join's okey
+      // exchange — and at sf0.1 the planner "solved" the self-join by
+      // BROADCASTING the entire frequent-basket frame (560k rows collected
+      // to the driver and shipped per execution — the exact corpus-scale
+      // broadcast that breaks at 100 TB). ONE pinned exchange by okey now
+      // feeds everything: the dedup aggregates in-stage (hash(okey)
+      // satisfies the (okey, pkey) clustered distribution — subset rule),
+      // the broadcast freq join preserves the partitioning, both self-join
+      // sides canonicalize to the SAME exchange (AQE materializes it
+      // once), and the shuffle_hash hint joins the co-partitioned sides in
+      // place — no corpus broadcast, no sort, no second exchange. Basket
+      // locality is the point: every row of one basket lands in one
+      // partition, so pair generation is partition-local. The partition
+      // count is PINNED (AQE's size heuristic cannot see the pair blowup
+      // below) and comes from the session conf — the deployment dial.
       val b = t(s, d, "lineitem")
         .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+        .repartition(
+          org.apache.spark.sql.graftx.Sizing.numShufflePartitions(
+            t(s, d, "lineitem")), col("okey"))
         .distinct()
       val freq = b.groupBy("pkey").agg(count(lit(1)).as("n_item"))
         .where(col("n_item") >= ASSOC_MIN_SUP)
       val fb = b.join(maybeBroadcast(freq), Seq("pkey"))
       val nBaskets = b.agg(countDistinct(col("okey")).as("n_baskets"))
       fb.as("a")
-        .join(fb.as("b"),
+        .join(fb.as("b").hint("shuffle_hash"),
           col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
         .groupBy(col("a.pkey").as("part_a"), col("b.pkey").as("part_b"),
           col("a.n_item").as("n_a"), col("b.n_item").as("n_b"))

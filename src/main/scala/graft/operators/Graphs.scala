@@ -146,7 +146,14 @@ object Graphs extends QueryPack {
       // (guide §2.4: two operations keyed the same way share one
       // exchange). Corpus-scale work halves; the degree/histogram aggs
       // downstream are |V|- and degree-bounded.
+      // NOT-NULL keys (ADVICE r21): countDistinct(other) excludes a null
+      // partner while the pair-count counts it; the fixture keys are never
+      // null (TPC-H schema), so the filters are row-identity here — they
+      // pin the rewrite's equivalence on arbitrary data and match the
+      // q_assoc_rules discipline (they also canonicalize both consumers
+      // identically, reinforcing the shared-exchange reuse).
       val pairs = t(s, d, "lineitem")
+        .where(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
       def side(tag: String, key: String) = pairs
         .groupBy(col(key).as("node"))

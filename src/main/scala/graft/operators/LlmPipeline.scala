@@ -176,7 +176,7 @@ object LlmPipeline extends QueryPack {
     * scale dial, never a local constant. */
   private def spread(df: DataFrame, key: String = "vec_id"): DataFrame =
     df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(key))
+      org.apache.spark.sql.graftx.Sizing.numShufflePartitions(df), col(key))
 
   /** Width of one MinHash signature slice in hex chars: 8 → each slice is
     * a 32-bit min statistic. [[MINHASH_K]]·[[MINHASH_SLICE]] must not
@@ -491,31 +491,46 @@ object LlmPipeline extends QueryPack {
     * products and a T-element sort per vector, then an explode. */
   private[graft] def lshcProbesPlan(e: DataFrame, nbits: Int): DataFrame = {
     val t0 = math.min(LSHC_T, nbits)
-    val dotCols = for (tb <- 0 until LSHC_TABLES; j <- 0 until nbits) yield {
-      val plane = typedlit((1 to 64).map(planeValJvm(LSHC_BASE + tb * 32 + j, _)))
-      r4(aggregate(zip_with(col("embedding"), plane, (x, v) => x * v),
-        lit(0.0), (acc, x) => acc + x)).as(s"ld_${tb}_$j")
+    // r22: the r21 single-Generate form inlined bucket+rank+mask code for
+    // ALL tables into one generate_doConsume method — at nbits ≥ 8 that
+    // method overflows the JVM's 64 KB bytecode limit, janino fails, and
+    // EVERY fresh-probe execution (the delta query, ingest facades,
+    // retrain) re-attempted the doomed compile and fell back to
+    // interpreted eval (observed: repeated CodeGenerator ERRORs + ~1.4 s
+    // of non-stage wall per q_sim_ann_lshc_delta execution). Splitting
+    // per table — explode the (tb, dots) pairs FIRST, then compute one
+    // table's bucket/probe expressions over its 1/TABLES-sized dot array
+    // — keeps each generated method small, so the whole path stays
+    // whole-stage codegen. Identical (vec_id, tb, bucket, own) rows: the
+    // dots are the same r4 doubles, per-table expressions unchanged.
+    val dotCols = (0 until LSHC_TABLES).map { tb =>
+      array((0 until nbits).map { j =>
+        val plane = typedlit((1 to 64).map(planeValJvm(LSHC_BASE + tb * 32 + j, _)))
+        r4(aggregate(zip_with(col("embedding"), plane, (x, v) => x * v),
+          lit(0.0), (acc, x) => acc + x))
+      }: _*).as(s"lds_$tb")
     }
     val withDots = e.select(col("vec_id") +: dotCols: _*)
-    val tables = (0 until LSHC_TABLES).map { tb =>
-      val dots = (0 until nbits).map(j => col(s"ld_${tb}_$j"))
-      val bucket = dots.zipWithIndex.map { case (dj, j) =>
-        when(dj > 0, lit(1L << j)).otherwise(lit(0L)) }.reduce(_ + _)
-      val ranked = sort_array(array(dots.zipWithIndex.map { case (dj, j) =>
-        struct(abs(dj).as("ad"), lit(j).as("j")) }: _*))
-      val masks = (0 until t0).map { i =>
-        call_function("shiftleft", lit(1L), element_at(ranked, i + 1).getField("j")) }
-      def p(b: Column, own: Boolean) =
-        struct(lit(tb).as("tb"), b.as("bucket"), lit(own).as("own"))
-      val singles = masks.map(m => p(bucket.bitwiseXOR(m), own = false))
-      val dbl = if (nbits >= 2)
-        Seq(p(bucket.bitwiseXOR(masks(0).bitwiseOR(masks(1))), own = false))
-      else Seq.empty
-      array(p(bucket, own = true) +: (singles ++ dbl): _*)
-    }
-    withDots
-      .select(col("vec_id"), explode(flatten(array(tables: _*))).as("pk"))
-      .select(col("vec_id"), col("pk.tb").as("tb"),
+    val perTbl = withDots.select(col("vec_id"),
+      posexplode(array((0 until LSHC_TABLES).map(tb => col(s"lds_$tb")): _*))
+        .as(Seq("tb", "dots")))
+    val dots = (0 until nbits).map(j => element_at(col("dots"), j + 1))
+    val bucket = dots.zipWithIndex.map { case (dj, j) =>
+      when(dj > 0, lit(1L << j)).otherwise(lit(0L)) }.reduce(_ + _)
+    val ranked = sort_array(array(dots.zipWithIndex.map { case (dj, j) =>
+      struct(abs(dj).as("ad"), lit(j).as("j")) }: _*))
+    val masks = (0 until t0).map { i =>
+      call_function("shiftleft", lit(1L), element_at(ranked, i + 1).getField("j")) }
+    def p(b: Column, own: Boolean) =
+      struct(b.as("bucket"), lit(own).as("own"))
+    val singles = masks.map(m => p(bucket.bitwiseXOR(m), own = false))
+    val dbl = if (nbits >= 2)
+      Seq(p(bucket.bitwiseXOR(masks(0).bitwiseOR(masks(1))), own = false))
+    else Seq.empty
+    perTbl
+      .select(col("vec_id"), col("tb"),
+        explode(array(p(bucket, own = true) +: (singles ++ dbl): _*)).as("pk"))
+      .select(col("vec_id"), col("tb"),
         col("pk.bucket").as("bucket"), col("pk.own").as("own"))
   }
 
@@ -1268,7 +1283,24 @@ object LlmPipeline extends QueryPack {
     * out of the next codebook (both engines compute this identically).
     * The artifact is M×K×SUBDIM doubles (8×16×8 here) — constant-size,
     * broadcast-safe at any corpus scale. */
-  private def pqCodebooks(s: SparkSession, d: String): DataFrame =
+  private def pqCodebooks(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebooksArtifact(s, d)
+    // Density invariant (ADVICE r21): [[pqDtableWidePlan]] indexes the wide
+    // ADC row POSITIONALLY (subspace m's code c at slot m·K+c), which
+    // requires every subspace codebook dense with exactly PQ_K codes 1..K.
+    // A Lloyd cluster CAN empty (duplicate seed vectors on a dedup-heavy
+    // corpus empty a cluster via the c-ASC tie-break); a gap would silently
+    // shift every later slot and corrupt ADC ranking on ungated serving
+    // paths. Fail fast per epoch instead — one JVM-memoized count of the
+    // ~M·K-row parquet artifact per (session, dir, epoch).
+    val nCodes = memoizedScalar(s, d, gk(d, "pq_cb_density")) { cb.count() }
+    require(nCodes == PQ_M.toLong * PQ_K,
+      s"PQ codebooks not dense: $nCodes (m,c) rows, expected ${PQ_M * PQ_K} — " +
+        "a Lloyd cluster emptied; positional ADC slots would shift")
+    cb
+  }
+
+  private def pqCodebooksArtifact(s: SparkSession, d: String): DataFrame =
     Tables.memoizedOnDisk(s, d, gk(d, s"pq_codebooks_m${PQ_M}k${PQ_K}_lloyd$PQ_LLOYD")) {
       val e = trainVecs(s, d)
       val seeds = e
@@ -3746,8 +3778,7 @@ object LlmPipeline extends QueryPack {
       // hangs below it, and AQE's size-based coalesce would fold the
       // 2 MB of probe ids into one partition and single-thread the
       // 6M-row candidate join + rerank (measured 3.1 -> 5.7 s at sf0.1).
-      val pr = art.repartition(
-        s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+      val pr = spread(art)
       val idx = art.where(col("own")).select(col("vec_id"), col("tb"), col("bucket"))
       val cands = pr.as("pa")
         .join(maybeBroadcast(idx.as("pb")), col("pa.tb") === col("pb.tb") &&
@@ -3811,10 +3842,9 @@ object LlmPipeline extends QueryPack {
     "q_sim_ann_lshc_delta" -> ((s, d) => {
       val isBatch = col("vec_id") % 10 === 7
       val e = t(s, d, "embeddings")
-      val probes = lshcProbesPlan(e.where(isBatch), lshcNbits(embCount(s, d)))
-        // tail inherits qid partitioning; count pinned vs AQE coalesce
-        // (see q_sim_ann_lshc)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+      // tail inherits qid partitioning; count pinned vs AQE coalesce
+      // (see q_sim_ann_lshc)
+      val probes = spread(lshcProbesPlan(e.where(isBatch), lshcNbits(embCount(s, d))))
       val corpus = lshcProbes(s, d).where(col("own") && !isBatch)
         .select(col("vec_id"), col("tb"), col("bucket"))
       val cands = probes.as("pa")

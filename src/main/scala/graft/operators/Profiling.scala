@@ -450,8 +450,13 @@ object Profiling extends QueryPack {
     //     bytecode — (higher−pos)·lowerKey + (pos−lower)·higherKey — so
     //     the bounds are bitwise-identical to the single-task
     //     aggregate's (the oracle CTE is unchanged).
-    val li = t(s, d, "lineitem")
+    // NULLs excluded from the bounds computation (ADVICE r21): Catalyst's
+    // `percentile` ignores null inputs, while floor(null/W) would form a
+    // null bucket that sorts first in the cumulative window and inflate
+    // every bucket's prior. The fixture column is non-null, so this is
+    // row-identity here; it pins the rewrite's equivalence on any data.
     val v = col("l_extendedprice")
+    val li = t(s, d, "lineitem").where(v.isNotNull)
     val qs = (1 to 9).map(_ / 10.0)
     val bktAgg = li.groupBy(floor(v / PCTL_BKT_W).as("bkt"))
       .agg(count(lit(1)).as("bn"))

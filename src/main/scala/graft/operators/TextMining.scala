@@ -351,20 +351,64 @@ object TextMining extends QueryPack {
       val classTot = classTok.groupBy("model_lang").agg(sum("cnt").as("tot"))
       val priors = t(s, d, "documents")
         .groupBy(col("lang").as("model_lang")).agg(count(lit(1)).as("n_docs"))
+      // (a rollup fusing classTot+vocab into one pass was tried in r22 and
+      // reverted: sharing their lineage makes the classes join an
+      // ambiguous self-join for the analyzer, and the saving is one tiny
+      // vocabulary-scale stage)
       val vocab = classTok.agg(countDistinct(col("tok")).as("v"))
-      val nAll = t(s, d, "documents").agg(count(lit(1)).as("n_all"))
+      // n_all derived from priors (r22, guide §2.4): the sum of per-lang
+      // group counts IS the table count unconditionally (a null lang forms
+      // its own group, so nothing escapes) — one corpus scan + one
+      // aggregation subtree fewer than the separate documents.count.
+      val nAll = priors.agg(sum(col("n_docs")).as("n_all"))
       // classes: one row per model class with totals/prior/vocab —
       // provably bounded (#langs rows), forced broadcast is safe
       val classes = classTot.join(priors, "model_lang")
         .crossJoin(broadcast(vocab)).crossJoin(broadcast(nAll))
-      val s1 = docTok.join(maybeBroadcast(classTok), "tok")
-        .groupBy("doc_id", "model_lang")
-        .agg(sum((col("tf") * log(col("cnt") + 1)).cast(d18)).as("s1"))
-      val dl = docTok.groupBy("doc_id", "lang").agg(sum("tf").as("dl"))
-      val scored = dl.crossJoin(broadcast(classes))
-        .join(s1, Seq("doc_id", "model_lang"), "left")
+      // r22 (guide §2.4 "two operations keyed the same way share one
+      // exchange"): the r21 plan ran s1's (doc_id, model_lang) aggregate,
+      // dl's (doc_id, lang) aggregate, their (doc_id, model_lang) join and
+      // the per-doc argmax window each off its OWN corpus-scale exchange —
+      // 19 AQE stage jobs per execution, c8/c32 ratio 0.70 (latency-bound,
+      // not data-bound). ONE pinned exchange of the narrow (doc, tok, tf)
+      // frame by doc_id now feeds the whole scoring tail: hash(doc_id)
+      // satisfies the clustered distribution of both aggregates (subset
+      // rule), the broadcast joins preserve it alias-aware, the scored
+      // join is co-partitioned on it, and the TopK argmax heaps inherit
+      // it. Both consumers canonicalize identically, so AQE materializes
+      // the exchange once. The partition count is PINNED (exempt from AQE
+      // coalescing — the expansion below is invisible to its size
+      // heuristic) and comes from the session's shuffle-partition conf,
+      // the deployment scale dial.
+      val docTokP = docTok.repartition(
+        org.apache.spark.sql.graftx.Sizing.numShufflePartitions(docTok),
+        col("doc_id"))
+      // ONE aggregation computes BOTH per-(doc, class) sums: each (doc,
+      // tok, tf) row crosses the L-row class list (broadcast), LEFT-joins
+      // the class-token counts (broadcast, unique per (model_lang, tok)),
+      // and the group then holds every token exactly once per class — so
+      // dl = Σtf inside the same group, and a token the class never saw
+      // contributes tf·0 (ln(0+1) = 0, the absent-token trick) to s1
+      // exactly as the r21 inner-join form's missing row did. Decimal
+      // accumulation is order-immune, so the fold is bitwise-identical.
+      // The r21 form ran s1 and dl as separate corpus-scale aggregation
+      // subtrees joined on (doc_id, model_lang) — and since the planner
+      // requires ALL cluster keys for join co-partitioning, that join
+      // re-exchanged both sides and the argmax re-exchanged again.
+      // the class list is classTot's lang set (⊆ priors — every tokenized
+      // doc is a document — so the inner classes join below keeps exactly
+      // these langs): crossing with it avoids re-materializing the whole
+      // classes chain a second time just to project one column
+      val scored = docTokP
+        .crossJoin(broadcast(classTot.select("model_lang")))
+        .join(maybeBroadcast(classTok), Seq("model_lang", "tok"), "left")
+        .groupBy("doc_id", "lang", "model_lang")
+        .agg(sum((col("tf") * coalesce(log(col("cnt") + 1), lit(0.0))).cast(d18))
+            .as("s1"),
+          sum("tf").as("dl"))
+        .join(broadcast(classes), "model_lang")
         .select(col("doc_id"), col("lang"), col("model_lang"),
-          (coalesce(col("s1"), lit(0).cast(d18)) +
+          (col("s1") +
             (-col("dl") * log(col("tot") + col("v"))).cast(d18) +
             log(col("n_docs").cast(DoubleType) / col("n_all")).cast(d18))
             .as("score"))

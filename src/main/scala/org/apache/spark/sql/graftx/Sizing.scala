@@ -28,4 +28,11 @@ object Sizing {
     * (negative = broadcasting disabled). */
   def broadcastThreshold(df: DataFrame): Long =
     classic(df).sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+
+  /** The session's resolved `spark.sql.shuffle.partitions` as an Int.
+    * Reading the raw conf string and parsing it throws on runtimes where
+    * the conf is non-numeric (e.g. "auto" on some managed platforms);
+    * the session state holds the already-resolved value (ADVICE r21). */
+  def numShufflePartitions(df: DataFrame): Int =
+    classic(df).sparkSession.sessionState.conf.numShufflePartitions
 }

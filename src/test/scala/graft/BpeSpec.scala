@@ -108,7 +108,7 @@ class BpeSpec extends AnyFunSuite {
     assert(leftover == 0, s"training stopped with $leftover pairs still mergeable")
   }
 
-  test("production merge count: 500 merges at batch 32, lossless, bounded driver actions") {
+  test("production merge count: 500 merges at batch 32, lossless, bounded driver actions", SlowTest) {
     // VERDICT r10 item 5 — the 50-merge proof says nothing about whether
     // the driver loop dominates at a real vocabulary size, and the
     // 30-word synthetic corpus exhausts at ~89 merges, so the 500-merge

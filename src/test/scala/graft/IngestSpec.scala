@@ -321,7 +321,7 @@ class IngestSpec extends AnyFunSuite {
       s"committed rows self-matched on re-ingest: $self")
   }
 
-  test("commitVectors round trip: committed vectors are corpus-side for every vector ingest family") {
+  test("commitVectors round trip: committed vectors are corpus-side for every vector ingest family", SlowTest) {
     import spark.implicits._
     val d = commitDir
     val rnd = new scala.util.Random(99L)
@@ -641,7 +641,7 @@ class IngestSpec extends AnyFunSuite {
     d
   }
 
-  test("compact: probe-invariant fold to one segment per family; overlay tombstones fold away") {
+  test("compact: probe-invariant fold to one segment per family; overlay tombstones fold away", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("cpd")
     val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
@@ -939,7 +939,7 @@ class IngestSpec extends AnyFunSuite {
     assert(vis.size == 32, s"30 corpus + 1000 + 2000 = 32 visible ids: ${vis.size}")
   }
 
-  test("replaceVectors re-indexes a changed embedding across every ANN tier") {
+  test("replaceVectors re-indexes a changed embedding across every ANN tier", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("rpv")
     val emb3 = Tables.t(spark, d, "embeddings").where(col("vec_id") === 3L)
@@ -974,7 +974,7 @@ class IngestSpec extends AnyFunSuite {
       Seq((3L, newEmb)).toDF("vec_id", "embedding")).isEmpty)
   }
 
-  test("replace survives compact: probes invariant, superseded copies leave disk, crash debris is invisible") {
+  test("replace survives compact: probes invariant, superseded copies leave disk, crash debris is invisible", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("rpc")
     val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
@@ -1098,7 +1098,7 @@ class IngestSpec extends AnyFunSuite {
       "novel-id race tombstones must fold away entirely")
   }
 
-  test("lifecycle model fuzz: a seeded op sequence tracks an in-memory reference model exactly") {
+  test("lifecycle model fuzz: a seeded op sequence tracks an in-memory reference model exactly", SlowTest) {
     // MODEL-BASED check of the sequence semantics as a whole: drive a
     // random (seeded, reproducible) interleaving of the four lifecycle
     // verbs against a tiny corpus and assert after EVERY op that the
@@ -1198,7 +1198,7 @@ class IngestSpec extends AnyFunSuite {
     assert(after.filter(_._1 == "ivfk_centroid").map(_._3).sum == 1056L)
   }
 
-  test("promote folds commits/replaces/deletes into a fresh generation; overlay empty; probes invariant") {
+  test("promote folds commits/replaces/deletes into a fresh generation; overlay empty; probes invariant", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("pro")
     val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
@@ -1278,7 +1278,7 @@ class IngestSpec extends AnyFunSuite {
       "second promote must fold the post-promote lifecycle state")
   }
 
-  test("promote heals stranded-geometry commits: vanished docs rejoin every probe") {
+  test("promote heals stranded-geometry commits: vanished docs rejoin every probe", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("phl")
     val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
@@ -1314,7 +1314,7 @@ class IngestSpec extends AnyFunSuite {
       "stranded families are garbage after the fold")
   }
 
-  test("promote with a grace period keeps the folded overlay scannable for in-flight readers") {
+  test("promote with a grace period keeps the folded overlay scannable for in-flight readers", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("pgr")
     val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
@@ -1340,7 +1340,7 @@ class IngestSpec extends AnyFunSuite {
     assert(vis.contains(1000L) && vis.contains(1001L) && vis.size == 32)
   }
 
-  test("post-promote re-dial fallback: gen-0 artifacts restrict to snapshot ids (deleted ids cannot resurface)") {
+  test("post-promote re-dial fallback: gen-0 artifacts restrict to snapshot ids (deleted ids cannot resurface)", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("rdl")
     // warm the doc-hash artifact (it covers ALL 30 source ids), delete
@@ -1387,7 +1387,7 @@ class IngestSpec extends AnyFunSuite {
       s"replaced vector must drift-count exactly once: ${members(after)}")
   }
 
-  test("promote detects a commit racing the fold and re-folds: rows never double (enforced writer contract)") {
+  test("promote detects a commit racing the fold and re-folds: rows never double (enforced writer contract)", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("prc")
     val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
@@ -1442,7 +1442,7 @@ class IngestSpec extends AnyFunSuite {
       .map(_.getLong(0)).contains(1000L), "nothing may land from a malformed feed")
   }
 
-  test("compact right after a promote honors the grace window (empty-overlay branch forwards retainMillis)") {
+  test("compact right after a promote honors the grace window (empty-overlay branch forwards retainMillis)", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("cgr", nDocs = 10)
     val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
@@ -1467,7 +1467,7 @@ class IngestSpec extends AnyFunSuite {
     assert(oldSegs.forall(p => !graft.sources.Store.exists(p)))
   }
 
-  test("promoteReport + promoteIfNeeded: the cadence dial triggers the fold from chain metadata") {
+  test("promoteReport + promoteIfNeeded: the cadence dial triggers the fold from chain metadata", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("pif", nDocs = 20)
     val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
@@ -1499,7 +1499,7 @@ class IngestSpec extends AnyFunSuite {
       !r2.getAs[Boolean]("promote_suggested"))
   }
 
-  test("partial promote folds only touched buckets: untouched buckets carry by reference, probes invariant") {
+  test("partial promote folds only touched buckets: untouched buckets carry by reference, probes invariant", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("ppb")
     val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
@@ -1564,7 +1564,7 @@ class IngestSpec extends AnyFunSuite {
       "a generation nothing references must be swept")
   }
 
-  test("retrain re-dials stale geometry from the promoted snapshot; probes cover standing ids, deleted ids absent") {
+  test("retrain re-dials stale geometry from the promoted snapshot; probes cover standing ids, deleted ids absent", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("rtr")
     val rnd = new scala.util.Random(77L)
@@ -1653,7 +1653,7 @@ class IngestSpec extends AnyFunSuite {
     assert(GeomEpoch.epoch(d) == 2 && CorpusGen.current(d).get.id == 2)
   }
 
-  test("the full lifecycle runs with the index store on a NON-local FileSystem (testdfs)") {
+  test("the full lifecycle runs with the index store on a NON-local FileSystem (testdfs)", SlowTest) {
     import spark.implicits._
     // point the index ROOT (artifacts, overlay chain, generations) at the
     // testdfs scheme: every publish in commit → replace → delete →
@@ -1696,7 +1696,7 @@ class IngestSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.index.root")
   }
 
-  test("post-retrain promote: re-dialed families fold fully into the gen; un-epoched doc buckets still carry by reference") {
+  test("post-retrain promote: re-dialed families fold fully into the gen; un-epoched doc buckets still carry by reference", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("rpp", nDocs = 20)
     val mkText = (tag: String) => (0 until 20).map(j => s"$tag$j").mkString(" ")
@@ -1733,7 +1733,7 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.annLshc(spark, d, probe).count() > 0L)
   }
 
-  test("a crashed retrain's partial next-epoch artifacts are purged and rebuilt, never reused") {
+  test("a crashed retrain's partial next-epoch artifacts are purged and rebuilt, never reused", SlowTest) {
     import spark.implicits._
     val d = freshCorpus("rcr", nDocs = 10)
     // fake crashed-retrain debris: a marker-complete dir squatting on a

@@ -518,7 +518,7 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("lshc linear contract at UNSATURATED N: candidates/query flat across a 4x corpus step") {
+  test("lshc linear contract at UNSATURATED N: candidates/query flat across a 4x corpus step", SlowTest) {
     // At the bench SFs the dial ceiling (tables·probes·c ≈ 3k candidate
     // rows/query) EXCEEDS the corpus size, so the candidate set
     // saturates to ≈ the whole corpus and a shuffle-growth audit there
@@ -615,7 +615,7 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("planted skew through the REGISTERED q_dedup_semantic: giant duplicate cell resolves in O(n), spread vectors survive") {
+  test("planted skew through the REGISTERED q_dedup_semantic: giant duplicate cell resolves in O(n), spread vectors survive", SlowTest) {
     import spark.implicits._
     // A synthetic dataset DIR (the registered query's real input surface):
     // 400 EXACT duplicates of axis-0 — no quantizer can split them, so

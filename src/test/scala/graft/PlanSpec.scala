@@ -688,7 +688,7 @@ class PlanSpec extends AnyFunSuite {
       s"expected base + older-group tombstone anti-joins on broadcast:\n$p")
   }
 
-  test("promoted-store ANN probes keep the broadcast shape (no sort-merge regression)") {
+  test("promoted-store ANN probes keep the broadcast shape (no sort-merge regression)", SlowTest) {
     // the r19 generation readers swap every corpus-side base from the
     // gen-0 artifacts to the promoted parquet — which carries no
     // precomputed stats a prior plan relied on — so the ANN ingest legs
@@ -757,5 +757,82 @@ class PlanSpec extends AnyFunSuite {
     assert(roots.nonEmpty && roots.forall(_.contains("/gens/gen_")),
       s"post-promote scan must read the generation snapshot: $roots")
     assert(vis.count() == 30L) // 30 − deleted 3 + committed 1000
+  }
+
+  // ---- r22 optimization anchors (VERDICT r21 item 2 + this round) ----
+
+  test("spread family: ONE pinned narrow exchange, tail inherits it (no candidate re-shuffle)") {
+    // the r21 spread() queries whose after-shape had no committed
+    // evidence: the only hash exchange in the final plan is the narrow
+    // probe/assignment repartition by query id; the candidate join,
+    // DISTINCT and TopK heaps all run in-stage below it
+    for (q <- Seq("q_sim_knn", "q_baseline_ann_ivf", "q_sim_ann_lsh_delta",
+        "q_sim_ann_ivf_mp", "q_sim_ann_lsh_multi", "q_sim_ann_ivf_k",
+        "q_sim_ann_lshc_delta", "q_dedup_embcos")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      val hashExch = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashExch <= 1,
+        s"$q: tail re-shuffles the candidate set ($hashExch hash exchanges):\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("q_assoc_rules r22: shuffle-hash self-join off one shared okey exchange, no corpus broadcast") {
+    val p = plan("q_assoc_rules").split("== Initial Plan ==").head
+    // the pair self-join must be the co-partitioned shuffled-hash form:
+    // a BroadcastHashJoin here would be the r21 shape that collected the
+    // whole frequent-basket frame to the driver per execution
+    assert(p.contains("ShuffledHashJoin"), s"self-join not shuffled-hash:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one corpus-scale exchange: the pinned okey repartition,
+    // materialized once and shared by both self-join sides, freq and
+    // nBaskets (AQE stage reuse dedupes the identical subtrees)
+    val spreads = "REPARTITION_BY_COL".r.findAllIn(p).size
+    assert(spreads <= 1,
+      s"okey spread materialized $spreads times (stage reuse broken):\n$p")
+  }
+
+  test("q_graph_degree_dist: both sides share the ONE pair-dedup exchange (reuse fires)") {
+    val p = plan("q_graph_degree_dist").split("== Initial Plan ==").head
+    // ONE (l_partkey, l_suppkey) dedup exchange total in the final plan:
+    // the supplier side must reuse the part side's materialized stage,
+    // not recompute the corpus-scale distinct
+    // a ReusedExchange line textually repeats the exchange it points at,
+    // so count only lines that ARE the exchange, not references to it
+    val dedupExch = p.linesIterator.count(l =>
+      "Exchange hashpartitioning\\(l_partkey#\\d+L?, l_suppkey".r.findFirstIn(l).isDefined &&
+        !l.contains("ReusedExchange"))
+    assert(dedupExch <= 1,
+      s"pair-dedup exchange materialized $dedupExch times:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"supplier side did not reuse the part side's dedup exchange:\n$p")
+  }
+
+  test("q_ml_naive_bayes r22: fused scoring — no exchange between aggregation and argmax") {
+    val p = plan("q_ml_naive_bayes").split("== Initial Plan ==").head
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+    // the argmax heaps inherit the cached doc-token partitioning through
+    // the fused aggregate and the classes broadcast join: the plan slice
+    // from TopKPerKeyFinal down to TopKPerKeyPartial must cross no
+    // exchange (the r21 shape re-shuffled twice here)
+    val fin = p.indexOf("TopKPerKeyFinal"); val part = p.indexOf("TopKPerKeyPartial")
+    assert(fin >= 0 && part > fin, p)
+    val between = p.substring(fin, part)
+    assert(!between.contains("Exchange"),
+      s"argmax re-shuffles the scored frame:\n$between")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("lshcProbesPlan r22: per-table two-Generate shape (codegen stays under the 64 KB method limit)") {
+    // the r21 single-Generate form overflowed the JVM bytecode limit at
+    // nbits >= 8 and fell back to interpreted eval on every fresh-probe
+    // execution; the split shape explodes (tb, dots) pairs first
+    val df = operators.LlmPipeline.lshcProbesPlan(
+      Tables.t(spark, TestSpark.SF, "embeddings"), 8)
+    val gens = df.queryExecution.executedPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.size == 2, s"expected posexplode+explode pair:\n${df.queryExecution.executedPlan}")
   }
 }

@@ -337,7 +337,7 @@ class StreamingSpec extends AnyFunSuite {
       s"probe view after upsert stream: $f")
   }
 
-  test("changelog resync sink: full replay re-applies deletes in place and converges (no re-insert)") {
+  test("changelog resync sink: full replay re-applies deletes in place and converges (no re-insert)", SlowTest) {
     import spark.implicits._
     val corpus = Files.createTempDirectory("graft-resyncstream").toString
     (0 until 40).map(i =>
